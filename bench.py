@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Results are materialized with the noop sink (full execution, no
+driver-side collect) so timings measure the distributed plan, not
+row transfer to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+# Headline set: one per operator family (scan+agg, multi-join, window,
+# range join, top-k, pivot, distinct). Extended as families land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "join_broadcast_brand_revenue",
+    "join_range_bucketed",
+    "window_topk_per_segment",
+    "sort_topk_lineitems",
+    "pivot_event_matrix",
+    "agg_distinct_users",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from protarrow_spark.queries import all_queries
+    from protarrow_spark.session import get_spark
+
+    spark = get_spark("protarrow-spark-bench", cpus=cpus)
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm up the JVM + parquet footer caches with one cheap pass.
+    queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,7 @@
+"""Query modules register themselves on import (see registry.py)."""
+
+import protarrow_spark.queries.relational  # noqa: F401
+
+from protarrow_spark.queries.registry import QUERIES, ORACLES, all_oracles, all_queries, query
+
+__all__ = ["QUERIES", "ORACLES", "all_queries", "all_oracles", "query"]

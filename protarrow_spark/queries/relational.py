@@ -1,0 +1,672 @@
+"""Relational operator inventory (SURVEY.md §2.2) as runnable queries.
+
+The reference implements none of these (it is a conversion library,
+SURVEY.md §2.2 marks every row 'Not implemented'); per the north star
+they are first-class in this engine, expressed with built-in DataFrame
+operators so Catalyst/AQE pick physical strategies (broadcast vs
+shuffle join, partial aggregation, skew handling).
+
+Scale notes per query are in docstrings: the grading SF is small but
+each plan is written for the 100 TB shape (broadcast the dimension,
+shuffle on the high-cardinality key, exact-decimal sums so results are
+partition-order invariant).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from protarrow_spark.queries.registry import query
+from protarrow_spark.sources.tables import table
+
+# Exact decimal accumulation: double sums are order-dependent, decimal
+# sums are not. Cast each addend to decimal, sum exactly, cast back.
+DEC4 = "decimal(27,4)"
+DEC6 = "decimal(27,6)"
+
+
+def _dsum(col, scale: str = DEC4):
+    return F.sum(col.cast(scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate.
+
+    Scale: filter reaches the parquet scan (PushedFilters), partial
+    aggregation happens map-side, the shuffle carries only 6 groups.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price, DEC6).alias("sum_disc_price"),
+            _dsum(charge, DEC6).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+            (_dsum(F.col("l_discount"), DEC6) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly-selective scan -> scalar aggregate.
+
+    Scale: every predicate pushes to parquet; only 2 columns are read.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), DEC6).alias("revenue"))
+
+
+@query(
+    "agg_rollup_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two low-cardinality dimensions."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice")).alias("sum_price")
+    )
+
+
+@query(
+    "agg_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain aggregates in one pass (expand-based)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value"), DEC6).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter both sides, broadcast customer, shuffle
+    join orders<->lineitem on the high-cardinality orderkey, top-k.
+
+    Scale: customer-after-filter is broadcast; the big join shuffles on
+    l_orderkey which is uniformly distributed (no skew); top-10 uses
+    TakeOrderedAndProject (no global sort).
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, DEC6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, dimensions broadcast, facts shuffled.
+
+    Scale: region->nation->supplier collapse into one broadcast chain;
+    only orders<->lineitem shuffles. Catalyst reorders the joins; the
+    explicit broadcast hints keep the dims off the shuffle path.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue, DEC6).alias("revenue"))
+    )
+
+
+@query(
+    "join_broadcast_brand_revenue",
+    oracle="""
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand
+""",
+)
+def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast hash join: no shuffle of the fact table
+    for the join; only the 25-group aggregate shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum(revenue, DEC6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "join_left_outer_order_items",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       COUNT(l_orderkey) AS n_items,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(27,4))), 0) AS DOUBLE) AS total_qty
+FROM orders LEFT JOIN lineitem
+  ON o_orderkey = l_orderkey AND l_shipdate > TIMESTAMP '2001-06-01'
+GROUP BY o_orderkey, o_orderstatus
+HAVING COUNT(l_orderkey) <= 2
+ORDER BY o_orderkey
+LIMIT 100
+""",
+)
+def join_left_outer_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched left rows, with a join-side
+    predicate (kept in the ON clause, not WHERE — outer-join semantics)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > "2001-06-01"),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(li.l_orderkey).alias("n_items"),
+            F.coalesce(F.sum(F.col("l_quantity").cast(DEC4)), F.lit(0).cast(DEC4))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .filter(F.col("n_items") <= 2)
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+""",
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS/IN rewrite): output only left columns,
+    no duplication from multiple matches."""
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_dormant_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_anti_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+SELECT e1.event_id AS error_id,
+       COUNT(e2.event_id) AS n_clicks_before
+FROM events e1
+LEFT JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.event_type = 'click'
+ AND e2.ts >= e1.ts - INTERVAL 60 SECOND
+ AND e2.ts < e1.ts
+WHERE e1.event_type = 'error'
+GROUP BY e1.event_id
+""",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join done scalably: instead of an inequality-only join
+    (BroadcastNestedLoop at scale), bucket time into 60s epochs,
+    explode each probe row into its two candidate buckets, equi-join on
+    (user_id, bucket), then refine with the exact range predicate.
+
+    Scale: turns O(n*m) nested-loop into a shuffled hash join on a
+    composite key — the standard interval-join trick (same plan shape
+    Flink uses for interval joins).
+    """
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (F.unix_micros(F.col("ts")) / F.lit(60_000_000)).cast("long").alias("c_bucket"),
+    )
+    # Each error probes its own bucket and the previous one (window = 60s).
+    probe = errors.withColumn(
+        "p_bucket",
+        F.explode(
+            F.array(
+                (F.unix_micros(F.col("e_ts")) / F.lit(60_000_000)).cast("long"),
+                (F.unix_micros(F.col("e_ts")) / F.lit(60_000_000)).cast("long") - 1,
+            )
+        ),
+    )
+    joined = probe.join(
+        clicks,
+        (probe.e_user == clicks.c_user)
+        & (probe.p_bucket == clicks.c_bucket)
+        & (clicks.c_ts >= probe.e_ts - F.expr("INTERVAL 60 SECONDS"))
+        & (clicks.c_ts < probe.e_ts),
+        "left",
+    )
+    # A click can only land in one of the two probed buckets, so no dedup
+    # is needed; count matches per error.
+    return joined.groupBy("error_id").agg(F.count(F.col("click_id")).alias("n_clicks_before"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_segment",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY c_mktsegment
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rnk <= 3
+""",
+)
+def window_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK over a partition; deterministic via orderkey tiebreak.
+
+    Scale: single shuffle on the partition key; at 100 TB add a
+    pre-aggregation (per-partition top-k before the window) — Catalyst
+    4.x inserts a WindowGroupLimit for rank<=k filters automatically.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per key — decimal accumulation so the
+    result is identical regardless of physical row order."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         AS micros_since_prev
+FROM events
+""",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: per-user time since previous event (microseconds)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_topk_lineitems",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def sort_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge, never a full sort at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "set_union_priority_keys",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+""",
+)
+def set_union_priority_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered scans."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect_segments",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "customer")
+    a = o.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = o.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_nations",
+    oracle="""
+SELECT s_nationkey FROM supplier
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_acctbal < 0
+""",
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").alias("s_nationkey"))
+    )
+    return s.subtract(c)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "pivot_event_matrix",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per user, one column per event type.
+
+    Scale: explicit value list -> single-pass conditional aggregation,
+    no second job to discover pivot values.
+    """
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    return piv.select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression surface (built-ins only -> whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       length(o_orderstatus) AS status_len,
+       o_orderpriority || '/' || o_orderstatus AS prio_status,
+       CAST(round(o_totalprice, 0) AS DOUBLE) AS price_rounded,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+)
+def scalar_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: date part extraction, string ops,
+    conditional expressions — all JVM built-ins (SURVEY §2.2 'Scalar
+    functions'), no Python in the row path."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("/", "o_orderpriority", "o_orderstatus").alias("prio_status"),
+        F.round("o_totalprice", 0).cast("double").alias("price_rounded"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+@query(
+    "subquery_above_avg_parts",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > (
+  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM part
+)
+""",
+)
+def subquery_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via SQL entry point (Catalyst rewrites to a
+    broadcast of the 1-row aggregate). The threshold uses an exact
+    decimal sum so the cutoff is partition-order invariant."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (
+          SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM part
+        )
+        """
+    )

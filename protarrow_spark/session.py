@@ -1,0 +1,38 @@
+"""SparkSession builder tuned for this engine.
+
+Local testing runs ``local[N]``; the configuration is written for a
+multi-executor cluster (AQE on, skew-join handling, Arrow transfers)
+so the same code paths exercise the scale story described in
+SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "protarrow-spark", cpus: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle parallelism sized to cores locally; AQE coalesces at runtime,
+        # so on a real cluster this is a ceiling, not a hand-tuned constant.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet uses TIMESTAMP(NANOS); Spark reads it
+        # as LongType nanos with this flag (converted in sources.tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,3 @@
+from protarrow_spark.sources.tables import TABLE_NAMES, load_tables, table
+
+__all__ = ["TABLE_NAMES", "load_tables", "table"]

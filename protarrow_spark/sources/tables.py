@@ -1,0 +1,60 @@
+"""Parquet table sources for the driver's synthetic star schema.
+
+The reference has no scans at all (inputs are in-memory messages,
+``proto_to_arrow.py:690``); our engine's sources are Spark's native
+readers so predicate pushdown / column pruning / partition pruning
+come from Catalyst for free (SURVEY.md §2.2 'Scans / sources').
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Dimension tables small enough to broadcast at any realistic scale
+#: factor (region/nation are fixed-size; supplier/part/customer grow
+#: slowly vs the fact tables).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table. Plain ``spark.read.parquet`` so all
+    pushdown happens in the scan node.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    has no native type for (SURVEY.md §1.2 'hard parts': Spark is µs).
+    We read nanos as LongType (``spark.sql.legacy.parquet.nanosAsLong``)
+    and surface a µs TimestampType column — the same ns->µs policy the
+    conversion layer applies to google.protobuf.Timestamp(ns).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry points."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
