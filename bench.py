@@ -30,6 +30,11 @@ HEADLINE = [
     "sort_topk_lineitems",
     "pivot_event_matrix",
     "agg_distinct_users",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_cosine_topk",
 ]
 
 

@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (a conversion library, SURVEY.md §2.2);
+these are the north-star LLM-pipeline operators, built Spark-first:
+
+* exact:    hash-groupBy on a canonical text digest — one shuffle.
+* n-gram Jaccard: inverted-index self-join on shingles with a
+  document-frequency cap so hot shingles can't quadratically blow up
+  the join at 100 TB; exact Jaccard verification on the full shingle
+  sets afterwards.
+* MinHash + LSH: shingle -> k minhashes -> banded keys -> bucket
+  equi-join. Turns all-pairs similarity into a shuffle join on band
+  keys; estimated Jaccard from signature agreement.
+* SimHash: 32-bit signature via per-token md5 bit voting; near-dups
+  share signatures (hamming-0 grouping here; banded hamming-k probing
+  is the same join pattern on signature chunks).
+
+Everything uses md5 (identical across engines) rather than Spark's
+murmur ``hash()`` so results are verifiable against any SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from protarrow_spark.functions.text import tokens, word_ngrams
+
+#: Shared constants — the DuckDB oracle SQL is generated from the same
+#: values (queries/dedup.py), so Spark and oracle always agree.
+NGRAM_N = 3
+MINHASH_K = 8
+LSH_BANDS = 4  # 2 rows per band
+JACCARD_THRESHOLD = 0.5
+#: Shingles appearing in more than this many documents are excluded
+#: from candidate generation (not from verification) — bounds the
+#: inverted-index join fan-out at scale.
+MAX_SHINGLE_DF = 10_000
+SIMHASH_BITS = 32
+_HEX = "0123456789abcdef"
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N) -> DataFrame:
+    """Distinct (id, shingle) pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        .distinct()
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    canonical (minimum) id and the duplicate count.
+
+    Scale: single shuffle on a 128-bit digest — uniformly distributed,
+    no skew; the text itself never shuffles.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = NGRAM_N,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Candidate pairs come from an inverted-index self-join restricted to
+    shingles with document frequency <= ``max_df``; Jaccard is then
+    computed exactly on the full shingle sets.
+    """
+    grams = doc_shingles(df, id_col, text_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+
+    rare_shingles = (
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g")).filter(F.col("df_g") <= max_df)
+    )
+    rare = grams.join(rare_shingles.select("g"), "g")
+    a = rare.select(F.col(id_col).alias("doc_a"), "g")
+    b = rare.select(F.col(id_col).alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _minhash_expr(j: int) -> Column:
+    return F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"mh{j}")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, n: int = NGRAM_N
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Hash family: md5 of ``"{j}|" + shingle`` — the lexicographic min of
+    fixed-width hex equals the numeric min, is stable across engines,
+    and needs no seed table. One shuffle (groupBy id).
+    """
+    grams = doc_shingles(df, id_col, text_col, n)
+    return grams.groupBy(id_col).agg(*[_minhash_expr(j) for j in range(k)])
+
+
+def band_key(b: int, rows_per_band: int) -> Column:
+    cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+    return F.md5(F.concat_ws("|", *cols))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH, with the
+    signature-agreement Jaccard estimate.
+
+    Scale: the only all-pairs step is an equi-join on (band, band_key)
+    — identical band keys are exponentially unlikely for dissimilar
+    docs, so bucket sizes stay tiny and the join shuffles, never
+    nest-loops.
+    """
+    rows_per_band = k // bands
+    # The signature frame feeds banding AND both sides of the agreement
+    # join — persist it so the shingle->minhash pipeline runs once, not
+    # three times (at scale you'd materialize signatures to a table).
+    sig = minhash_signatures(df, id_col, text_col, k, n).persist()
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_key(b, rows_per_band) for b in range(bands)])).alias(
+            "band", "bkey"
+        ),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(k)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(k)])
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (agree / F.lit(float(k))).alias("est_jaccard"))
+    )
+
+
+def simhash_bit_exprs(token_expr: str = "tok", bits: int = SIMHASH_BITS) -> list[str]:
+    """SQL expressions (portable Spark/DuckDB subset) for the ±1 vote of
+    each signature bit, given a token column name.
+
+    Bit k lives in hex digit k//4 of md5(token); extracted with
+    ``% / >=`` arithmetic only, so the exact same text runs on both
+    engines (no dialect-specific shift operators).
+    """
+    exprs = []
+    for k in range(bits):
+        d = k // 4 + 1  # 1-based hex digit position
+        m = 2 ** (k % 4)
+        v = f"(instr('{_HEX}', substring(md5({token_expr}), {d}, 1)) - 1)"
+        exprs.append(f"CASE WHEN ({v} % {2 * m}) >= {m} THEN 1 ELSE -1 END")
+    return exprs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash signature (``bits`` wide) from distinct
+    tokens: each token votes ±1 per bit position, the sign of the vote
+    sum sets the bit.
+
+    Scale: explode + single groupBy — same shape as a word count.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(e)).alias(f"s{k}")
+            for k, e in enumerate(simhash_bit_exprs("tok", bits))
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(2**k)).otherwise(F.lit(0)).cast("long")
+        for k in range(bits)
+    )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Documents sharing an identical SimHash signature (hamming-0
+    near-dups). Banded hamming-k probing reuses the same groupBy on
+    signature chunks."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators: stats, quality scoring, language ID,
+fingerprinting. All built-in expressions (whole-stage codegen); no
+Python in the row path.
+
+North-star LLM-pipeline operators (not in the reference, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from protarrow_spark.functions.text import bag_fingerprint, tokens
+
+#: Shared with the generated DuckDB oracles (queries/llm_text.py).
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic. Checked in this order; ties resolve to the earlier entry.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token/char statistics per document — integer counts plus single
+    final divisions, so results are engine-exact."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            (F.length(text_col) - F.size(toks) + 1).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality heuristic: lexical diversity x length factor x
+    stopword sanity — the standard cheap pre-filter for training data."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n
+    score = ttr * length_factor * (F.lit(1.0) - stop_ratio)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+        F.when(score >= 0.5, "high").when(score >= 0.25, "medium").otherwise("low").alias(
+            "quality_bucket"
+        ),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score = marker-token hits per language;
+    prediction = argmax with fixed-order tie-breaking."""
+    toks = tokens(F.col(text_col))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[-1])
+    # Build argmax right-to-left so earlier languages win ties.
+    for lang in reversed(langs[:-1]):
+        later = [scores[l] for l in langs[langs.index(lang) + 1 :]]
+        best_later = later[0]
+        for c in later[1:]:
+            best_later = F.greatest(best_later, c)
+        pred = F.when(scores[lang] >= best_later, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of raw text) and
+    order-insensitive bag fingerprint (md5 of sorted distinct tokens)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("exact_fp"),
+        bag_fingerprint(toks).alias("bag_fp"),
+    )

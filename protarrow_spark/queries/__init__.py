@@ -1,5 +1,6 @@
 """Query modules register themselves on import (see registry.py)."""
 
+import protarrow_spark.queries.pipeline  # noqa: F401
 import protarrow_spark.queries.relational  # noqa: F401
 
 from protarrow_spark.queries.registry import QUERIES, ORACLES, all_oracles, all_queries, query

@@ -1,0 +1,371 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search.
+
+Every oracle below is GENERATED from the same constants the Spark
+operators use (operators/dedup.py, operators/text.py), so the two
+sides cannot drift. Hashing is md5 everywhere — engine-portable,
+unlike Spark's murmur ``hash()`` / DuckDB's ``hash()``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from protarrow_spark.operators import dedup, similarity, text
+from protarrow_spark.queries.registry import query
+from protarrow_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect), generated from operator
+# constants.
+# ---------------------------------------------------------------------------
+
+JACCARD_N = 1  # token-level Jaccard (the data has real token-set near-dups)
+JACCARD_T = 0.2
+NEARDUP_COSINE_T = 0.40
+TOPK_NEIGHBORS = 3
+N_QUERY_VECS = 5
+
+
+def _toks_cte(src: str = "documents") -> str:
+    return f"toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src})"
+
+
+def _grams_cte(n: int) -> str:
+    """Distinct (doc_id, shingle) — mirrors operators.dedup.doc_shingles."""
+    if n == 1:
+        gram_list = "t"
+    else:
+        gram_list = (
+            f"CASE WHEN len(t) >= {n} "
+            f"THEN [array_to_string(t[i:i+{n - 1}], ' ') for i in range(1, len(t) - {n} + 2)] "
+            f"ELSE [array_to_string(t, ' ')] END"
+        )
+    return (
+        f"grams AS (SELECT doc_id, unnest({gram_list}) AS g FROM toks),\n"
+        "dg AS (SELECT DISTINCT doc_id, g FROM grams)"
+    )
+
+
+def _sig_cte(k: int) -> str:
+    mins = ", ".join(f"min(md5('{j}|' || g)) AS mh{j}" for j in range(k))
+    return f"sig AS (SELECT doc_id, {mins} FROM dg GROUP BY doc_id)"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_toks_cte()},
+{_grams_cte(JACCARD_N)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+rare AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}),
+rdg AS (SELECT dg.doc_id, dg.g FROM dg JOIN rare USING (g)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= {JACCARD_T}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=JACCARD_T,
+        n=JACCARD_N,
+    ).withColumn("n_common", F.col("n_common").cast("long"))
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+{_sig_cte(dedup.MINHASH_K)}
+SELECT * FROM sig
+""",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature — every one of the k hashes must
+    match the oracle exactly (strong correctness check)."""
+    return dedup.minhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lsh_oracle() -> str:
+    k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
+    rpb = k // bands
+    band_selects = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(k))
+    return f"""
+WITH {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+{_sig_cte(k)},
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ({agree}) / {float(k)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM({e}) AS s{i}" for i, e in enumerate(dedup.simhash_bit_exprs("tok"))
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM sigs GROUP BY simhash
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_duplicate_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= {NEARDUP_COSINE_T}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_T, exact=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS type_token_ratio
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.text_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len",
+        "type_token_ratio",
+    )
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         least(1.0, CAST(len(t) AS DOUBLE) / 50.0) AS length_factor,
+         CAST(len(list_filter(t, x -> list_contains([{stop_list}], x))) AS DOUBLE)
+           / len(t) AS stopword_ratio
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       stopword_ratio,
+       ttr * length_factor * (1.0 - stopword_ratio) AS quality,
+       CASE WHEN ttr * length_factor * (1.0 - stopword_ratio) >= 0.5 THEN 'high'
+            WHEN ttr * length_factor * (1.0 - stopword_ratio) >= 0.25 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM m
+"""
+
+
+@query("text_quality", oracle=_quality_oracle())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.quality_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _langid_oracle() -> str:
+    langs = list(text.LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        "CAST(len(list_filter(t, x -> list_contains([{m}], x))) AS BIGINT) AS score_{lang}".format(
+            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    # argmax with fixed-order tie-breaking (earlier language wins).
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        later = ", ".join(f"score_{l}" for l in langs[i + 1 :])
+        gt = f"greatest({later})" if "," in later else later
+        cases.append(f"WHEN score_{lang} >= {gt} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+scored AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM toks
+)
+SELECT doc_id, {', '.join(f'score_{l}' for l in langs)},
+       {case_sql} AS predicted_lang
+FROM scored
+"""
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.language_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return df.select(
+        "doc_id",
+        *[F.col(f"score_{l}").cast("long").alias(f"score_{l}") for l in text.LANG_MARKERS],
+        "predicted_lang",
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+FROM documents
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+  FROM q JOIN v ON vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.cosine_topk_bruteforce(emb, qs, k=TOPK_NEIGHBORS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_bucket_sql(col: str, n: int) -> str:
+    terms = [
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN 1 ELSE 0 END) * {2 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "ann_lsh_bucketed_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {_lsh_bucket_sql('embedding', similarity.SIGN_BUCKET_COMPONENTS)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+  FROM q JOIN v USING (bucket)
+  WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+""",
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.cosine_topk_lsh(emb, qs, k=TOPK_NEIGHBORS)
+    return out.withColumn("rank", F.col("rank").cast("long"))

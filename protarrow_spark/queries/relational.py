@@ -448,7 +448,7 @@ def window_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rnk", F.rank().over(w))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
 
@@ -639,7 +639,7 @@ def scalar_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("order_month"),
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.length("o_orderstatus").alias("status_len"),
+        F.length("o_orderstatus").cast("long").alias("status_len"),
         F.concat_ws("/", "o_orderpriority", "o_orderstatus").alias("prio_status"),
         F.round("o_totalprice", 0).cast("double").alias("price_rounded"),
         F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
