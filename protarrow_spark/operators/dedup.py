@@ -6,8 +6,8 @@ these are the north-star LLM-pipeline operators, built Spark-first:
 * exact:    hash-groupBy on a canonical text digest — one shuffle.
 * n-gram Jaccard: inverted-index self-join on shingles with a
   document-frequency cap so hot shingles can't quadratically blow up
-  the join at 100 TB; exact Jaccard verification on the full shingle
-  sets afterwards.
+  the join at 100 TB; intersection counts exclude capped shingles, so
+  the reported Jaccard is a lower bound once the cap triggers.
 * MinHash + LSH: shingle -> k minhashes -> banded keys -> bucket
   equi-join. Turns all-pairs similarity into a shuffle join on band
   keys; estimated Jaccard from signature agreement.
@@ -70,11 +70,15 @@ def ngram_jaccard_pairs(
     n: int = NGRAM_N,
     max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+    """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Candidate pairs come from an inverted-index self-join restricted to
-    shingles with document frequency <= ``max_df``; Jaccard is then
-    computed exactly on the full shingle sets.
+    shingles with document frequency <= ``max_df``. The intersection
+    count ``n_common`` is computed over those capped shingles while the
+    set sizes use the full shingle sets, so once ``max_df`` triggers the
+    reported Jaccard is a *lower bound* of the true Jaccard (pairs held
+    together only by corpus-wide boilerplate shingles are deliberately
+    down-weighted at scale).
     """
     grams = doc_shingles(df, id_col, text_col, n)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
@@ -145,9 +149,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = k // bands
     # The signature frame feeds banding AND both sides of the agreement
-    # join — persist it so the shingle->minhash pipeline runs once, not
-    # three times (at scale you'd materialize signatures to a table).
-    sig = minhash_signatures(df, id_col, text_col, k, n).persist()
+    # join — eagerly localCheckpoint it so the shingle->minhash pipeline
+    # runs once, not three times, and the blocks are released when the
+    # DataFrame is garbage-collected (a bare persist() leaks cached
+    # blocks for the session lifetime; at real scale you'd materialize
+    # signatures to a table).
+    sig = minhash_signatures(df, id_col, text_col, k, n).localCheckpoint(eager=True)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[band_key(b, rows_per_band) for b in range(bands)])).alias(
@@ -175,11 +182,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_bit_exprs(token_expr: str = "tok", bits: int = SIMHASH_BITS) -> list[str]:
+def simhash_bit_exprs(digest_expr: str = "d", bits: int = SIMHASH_BITS) -> list[str]:
     """SQL expressions (portable Spark/DuckDB subset) for the ±1 vote of
-    each signature bit, given a token column name.
+    each signature bit, given a column holding the token's md5 hex
+    digest (computed ONCE per token upstream, not per bit).
 
-    Bit k lives in hex digit k//4 of md5(token); extracted with
+    Bit k lives in hex digit k//4 of the digest; extracted with
     ``% / >=`` arithmetic only, so the exact same text runs on both
     engines (no dialect-specific shift operators).
     """
@@ -187,7 +195,7 @@ def simhash_bit_exprs(token_expr: str = "tok", bits: int = SIMHASH_BITS) -> list
     for k in range(bits):
         d = k // 4 + 1  # 1-based hex digit position
         m = 2 ** (k % 4)
-        v = f"(instr('{_HEX}', substring(md5({token_expr}), {d}, 1)) - 1)"
+        v = f"(instr('{_HEX}', substring({digest_expr}, {d}, 1)) - 1)"
         exprs.append(f"CASE WHEN ({v} % {2 * m}) >= {m} THEN 1 ELSE -1 END")
     return exprs
 
@@ -197,16 +205,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     tokens: each token votes ±1 per bit position, the sign of the vote
     sum sets the bit.
 
-    Scale: explode + single groupBy — same shape as a word count.
+    Scale: explode + single groupBy — same shape as a word count. The
+    md5 digest is projected once per token; the 32 vote expressions
+    read hex digits out of that single digest column.
     """
     toks = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
+        .select(F.col(id_col), F.md5(F.col("tok")).alias("d"))
     )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(F.expr(e)).alias(f"s{k}")
-            for k, e in enumerate(simhash_bit_exprs("tok", bits))
+            for k, e in enumerate(simhash_bit_exprs("d", bits))
         ]
     )
     sig = sum(

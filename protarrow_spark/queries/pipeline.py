@@ -149,15 +149,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle() -> str:
     votes = ", ".join(
-        f"SUM({e}) AS s{i}" for i, e in enumerate(dedup.simhash_bit_exprs("tok"))
+        f"SUM({e}) AS s{i}" for i, e in enumerate(dedup.simhash_bit_exprs("d"))
     )
     sig = " + ".join(
         f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(dedup.SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (
+WITH raw_toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
+toks AS (SELECT doc_id, md5(tok) AS d FROM raw_toks),
 votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
 sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
 SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs

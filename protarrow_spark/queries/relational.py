@@ -186,19 +186,22 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: filter both sides, broadcast customer, shuffle
-    join orders<->lineitem on the high-cardinality orderkey, top-k.
+    """TPC-H Q3 shape: filter both sides, shuffle join
+    orders<->lineitem on the high-cardinality orderkey, top-k.
 
-    Scale: customer-after-filter is broadcast; the big join shuffles on
-    l_orderkey which is uniformly distributed (no skew); top-10 uses
-    TakeOrderedAndProject (no global sort).
+    Scale: customer GROWS with the data (sf-proportional), so no forced
+    broadcast hint — AQE picks broadcast from runtime stats while the
+    filtered side is small and degrades to a shuffle join when it
+    isn't (a forced hint OOMs executors at 100x). The big join
+    shuffles on l_orderkey which is uniformly distributed (no skew);
+    top-10 uses TakeOrderedAndProject (no global sort).
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(revenue, DEC6).alias("revenue"))
@@ -227,11 +230,13 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join, dimensions broadcast, facts shuffled.
+    """TPC-H Q5 shape: 6-way join, fixed dims broadcast, facts shuffled.
 
-    Scale: region->nation->supplier collapse into one broadcast chain;
-    only orders<->lineitem shuffles. Catalyst reorders the joins; the
-    explicit broadcast hints keep the dims off the shuffle path.
+    Scale: region/nation are FIXED-size -> forced broadcast is always
+    safe. customer/supplier grow with sf, so they carry no hint — AQE
+    broadcasts them while small and falls back to shuffle joins at
+    100x scale instead of OOMing executors on a forced hint. Only
+    orders<->lineitem must shuffle.
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
@@ -244,9 +249,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -441,12 +446,13 @@ def window_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.x inserts a WindowGroupLimit for rank<=k filters automatically.
     """
     orders = table(spark, sf_dir, "orders")
+    # customer grows with sf: no forced broadcast hint (AQE decides).
     cust = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)

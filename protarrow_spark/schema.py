@@ -104,7 +104,9 @@ def _scalar_type(field: Field, config: ProtarrowSparkConfig, trace: tuple[str, .
         raise TypeError("proto2 groups are not supported")  # proto_to_arrow.py:378-383
     if field.kind is Kind.ENUM:
         return T.IntegerType() if config.enum_type == "int" else T.StringType()
-    if field.kind is Kind.UINT64:
+    if field.kind in (Kind.UINT64, Kind.FIXED64):
+        # Both map to pa.uint64() in the reference (proto_to_arrow.py:63);
+        # follow the same uint64 widening policy here.
         return _uint64_type(config)
     if field.kind is Kind.MESSAGE:
         assert field.message is not None

@@ -26,10 +26,11 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-#: Dimension tables small enough to broadcast at any realistic scale
-#: factor (region/nation are fixed-size; supplier/part/customer grow
-#: slowly vs the fact tables).
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+#: Dimension tables small enough to FORCE-broadcast at any scale
+#: factor: only the fixed-size ones. customer/supplier/part grow with
+#: sf, so they get no hint — AQE broadcasts them from runtime stats
+#: while small and shuffle-joins them at 100x scale.
+BROADCAST_DIMS = {"region", "nation"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,7 +45,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Floor division in pure integer arithmetic (`div` truncates
+        # toward zero, which would round pre-epoch nanos up by 1µs);
+        # pmod keeps it exact for the full int64 range.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")))
     return df
 
 
