@@ -44,9 +44,9 @@ class ProtarrowSparkConfig:
     #: proto map<k,v> as MapType (False) or ArrayType(StructType(key,value)) (True).
     #: Mirrors ``map_as_list`` (``proto_to_arrow.py:272-305``).
     map_as_list: bool = False
-    #: Relax nullability (reference knobs ``common.py:53-56``).
-    field_nullable: bool = False
+    #: Relax nullability (the reference's four knobs, ``common.py:53-56``).
     list_nullable: bool = False
+    map_nullable: bool = False
     list_value_nullable: bool = False
     map_value_nullable: bool = False
     #: When set, write the proto field number into StructField metadata

@@ -138,10 +138,13 @@ def _field_metadata(field: Field, config: ProtarrowSparkConfig) -> dict:
 
 
 def _field_nullable(field: Field, config: ProtarrowSparkConfig) -> bool:
-    """Mirrors ``_proto_field_nullable`` (``proto_to_arrow.py:593-601``)."""
+    """Mirrors ``_proto_field_nullable`` (``proto_to_arrow.py:593-601``):
+    plain scalars are non-nullable; only presence fields are nullable."""
+    if field.is_map:
+        return config.map_nullable
     if field.repeated:
         return config.list_nullable
-    return field.has_presence or config.field_nullable
+    return field.has_presence
 
 
 def field_to_struct_field(
@@ -167,7 +170,7 @@ def field_to_struct_field(
         else:
             dtype = T.MapType(key_type, val_type, valueContainsNull=config.map_value_nullable)
         return T.StructField(
-            field.name, dtype, nullable=config.list_nullable, metadata=_field_metadata(field, config)
+            field.name, dtype, nullable=config.map_nullable, metadata=_field_metadata(field, config)
         )
     scalar = _scalar_type(field, config, _trace)
     if field.repeated:
