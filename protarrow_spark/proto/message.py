@@ -1,0 +1,440 @@
+"""Dynamic message runtime + protobuf wire-format codec.
+
+``google.protobuf`` is not installable here, so the engine carries a
+minimal runtime implementing the *public* protobuf semantics over the
+internal descriptor model (``proto/model.py``):
+
+* ``Message``: field access with proto3 presence rules (``HasField``
+  valid only for presence fields; plain scalars read their default
+  when unset), repeated fields as lists, maps as dicts.
+* ``serialize`` / ``parse``: the public wire format (encoding spec at
+  protobuf.dev/programming-guides/encoding): varints, zigzag sints,
+  little-endian fixed32/64, length-delimited strings/bytes/messages,
+  packed repeated primitives (decoder accepts packed and expanded),
+  map fields as repeated key/value entry messages, unknown-field skip.
+
+This is what makes conversion *distributed*: a DataFrame with a
+``binary`` proto column decodes on executors via ``parse`` inside an
+Arrow-batched UDF (SURVEY §3.1 'Spark version'), the same shape as
+Spark's built-in ``from_protobuf`` (which needs the external
+spark-protobuf jar + a compiled descriptor set, neither available
+here).
+
+Behavioral parity targets in the reference (not copied, re-derived
+from the public spec): presence masks ``proto_to_arrow.py:604-616``,
+absent-field defaults ``proto_to_arrow.py:428-437``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+from protarrow_spark.proto.model import (
+    I32_KINDS,
+    I64_KINDS,
+    VARINT_KINDS,
+    ZIGZAG_KINDS,
+    Field,
+    Kind,
+    MessageType,
+)
+
+_U64 = 1 << 64
+_I64_MAX = (1 << 63) - 1
+_U32 = 1 << 32
+_I32_MAX = (1 << 31) - 1
+
+
+def _to_signed64(v: int) -> int:
+    return v - _U64 if v > _I64_MAX else v
+
+
+def _to_signed32(v: int) -> int:
+    return v - _U32 if v > _I32_MAX else v
+
+
+def _float32(v: float) -> float:
+    """Round to float32 precision, as assigning to a proto float field does."""
+    return struct.unpack("<f", struct.pack("<f", v))[0]
+
+
+class Message:
+    """A dynamic message instance bound to a :class:`MessageType`.
+
+    Mirrors the parts of the ``google.protobuf.Message`` API the
+    conversion layer touches: attribute access, ``HasField``,
+    ``SetField`` via plain assignment, equality with proto3 presence
+    semantics.
+    """
+
+    __slots__ = ("_type", "_values")
+
+    def __init__(self, mtype: MessageType, **values: Any) -> None:
+        object.__setattr__(self, "_type", mtype)
+        object.__setattr__(self, "_values", {})
+        for name, value in values.items():
+            setattr(self, name, value)
+
+    @property
+    def type(self) -> MessageType:
+        return self._type
+
+    def _field(self, name: str) -> Field:
+        try:
+            return self._type.fields_by_name[name]
+        except KeyError:
+            raise AttributeError(
+                f"{self._type.full_name} has no field {name!r}"
+            ) from None
+
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        field = self._field(name)
+        values = self._values
+        if field.is_map:
+            return values.setdefault(name, {})
+        if field.repeated:
+            return values.setdefault(name, [])
+        if name in values:
+            return values[name]
+        if field.kind is Kind.MESSAGE:
+            # unset message field reads as a default (detached) instance
+            return Message(field.message)
+        return field.default_value
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        field = self._field(name)
+        if value is None:
+            self._values.pop(name, None)
+            return
+        if field.is_map:
+            self._values[name] = dict(value)
+        elif field.repeated:
+            if field.kind is Kind.FLOAT:
+                value = [_float32(v) for v in value]
+            self._values[name] = list(value)
+        elif field.kind is Kind.FLOAT:
+            self._values[name] = _float32(value)
+        elif field.kind is Kind.BOOL:
+            self._values[name] = bool(value)
+        else:
+            self._values[name] = value
+
+    def HasField(self, name: str) -> bool:  # noqa: N802 — protobuf API parity
+        field = self._field(name)
+        if not field.has_presence:
+            raise ValueError(f"field {name} has no presence")
+        return name in self._values
+
+    def ClearField(self, name: str) -> None:  # noqa: N802
+        self._field(name)
+        self._values.pop(name, None)
+
+    def SerializeToString(self) -> bytes:  # noqa: N802
+        return serialize(self)
+
+    def _canonical(self) -> dict:
+        """proto3 equality view: plain scalars fold to defaults when
+        unset; presence fields keep their set/unset distinction."""
+        out: dict[str, Any] = {}
+        for f in self._type.fields:
+            name = f.name
+            if f.is_map:
+                v = self._values.get(name) or {}
+                out[name] = {
+                    k: (x._canonical() if isinstance(x, Message) else x)
+                    for k, x in v.items()
+                }
+            elif f.repeated:
+                v = self._values.get(name) or []
+                out[name] = [
+                    x._canonical() if isinstance(x, Message) else x for x in v
+                ]
+            elif f.has_presence:
+                x = self._values.get(name, _ABSENT)
+                if isinstance(x, Message):
+                    x = ("present", x._canonical())
+                out[name] = x
+            else:
+                out[name] = self._values.get(name, f.default_value)
+        return out
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Message):
+            return NotImplemented
+        return (
+            self._type.full_name == other._type.full_name
+            and self._canonical() == other._canonical()
+        )
+
+    def __repr__(self) -> str:
+        set_fields = ", ".join(f"{k}={v!r}" for k, v in sorted(self._values.items()))
+        return f"{self._type.name}({set_fields})"
+
+
+_ABSENT = object()
+
+
+# ---------------------------------------------------------------------------
+# Wire-format encode
+# ---------------------------------------------------------------------------
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+
+def _write_varint(out: bytearray, value: int) -> None:
+    if value < 0:
+        value += _U64  # two's complement, 10 bytes
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _zigzag(value: int) -> int:
+    return (value << 1) ^ (value >> 63)
+
+
+def _tag(number: int, wire_type: int) -> int:
+    return (number << 3) | wire_type
+
+
+def _scalar_wire_type(kind: Kind) -> int:
+    if kind in VARINT_KINDS:
+        return _WT_VARINT
+    if kind in I64_KINDS:
+        return _WT_I64
+    if kind in I32_KINDS:
+        return _WT_I32
+    return _WT_LEN
+
+
+def _write_scalar(out: bytearray, kind: Kind, value: Any) -> None:
+    """Write one scalar payload (no tag)."""
+    if kind in ZIGZAG_KINDS:
+        _write_varint(out, _zigzag(int(value)))
+    elif kind is Kind.BOOL:
+        out.append(1 if value else 0)
+    elif kind in VARINT_KINDS:  # int32/64, uint32/64, enum
+        _write_varint(out, int(value))
+    elif kind is Kind.DOUBLE:
+        out += struct.pack("<d", value)
+    elif kind is Kind.FLOAT:
+        out += struct.pack("<f", value)
+    elif kind is Kind.FIXED64:
+        out += struct.pack("<Q", int(value))
+    elif kind is Kind.SFIXED64:
+        out += struct.pack("<q", int(value))
+    elif kind is Kind.FIXED32:
+        out += struct.pack("<I", int(value))
+    elif kind is Kind.SFIXED32:
+        out += struct.pack("<i", int(value))
+    elif kind is Kind.STRING:
+        data = value.encode("utf-8")
+        _write_varint(out, len(data))
+        out += data
+    elif kind is Kind.BYTES:
+        _write_varint(out, len(value))
+        out += bytes(value)
+    else:  # pragma: no cover
+        raise TypeError(f"not a scalar kind: {kind}")
+
+
+def _write_field(out: bytearray, field: Field, value: Any) -> None:
+    if field.is_map:
+        entry = field.message
+        key_f = entry.fields_by_number[1]
+        val_f = entry.fields_by_number[2]
+        for k, v in value.items():
+            body = bytearray()
+            _write_field_single(body, key_f, k, emit_default=False)
+            _write_field_single(body, val_f, v, emit_default=False)
+            _write_varint(out, _tag(field.number, _WT_LEN))
+            _write_varint(out, len(body))
+            out += body
+    elif field.repeated:
+        if not value:
+            return
+        kind = field.kind
+        if kind in (Kind.STRING, Kind.BYTES, Kind.MESSAGE):
+            for item in value:
+                _write_field_single(out, field, item, emit_default=True)
+        else:
+            # packed (proto3 default for numeric repeated fields)
+            body = bytearray()
+            for item in value:
+                _write_scalar(body, kind, item)
+            _write_varint(out, _tag(field.number, _WT_LEN))
+            _write_varint(out, len(body))
+            out += body
+    else:
+        _write_field_single(out, field, value, emit_default=field.has_presence)
+
+
+def _write_field_single(
+    out: bytearray, field: Field, value: Any, emit_default: bool
+) -> None:
+    kind = field.kind
+    if kind is Kind.MESSAGE:
+        body = serialize(value) if isinstance(value, Message) else b""
+        _write_varint(out, _tag(field.number, _WT_LEN))
+        _write_varint(out, len(body))
+        out += body
+        return
+    if not emit_default and not field.repeated:
+        # proto3 no-presence scalars are omitted when equal to default
+        if value == field.default_value and not (
+            isinstance(value, float) and str(value) == "-0.0"
+        ):
+            return
+    _write_varint(out, _tag(field.number, _scalar_wire_type(kind)))
+    _write_scalar(out, kind, value)
+
+
+def serialize(msg: Message) -> bytes:
+    """Message -> wire bytes, fields in field-number order (stable)."""
+    out = bytearray()
+    values = msg._values
+    for field in sorted(msg.type.fields, key=lambda f: f.number):
+        if field.name not in values:
+            continue
+        value = values[field.name]
+        if field.is_map or field.repeated:
+            if value:
+                _write_field(out, field, value)
+        else:
+            _write_field(out, field, value)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Wire-format decode
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result & (_U64 - 1), pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _read_scalar(data: bytes, pos: int, kind: Kind) -> tuple[Any, int]:
+    if kind in VARINT_KINDS:
+        raw, pos = _read_varint(data, pos)
+        if kind in ZIGZAG_KINDS:
+            return (raw >> 1) ^ -(raw & 1), pos
+        if kind is Kind.BOOL:
+            return raw != 0, pos
+        if kind in (Kind.INT32, Kind.INT64, Kind.ENUM):
+            v = _to_signed64(raw)
+            return (_to_signed32(v & (_U32 - 1)) if kind is Kind.INT32 else v), pos
+        return raw, pos  # uint32/uint64
+    if kind is Kind.DOUBLE:
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if kind is Kind.FLOAT:
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if kind is Kind.FIXED64:
+        return struct.unpack_from("<Q", data, pos)[0], pos + 8
+    if kind is Kind.SFIXED64:
+        return struct.unpack_from("<q", data, pos)[0], pos + 8
+    if kind is Kind.FIXED32:
+        return struct.unpack_from("<I", data, pos)[0], pos + 4
+    if kind is Kind.SFIXED32:
+        return struct.unpack_from("<i", data, pos)[0], pos + 4
+    if kind in (Kind.STRING, Kind.BYTES):
+        n, pos = _read_varint(data, pos)
+        raw = data[pos : pos + n]
+        return (raw.decode("utf-8") if kind is Kind.STRING else bytes(raw)), pos + n
+    raise TypeError(f"not a scalar kind: {kind}")  # pragma: no cover
+
+
+def _skip(data: bytes, pos: int, wire_type: int) -> int:
+    if wire_type == _WT_VARINT:
+        _, pos = _read_varint(data, pos)
+        return pos
+    if wire_type == _WT_I64:
+        return pos + 8
+    if wire_type == _WT_I32:
+        return pos + 4
+    if wire_type == _WT_LEN:
+        n, pos = _read_varint(data, pos)
+        return pos + n
+    raise ValueError(f"cannot skip wire type {wire_type} (groups unsupported)")
+
+
+def parse_into(msg: Message, data: bytes) -> Message:
+    """Merge wire bytes into ``msg`` (public merge semantics: scalars
+    last-wins, messages merge, repeated/maps append)."""
+    mtype = msg.type
+    by_number = mtype.fields_by_number
+    pos = 0
+    end = len(data)
+    while pos < end:
+        tag, pos = _read_varint(data, pos)
+        number, wire_type = tag >> 3, tag & 7
+        field = by_number.get(number)
+        if field is None:
+            pos = _skip(data, pos, wire_type)
+            continue
+        if field.is_map:
+            n, pos = _read_varint(data, pos)
+            entry = Message(field.message)
+            parse_into(entry, data[pos : pos + n])
+            pos += n
+            getattr(msg, field.name)[entry.key] = entry.value
+        elif field.kind is Kind.MESSAGE:
+            n, pos = _read_varint(data, pos)
+            body = data[pos : pos + n]
+            pos += n
+            if field.repeated:
+                item = Message(field.message)
+                parse_into(item, body)
+                getattr(msg, field.name).append(item)
+            else:
+                if field.name in msg._values:
+                    parse_into(msg._values[field.name], body)
+                else:
+                    sub = Message(field.message)
+                    parse_into(sub, body)
+                    setattr(msg, field.name, sub)
+        elif field.repeated:
+            target = getattr(msg, field.name)
+            if wire_type == _WT_LEN and field.kind not in (Kind.STRING, Kind.BYTES):
+                n, pos = _read_varint(data, pos)  # packed
+                stop = pos + n
+                while pos < stop:
+                    v, pos = _read_scalar(data, pos, field.kind)
+                    target.append(v)
+            else:
+                v, pos = _read_scalar(data, pos, field.kind)
+                target.append(v)
+        else:
+            v, pos = _read_scalar(data, pos, field.kind)
+            setattr(msg, field.name, v)
+    return msg
+
+
+def parse(data: bytes, mtype: MessageType) -> Message:
+    """Wire bytes -> a fresh :class:`Message` of ``mtype``."""
+    return parse_into(Message(mtype), data)
+
+
+def iter_set_fields(msg: Message) -> Iterator[tuple[Field, Any]]:
+    """(field, value) for fields explicitly set on the message."""
+    for field in msg.type.fields:
+        if field.name in msg._values:
+            yield field, msg._values[field.name]
