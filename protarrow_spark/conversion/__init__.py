@@ -1,0 +1,47 @@
+"""Proto <-> DataFrame conversion surface (the reference's public API,
+``protarrow/__init__.py:14-26``, re-expressed for Spark).
+
+Driver-side (small data / test harnesses):
+
+* :func:`messages_to_dataframe` — encode messages into a DataFrame.
+* :func:`dataframe_to_messages` — decode a DataFrame back to messages.
+* :class:`MessageExtractor` — compiled Row -> Message converter.
+
+Distributed (the 100 TB path — binary proto columns on executors):
+
+* :func:`decode_proto_bytes` — binary column -> typed columns
+  (Kafka-shaped ingest; ``mapInPandas`` + the wire codec).
+* :func:`encode_proto_bytes` — typed columns -> binary column
+  (proto-bytes sink shape).
+
+Schema conformance:
+
+* :func:`cast_dataframe` — conform an arbitrary DataFrame to a proto
+  schema with pure Catalyst expressions (reference ``cast_to_proto.py``).
+"""
+
+from protarrow_spark.conversion.cast import cast_dataframe
+from protarrow_spark.conversion.decode import (
+    MessageExtractor,
+    dataframe_to_messages,
+    rows_to_messages,
+)
+from protarrow_spark.conversion.distributed import (
+    decode_proto_bytes,
+    encode_proto_bytes,
+)
+from protarrow_spark.conversion.encode import (
+    messages_to_dataframe,
+    messages_to_rows,
+)
+
+__all__ = [
+    "MessageExtractor",
+    "cast_dataframe",
+    "dataframe_to_messages",
+    "decode_proto_bytes",
+    "encode_proto_bytes",
+    "messages_to_dataframe",
+    "messages_to_rows",
+    "rows_to_messages",
+]

@@ -1,0 +1,120 @@
+"""Distributed conversion tests: binary proto columns encoded/decoded
+on executors via mapInPandas + the wire codec (no driver data path)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion import (
+    dataframe_to_messages,
+    decode_proto_bytes,
+    encode_proto_bytes,
+    messages_to_dataframe,
+)
+from protarrow_spark.conversion.distributed import proto_roundtrip
+from protarrow_spark.proto import fixtures
+from protarrow_spark.proto.message import Message, parse, serialize
+from protarrow_spark.proto.model import (
+    TIMESTAMP,
+    Field,
+    Kind,
+    MessageType,
+    map_field,
+)
+
+CFG = ProtarrowSparkConfig()
+
+EVENT = MessageType(
+    "t.Event",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("user_id", 2, Kind.INT64),
+        Field("kind", 3, Kind.STRING),
+        Field("amount", 4, Kind.DOUBLE),
+        Field("ts", 5, Kind.MESSAGE, message=TIMESTAMP),
+    ),
+)
+
+
+def _event_messages(n: int = 100) -> list[Message]:
+    return [
+        Message(
+            EVENT,
+            event_id=i,
+            user_id=i % 7,
+            kind=f"k{i % 3}",
+            amount=i * 0.25,
+            ts=Message(TIMESTAMP, seconds=1_700_000_000 + i, nanos=(i % 1000) * 1000),
+        )
+        for i in range(n)
+    ]
+
+
+def test_decode_proto_bytes(spark) -> None:
+    msgs = _event_messages()
+    blobs = [(i, serialize(m)) for i, m in enumerate(msgs)]
+    df = spark.createDataFrame(blobs, "key long, value binary").repartition(4)
+    decoded = decode_proto_bytes(df, "value", EVENT, CFG, keep_cols=["key"])
+    assert [f.name for f in decoded.schema.fields] == [
+        "key", "event_id", "user_id", "kind", "amount", "ts",
+    ]
+    rows = {r["key"]: r for r in decoded.collect()}
+    assert len(rows) == len(msgs)
+    assert rows[3]["amount"] == 0.75
+    assert rows[3]["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 23, 3)
+
+
+def test_encode_proto_bytes_inverse(spark) -> None:
+    msgs = _event_messages(50)
+    df = messages_to_dataframe(spark, msgs, EVENT, CFG).repartition(4)
+    encoded = encode_proto_bytes(df, EVENT, CFG, output_col="proto")
+    assert encoded.schema["proto"].dataType == T.BinaryType()
+    back = sorted(
+        (parse(bytes(r["proto"]), EVENT) for r in encoded.collect()),
+        key=lambda m: m.event_id,
+    )
+    assert back == msgs
+
+
+def test_distributed_roundtrip_matches_input(spark) -> None:
+    msgs = _event_messages(200)
+    df = messages_to_dataframe(spark, msgs, EVENT, CFG).repartition(8)
+    out = proto_roundtrip(df, EVENT, CFG)
+    assert sorted(dataframe_to_messages(out, EVENT, CFG), key=lambda m: m.event_id) == msgs
+
+
+def test_distributed_roundtrip_nested_types(spark) -> None:
+    mt = MessageType(
+        "t.Rich",
+        (
+            Field("id", 1, Kind.INT64),
+            Field("tags", 2, Kind.STRING, repeated=True),
+            Field("nested", 3, Kind.MESSAGE, message=fixtures.NESTED),
+            map_field("attrs", 4, Kind.STRING, Kind.INT64),
+        ),
+    )
+    msgs = [
+        Message(
+            mt,
+            id=i,
+            tags=[f"t{j}" for j in range(i % 4)],
+            nested=Message(fixtures.NESTED, nested_int=i) if i % 2 else None,
+            attrs={f"a{j}": j for j in range(i % 3)},
+        )
+        for i in range(40)
+    ]
+    df = messages_to_dataframe(spark, msgs, mt, CFG).repartition(4)
+    out = proto_roundtrip(df, mt, CFG)
+    assert sorted(dataframe_to_messages(out, mt, CFG), key=lambda m: m.id) == msgs
+
+
+def test_plan_has_no_shuffle(spark) -> None:
+    msgs = _event_messages(10)
+    df = messages_to_dataframe(spark, msgs, EVENT, CFG)
+    plan = proto_roundtrip(df, EVENT, CFG)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"conversion must not shuffle:\n{plan}"
