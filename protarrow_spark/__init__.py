@@ -7,19 +7,53 @@ query + LLM-data-pipeline operators on top (SURVEY.md §2).
 
 Design is Spark-first: logical plans are declared with the DataFrame /
 SQL API so Catalyst/Tungsten choose the physical strategy; Python only
-runs driver-side (schema derivation) or in Arrow-batched UDFs where
-built-ins genuinely can't express the semantics (proto wire decode).
+runs driver-side (schema derivation, message construction) or in
+Arrow-batched UDFs where built-ins genuinely can't express the
+semantics (the proto wire codec inside ``decode_proto_bytes`` /
+``encode_proto_bytes``).
+
+Public API (parity with the reference's 9 symbols, Spark-shaped):
+
+* ``message_type_to_schema`` / ``message_type_to_struct_type``
+* ``messages_to_dataframe`` (encode) / ``dataframe_to_messages`` (decode)
+* ``cast_dataframe`` (schema conformance)
+* ``MessageExtractor`` (compiled row extraction)
+* ``decode_proto_bytes`` / ``encode_proto_bytes`` (distributed,
+  binary-column paths)
+* ``adapt_descriptor`` (real ``google.protobuf`` descriptors -> the
+  internal model, when protobuf is installed)
 """
 
 from __future__ import annotations
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion import (
+    MessageExtractor,
+    cast_dataframe,
+    dataframe_to_messages,
+    decode_proto_bytes,
+    encode_proto_bytes,
+    messages_to_dataframe,
+)
+from protarrow_spark.proto.adapter import adapt_descriptor
+from protarrow_spark.proto.message import Message
+from protarrow_spark.schema import message_type_to_schema, message_type_to_struct_type
 from protarrow_spark.session import get_spark
 
 __all__ = [
+    "Message",
+    "MessageExtractor",
     "ProtarrowSparkConfig",
+    "adapt_descriptor",
+    "cast_dataframe",
+    "dataframe_to_messages",
+    "decode_proto_bytes",
+    "encode_proto_bytes",
     "get_spark",
+    "message_type_to_schema",
+    "message_type_to_struct_type",
+    "messages_to_dataframe",
     "__version__",
 ]
