@@ -1,6 +1,7 @@
 """Query modules register themselves on import (see registry.py)."""
 
 import protarrow_spark.queries.conversion  # noqa: F401
+import protarrow_spark.queries.multimodal  # noqa: F401
 import protarrow_spark.queries.pipeline  # noqa: F401
 import protarrow_spark.queries.relational  # noqa: F401
 

@@ -1,0 +1,125 @@
+"""Multimodal-column CORRECTNESS queries.
+
+Blobs are synthesized deterministically from ``documents.text`` (even
+doc_ids get the FIMG fake-image header, odd stay raw bytes), so both
+engines construct byte-identical inputs and every operator — including
+the Pandas-UDF feature extractor — has a full value oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from protarrow_spark.operators import multimodal
+from protarrow_spark.queries.registry import query
+from protarrow_spark.sources.tables import table
+
+_MAGIC = multimodal.FAKE_IMAGE_MAGIC_HEX
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob binary): even ids get the magic."""
+    docs = table(spark, sf_dir, "documents")
+    blob_hex = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit(_MAGIC), F.hex(F.encode("text", "UTF-8"))),
+    ).otherwise(F.hex(F.encode("text", "UTF-8")))
+    return docs.select("doc_id", F.unhex(blob_hex).alias("blob"))
+
+
+_BLOB_CTE = f"""
+blobs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '{_MAGIC}' || hex(encode(text))
+              ELSE hex(encode(text)) END AS blob_hex
+  FROM documents
+),
+payloads AS (
+  SELECT doc_id,
+         CASE WHEN substr(blob_hex, 1, 8) = '{_MAGIC}'
+              THEN substr(blob_hex, 9) ELSE blob_hex END AS ph,
+         len(blob_hex) // 2 AS size_bytes,
+         substr(blob_hex, 1, 8) = '{_MAGIC}' AS is_img
+  FROM blobs
+)
+"""
+
+
+@query(
+    "mm_blob_metadata",
+    oracle=f"""
+WITH {_BLOB_CTE}
+SELECT doc_id,
+       CASE WHEN is_img THEN 'image/fake' ELSE 'application/octet-stream' END
+         AS media_type,
+       CAST(size_bytes AS BIGINT) AS size_bytes,
+       CAST(len(ph) // 2 AS BIGINT) AS payload_bytes,
+       md5(ph) AS payload_md5
+FROM payloads
+""",
+)
+def mm_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniff + size + payload digest over an opaque binary
+    column. Zero Python, zero shuffle."""
+    return multimodal.blob_metadata(_blobs(spark, sf_dir), "doc_id", "blob")
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+WITH {_BLOB_CTE},
+framed AS (
+  SELECT doc_id, ph,
+         CAST(ceil(len(ph) / {multimodal.FRAME_BYTES * 2.0}) AS INT) AS n_frames
+  FROM payloads
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(len(substr(ph, i * {multimodal.FRAME_BYTES * 2} + 1,
+                       {multimodal.FRAME_BYTES * 2})) // 2 AS BIGINT) AS frame_bytes,
+       md5(substr(ph, i * {multimodal.FRAME_BYTES * 2} + 1,
+                  {multimodal.FRAME_BYTES * 2})) AS frame_md5
+FROM framed, unnest(range(0, n_frames)) AS t(i)
+WHERE i % 2 = 0
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2nd fixed-size frame of each blob (keyframe-sampling
+    shape): sequence + explode + substring arithmetic, all JVM."""
+    return multimodal.frame_sample(_blobs(spark, sf_dir), "doc_id", "blob")
+
+
+def _byteval(h: str, i: str) -> str:
+    """DuckDB expr: byte value at 1-based byte index i of hex string h."""
+    return (
+        f"(instr('0123456789ABCDEF', substr({h}, 2*{i}-1, 1))-1)*16"
+        f" + (instr('0123456789ABCDEF', substr({h}, 2*{i}, 1))-1)"
+    )
+
+
+@query(
+    "mm_image_features",
+    oracle=f"""
+WITH {_BLOB_CTE}
+SELECT doc_id,
+       CASE WHEN is_img THEN {multimodal.FAKE_IMAGE_WIDTH} END AS width,
+       CASE WHEN is_img
+            THEN CAST(ceil((len(ph) // 2) / {multimodal.FAKE_IMAGE_WIDTH}.0) AS INT)
+       END AS height,
+       CASE WHEN is_img THEN CAST(len(ph) // 2 AS BIGINT) END AS n_pixels,
+       CASE WHEN is_img THEN CAST(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, len(ph) // 2 + 1)]
+       ) AS BIGINT) END AS pixel_sum,
+       CASE WHEN is_img THEN CAST(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, len(ph) // 2 + 1)]
+       ) AS INT) END AS pixel_max
+FROM payloads
+""",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF (stubbed-codec) grayscale feature extraction — the
+    oracle recomputes every feature byte-exactly from the hex
+    rendering, so even the UDF path is value-gated."""
+    return multimodal.decode_image_features(_blobs(spark, sf_dir), "doc_id", "blob")

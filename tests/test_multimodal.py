@@ -1,0 +1,105 @@
+"""Multimodal operator unit tests (the oracle gate covers values at
+corpus scale; these pin edge semantics + the stub contract + the
+conversion-layer tie-in for binary media columns)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion import dataframe_to_messages, messages_to_dataframe
+from protarrow_spark.operators import multimodal
+from protarrow_spark.proto.message import Message
+from protarrow_spark.proto.model import Field, Kind, MessageType
+
+
+def _blob_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, blob binary")
+
+
+def test_blob_metadata_sniff_and_digest(spark) -> None:
+    img = multimodal.FAKE_IMAGE_MAGIC + b"\x01\x02\x03"
+    raw = b"hello"
+    df = _blob_df(spark, [(1, img), (2, raw)])
+    out = {r["doc_id"]: r for r in multimodal.blob_metadata(df, "doc_id", "blob").collect()}
+    assert out[1]["media_type"] == "image/fake"
+    assert out[1]["size_bytes"] == 7 and out[1]["payload_bytes"] == 3
+    assert out[1]["payload_md5"] == hashlib.md5(b"010203").hexdigest()
+    assert out[2]["media_type"] == "application/octet-stream"
+    assert out[2]["payload_bytes"] == 5
+    assert out[2]["payload_md5"] == hashlib.md5(b"68656C6C6F").hexdigest()
+
+
+def test_frame_sample_stride_and_ragged_tail(spark) -> None:
+    payload = bytes(range(100))  # 4 frames of 32: 32+32+32+4
+    df = _blob_df(spark, [(1, multimodal.FAKE_IMAGE_MAGIC + payload)])
+    rows = sorted(
+        multimodal.frame_sample(df, "doc_id", "blob").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]  # every 2nd frame
+    assert rows[0]["frame_bytes"] == 32
+    assert rows[1]["frame_bytes"] == 32
+    df2 = _blob_df(spark, [(2, multimodal.FAKE_IMAGE_MAGIC + bytes(10))])
+    (only,) = multimodal.frame_sample(df2, "doc_id", "blob").collect()
+    assert only["frame_bytes"] == 10  # ragged single frame
+
+
+def test_image_features_values_and_nulls(spark) -> None:
+    px = bytes([10, 20, 250] * 11)  # 33 pixels -> 16-wide, height 3
+    df = _blob_df(
+        spark,
+        [(1, multimodal.FAKE_IMAGE_MAGIC + px), (2, b"not an image")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image_features(df, "doc_id", "blob").collect()
+    }
+    assert out[1]["width"] == 16 and out[1]["height"] == 3
+    assert out[1]["n_pixels"] == 33
+    assert out[1]["pixel_sum"] == sum(px) and out[1]["pixel_max"] == 250
+    assert out[2]["width"] is None and out[2]["pixel_sum"] is None
+
+
+def test_real_codec_is_explicit_stub() -> None:
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_real_image(b"\x89PNG")
+
+
+MEDIA_META = MessageType(
+    "t.MediaMeta",
+    (
+        Field("media_type", 1, Kind.STRING),
+        Field("width", 2, Kind.INT32),
+        Field("height", 3, Kind.INT32),
+    ),
+)
+MEDIA_BLOB = MessageType(
+    "t.MediaBlob",
+    (
+        Field("doc_id", 1, Kind.INT64),
+        Field("payload", 2, Kind.BYTES),
+        Field("meta", 3, Kind.MESSAGE, message=MEDIA_META),
+    ),
+)
+
+
+def test_media_blobs_ride_the_conversion_layer(spark) -> None:
+    """Binary media columns + typed metadata round-trip through the
+    proto conversion surface (bytes -> BinaryType, metadata struct)."""
+    cfg = ProtarrowSparkConfig()
+    msgs = [
+        Message(
+            MEDIA_BLOB,
+            doc_id=1,
+            payload=multimodal.FAKE_IMAGE_MAGIC + bytes(64),
+            meta=Message(MEDIA_META, media_type="image/fake", width=16, height=4),
+        ),
+        Message(MEDIA_BLOB, doc_id=2, payload=b"\x00\xff"),
+    ]
+    df = messages_to_dataframe(spark, msgs, MEDIA_BLOB, cfg)
+    feats = multimodal.decode_image_features(df, "doc_id", "payload").collect()
+    assert {r["doc_id"]: r["n_pixels"] for r in feats} == {1: 64, 2: None}
+    assert dataframe_to_messages(df, MEDIA_BLOB, cfg) == msgs
