@@ -1,0 +1,95 @@
+"""Streaming slice: proto-bytes source -> decode -> watermark window
+-> sink, asserted equivalent to the same transform run in batch
+(micro-batch equivalence — the Structured Streaming contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion import decode_proto_bytes, messages_to_dataframe
+from protarrow_spark.proto.message import Message
+from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+from protarrow_spark.sources.sinks import write_parquet, write_proto_bytes
+from protarrow_spark.streaming import (
+    run_to_memory,
+    stream_from_proto_parquet,
+    windowed_counts,
+)
+
+CFG = ProtarrowSparkConfig()
+
+CLICK = MessageType(
+    "t.Click",
+    (
+        Field("user_id", 1, Kind.INT64),
+        Field("kind", 2, Kind.STRING),
+        Field("ts", 3, Kind.MESSAGE, message=TIMESTAMP),
+    ),
+)
+
+
+def _clicks(n: int = 300) -> list[Message]:
+    return [
+        Message(
+            CLICK,
+            user_id=i % 5,
+            kind=f"k{i % 2}",
+            # spread across ~10 minutes, out of order
+            ts=Message(TIMESTAMP, seconds=1_700_000_000 + ((i * 37) % 600)),
+        )
+        for i in range(n)
+    ]
+
+
+def test_stream_decode_window_equals_batch(spark, tmp_path) -> None:
+    msgs = _clicks()
+    src = messages_to_dataframe(spark, msgs, CLICK, CFG).repartition(4)
+    path = str(tmp_path / "clicks_proto")
+    write_proto_bytes(src, CLICK, path, CFG)
+
+    # batch reference: same decode + same window transform
+    batch = decode_proto_bytes(spark.read.parquet(path), "proto", CLICK, CFG)
+    expected = sorted(
+        windowed_counts(batch, "ts", "user_id").collect(),
+        key=lambda r: (r["win_start"], r["user_id"]),
+    )
+    assert len(expected) > 5  # multiple windows actually formed
+
+    # streaming: decode inside the stream, watermarked window agg
+    sdf = stream_from_proto_parquet(spark, path, CLICK, CFG, max_files_per_trigger=2)
+    assert sdf.isStreaming
+    run_to_memory(windowed_counts(sdf, "ts", "user_id"), "clicks_windows")
+    got = sorted(
+        spark.sql("SELECT * FROM clicks_windows").collect(),
+        key=lambda r: (r["win_start"], r["user_id"]),
+    )
+    assert got == expected
+
+
+def test_write_proto_bytes_roundtrip_files(spark, tmp_path) -> None:
+    msgs = _clicks(40)
+    src = messages_to_dataframe(spark, msgs, CLICK, CFG)
+    path = str(tmp_path / "proto_sink")
+    write_proto_bytes(src, CLICK, path, CFG)
+    back = decode_proto_bytes(spark.read.parquet(path), "proto", CLICK, CFG)
+    assert back.count() == 40
+    assert set(back.columns) == {"user_id", "kind", "ts"}
+    # values survive the file hop
+    assert back.agg(F.sum("user_id")).collect()[0][0] == sum(m.user_id for m in msgs)
+
+
+def test_write_parquet_partitioned(spark, tmp_path) -> None:
+    df = spark.range(100).withColumn("bucket", F.col("id") % 4)
+    path = str(tmp_path / "p")
+    write_parquet(df, path, partition_by=["bucket"])
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # partition pruning works against the directory layout
+    plan = (
+        back.filter(F.col("bucket") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(bucket" in plan
