@@ -72,6 +72,13 @@ def conv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
+    # The local testdata file is a single parquet row group -> one scan
+    # task, which would serialize the Python codec. One round-robin
+    # pass parallelizes it; at real scale the source has thousands of
+    # splits, the condition is false, and the plan stays zero-shuffle.
+    cores = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < cores:
+        ev = ev.repartition(cores)
     out = proto_roundtrip(ev, EVENT_MT, ProtarrowSparkConfig())
     return out.select(
         "event_id",
