@@ -122,6 +122,30 @@ def proto_roundtrip(
 ) -> DataFrame:
     """encode -> wire bytes -> decode, fully distributed. Useful as a
     self-check operator: output equals input modulo the config's
-    documented lossiness (ns truncation etc.)."""
-    encoded = encode_proto_bytes(df, mtype, config, output_col="__proto")
-    return decode_proto_bytes(encoded, "__proto", mtype, config)
+    documented lossiness (ns truncation etc.).
+
+    Fused into ONE ``mapInPandas`` hop: chaining the public
+    ``encode_proto_bytes`` -> ``decode_proto_bytes`` plans two Python
+    runners per task (double the Arrow JVM<->Python transfer and
+    double the worker pool); the fused map exercises the identical
+    codec path (message build -> serialize -> parse -> row build) with
+    a single hop. In production the two directions are separate jobs
+    (produce vs consume), so the fused form is also the honest cost
+    model for each side."""
+    import pandas as pd
+
+    schema = message_type_to_schema(mtype, config)
+    out_names = [f.name for f in schema.fields]
+    src = df.select(*out_names)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        to_msg = message_builder(mtype, config)
+        to_row = row_builder(mtype, config)
+        for batch in batches:
+            rows = [
+                to_row(parse(serialize(to_msg(rec)), mtype))
+                for rec in batch.to_dict("records")
+            ]
+            yield pd.DataFrame.from_records(rows, columns=out_names)
+
+    return src.mapInPandas(roundtrip, schema)

@@ -76,8 +76,10 @@ def conv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task, which would serialize the Python codec. One round-robin
     # pass parallelizes it; at real scale the source has thousands of
     # splits, the condition is false, and the plan stays zero-shuffle.
+    # (inputFiles() is a file listing — cheap — where rdd.getNumPartitions()
+    # would force a full plan-to-RDD conversion costing seconds.)
     cores = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < cores:
+    if len(ev.inputFiles()) < cores:
         ev = ev.repartition(cores)
     out = proto_roundtrip(ev, EVENT_MT, ProtarrowSparkConfig())
     return out.select(

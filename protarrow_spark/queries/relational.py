@@ -509,6 +509,63 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), marked AS (
+  SELECT user_id, us, value,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 3600000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+), numbered AS (
+  SELECT user_id, us, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(us)              AS session_start_us,
+       MAX(us) + 3600000000 AS session_end_us,
+       COUNT(*)             AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user activity sessions split at >= 1 hour of
+    inactivity, via the built-in ``session_window`` (operators/sessions.py
+    — same code path runs streaming with a watermark).
+
+    Scale: one shuffle on user_id; session merging happens inside the
+    JVM aggregate (streaming: in the state store), never in Python.
+    The oracle pins the boundary semantics (a gap of exactly ``gap``
+    starts a new session) via gaps-and-islands SQL.
+    """
+    from protarrow_spark.operators.sessions import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(
+        ev,
+        "ts",
+        "user_id",
+        gap="1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": _dsum(F.col("value")),
+        },
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / set ops / pivot
 # ---------------------------------------------------------------------------
