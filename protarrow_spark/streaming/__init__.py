@@ -7,5 +7,11 @@ from protarrow_spark.streaming.pipeline import (
     run_to_memory,
     windowed_counts,
 )
+from protarrow_spark.streaming.stateful import running_totals
 
-__all__ = ["stream_from_proto_parquet", "run_to_memory", "windowed_counts"]
+__all__ = [
+    "stream_from_proto_parquet",
+    "run_to_memory",
+    "running_totals",
+    "windowed_counts",
+]
