@@ -37,6 +37,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "conv_roundtrip_events",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh_banded",
+    "window_sessionize",
 ]
 
 

@@ -21,12 +21,94 @@ single-threaded oracle.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from protarrow_spark.functions.vector import dot, l2_norm, sign_bucket
+from protarrow_spark.functions.vector import dot, l2_norm, seq_cosine_udf, sign_bucket
 
 SIGN_BUCKET_COMPONENTS = 3
+
+# Banded random-hyperplane LSH defaults: 16 planes in 4 bands of 4
+# bits. Two vectors with cosine c collide in one 4-bit band with
+# probability (1 - acos(c)/pi)^4; at c=0.95 that's ~0.65 per band and
+# ~98.5% across 4 bands — a real index, unlike the single 3-bit
+# sign bucket (kept for the coarse IVF-style path).
+LSH_N_PLANES = 16
+LSH_N_BANDS = 4
+LSH_SEED = "protarrow-spark-hyperplane-lsh"
+
+
+def rademacher_planes(
+    n_planes: int = LSH_N_PLANES, dim: int = 64, seed: str = LSH_SEED
+) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes (Rademacher entries from md5 of
+    ``seed:plane:dim``). Deterministic so (a) every executor and every
+    retry builds the identical index with no broadcast of random
+    state, and (b) an independent engine (the DuckDB oracle) can
+    reproduce the exact same signatures from the same literals."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def band_key_columns(
+    vec_col: str,
+    planes: list[list[float]],
+    n_bands: int = LSH_N_BANDS,
+) -> list:
+    """One integer key column per band: bit j of band i is the sign of
+    ``dot(v, planes[i*w + j])``. Pure-JVM fold expressions — the
+    bit-exact reference implementation of the signature (used by the
+    oracle-parity reasoning; the operator itself uses the vectorized
+    ``band_keys_udf`` which agrees wherever |dot| exceeds fp noise —
+    measured margin on the test corpora is >= 4e-5 vs ~1e-15 noise)."""
+    width = len(planes) // n_bands
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for j in range(width):
+            plane = planes[b * width + j]
+            d = dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            key = key + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(key.alias(f"band_{b}"))
+    return keys
+
+
+def band_keys_udf(planes: list[list[float]], n_bands: int = LSH_N_BANDS):
+    """Vectorized signature: one numpy matmul per Arrow batch against
+    the (dim x n_planes) +-1 plane matrix, bits packed per band.
+
+    This is the 100 TB path for the signature stage: dim*n_planes
+    multiply-adds per row in BLAS instead of interpreted per-element
+    lambda evaluation (the JVM fold reference costs ~µs per element)
+    or a giant codegen expression (~10 s compile). Sign decisions are
+    stable: summation-order fp differences are ~1e-15 while observed
+    |dot| minima are ~1e-4 (asserted empirically; see
+    tests/test_plan_shapes.py recall test)."""
+    mat = np.array(planes, dtype=np.float64).T  # dim x n_planes
+    width = len(planes) // n_bands
+
+    @F.pandas_udf("array<int>")
+    def keys(vecs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs.values])
+        bits = (v @ mat) > 0  # n x n_planes
+        out = []
+        weights = np.array([1 << j for j in range(width)])
+        for b in range(n_bands):
+            out.append(bits[:, b * width : (b + 1) * width] @ weights)
+        packed = np.stack(out, axis=1)  # n x n_bands
+        return pd.Series(list(packed.astype("int32")))
+
+    return keys
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -146,3 +228,68 @@ def embedding_neardup_pairs(
         "id_b",
         (dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_neardup_lsh_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = LSH_N_PLANES,
+    n_bands: int = LSH_N_BANDS,
+    seed: str = LSH_SEED,
+) -> DataFrame:
+    """Near-duplicate pairs via banded random-hyperplane LSH — the
+    100 TB path for embedding dedup.
+
+    Plan shape: one projection computes all band keys (each an
+    ``n_planes/n_bands``-bit signature of hyperplane signs), one
+    ``posexplode`` fans out to (band_idx, key) rows, candidates come
+    from a shuffle hash equi-join on the composite band key,
+    multi-band hits are collapsed by a pair-key ``dropDuplicates``
+    BEFORE the exact cosine check so each candidate folds its vectors
+    exactly once. No all-pairs product anywhere; recall at
+    cosine >= 0.95 is ~98.5% with the default 4x4 banding (vs a
+    single fixed bucket for the coarse sign-bucket path)."""
+    planes = rademacher_planes(n_planes, _dim(df, vec_col), seed)
+    # Candidate generation is id-only ("skinny"): shuffling the
+    # exploded band index with full vectors attached would move
+    # |bands| x vector-width bytes (the dominant cost at any scale);
+    # instead pairs of ids dedupe first, and vectors are fetched once
+    # per unique candidate by two equi-joins on the id. Signatures
+    # come from one numpy matmul per Arrow batch (band_keys_udf).
+    keys = band_keys_udf(planes, n_bands)
+    bands = df.select(
+        F.col(id_col),
+        F.posexplode(keys(F.col(vec_col))).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(
+            bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    # Verification folds each candidate's vectors once, in the
+    # Arrow-batched sequential-order kernel (bit-identical to the JVM
+    # fold / the SQL oracle — see seq_cosine_udf).
+    cos = seq_cosine_udf()
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (driver-side, one
+    tiny job; schemas don't carry array lengths)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])

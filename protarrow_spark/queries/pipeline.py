@@ -208,6 +208,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_lsh_oracle(dim: int = 64) -> str:
+    planes = similarity.rademacher_planes(similarity.LSH_N_PLANES, dim)
+    width = similarity.LSH_N_PLANES // similarity.LSH_N_BANDS
+    band_exprs = []
+    for bi in range(similarity.LSH_N_BANDS):
+        bits = " + ".join(
+            "CASE WHEN list_dot_product(e, ["
+            + ", ".join(str(x) for x in planes[bi * width + j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(width)
+        )
+        band_exprs.append(f"({bits}) AS band_{bi}")
+    band_union = "\nUNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band_idx, band_{bi} AS band_key FROM sig"
+        for bi in range(similarity.LSH_N_BANDS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {", ".join(band_exprs)} FROM v),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       list_dot_product(va.e, vb.e)
+         / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
+         AS cosine
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE list_dot_product(va.e, vb.e)
+        / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
+      >= {NEARDUP_COSINE_T}
+"""
+
+
+@query("dedup_embedding_lsh_banded", oracle=_banded_lsh_oracle())
+def dedup_embedding_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs — the real index
+    (16 deterministic Rademacher planes, 4 bands x 4 bits). All
+    candidate generation is equi-join on (band_idx, band_key); the
+    oracle reproduces the identical planes as SQL literals, so the
+    gate checks implementation exactness (same candidates, same
+    cosines), not recall.
+
+    Recall honesty: banding targets real near-dup thresholds —
+    at cosine>=0.9 the default 4x4 config recovers >97% of pairs
+    ((1-(1-(1-acos(c)/pi)^4)^4)). The synthetic corpus has no such
+    pairs (max pairwise cosine ~0.51), so the demo threshold is 0.40
+    where measured recall is ~51% — exactly the closed-form value at
+    c=0.4. Raising recall at low thresholds requires more/narrower
+    bands whose candidate volume approaches all-pairs; that regime
+    belongs to the exact path, not an index."""
+    return similarity.embedding_neardup_lsh_banded(
+        table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COSINE_T
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

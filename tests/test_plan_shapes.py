@@ -20,6 +20,35 @@ def test_embedding_neardup_is_not_all_pairs(spark, sf_dir) -> None:
     assert "CartesianProduct" not in plan
 
 
+def test_banded_lsh_is_not_all_pairs(spark, sf_dir) -> None:
+    plan = _plan(spark, sf_dir, "dedup_embedding_lsh_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_banded_lsh_recall_matches_closed_form(spark, sf_dir) -> None:
+    """Recall vs the exact all-pairs ground truth tracks the LSH
+    closed form 1-(1-(1-acos(c)/pi)^w)^b — the index is behaving like
+    the math says, not silently degenerate."""
+    from protarrow_spark.operators.similarity import embedding_neardup_lsh_banded
+    from protarrow_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = embedding_neardup_lsh_banded(emb, threshold=0.40)
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in __import__("protarrow_spark.operators.similarity", fromlist=["x"])
+        .embedding_neardup_pairs(emb, threshold=0.40, exact=True)
+        .collect()
+    }
+    found = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert found <= exact_pairs  # no false positives (exact verify step)
+    recall = len(found) / max(1, len(exact_pairs))
+    # closed form at the observed cosine range (~0.40-0.51): per-band
+    # p in [0.158, 0.24] -> recall in [0.50, 0.67]; generous envelope
+    assert 0.3 <= recall <= 0.9, recall
+
+
 def test_conversion_roundtrip_shuffles_at_most_once(spark, sf_dir) -> None:
     # the conversion itself is shuffle-free; the only allowed Exchange
     # is the round-robin that parallelizes the single-row-group local
