@@ -28,7 +28,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from protarrow_spark.functions.vector import dot, l2_norm, seq_cosine_udf, sign_bucket
+from protarrow_spark.functions.vector import dot, l2_norm, sign_bucket
 
 SIGN_BUCKET_COMPONENTS = 3
 
@@ -205,29 +205,84 @@ def embedding_neardup_pairs(
     — small corpora only); ``exact=False`` restricts to sign-bucket
     collisions, an equi-join that shuffles on the bucket key — the
     scale path (near-dups at high cosine almost always share leading
-    signs)."""
-    proj = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    )
-    a = proj.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
-    )
-    b = proj.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
-    )
+    signs).
+
+    Plan shape (bucketed path): ONE shuffle moves each vector to its
+    bucket (n rows — candidate pairs never travel); per bucket, all
+    pairwise cosines come from rank-1 Gram accumulation in numpy with
+    fold-order parity (bit-identical to the JVM fold and the SQL
+    oracle). Data movement is O(n); compute is O(sum b_i^2) in BLAS.
+    At 100 TB, pick ``n_components`` so 2^n buckets keep max bucket
+    size within a task's memory (the b^2 score matrix); a pathological
+    hot bucket is the blocked-neardup skew case — split it by salting
+    the bucket key and unioning the cross-block pair lists."""
     if exact:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        a = a.withColumn("bucket", sign_bucket(F.col("v_a"), n_components))
-        b = b.withColumn("bucket", sign_bucket(F.col("v_b"), n_components))
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+        proj = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        a = proj.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+        )
+        b = proj.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    keyed = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), n_components).alias("bucket"),
+    )
+    return _bucket_gram_pairs(keyed, ["bucket"], id_col, df, threshold)
+
+
+def _bucket_gram_pairs(
+    keyed: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    src: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Threshold-filtered pairwise cosines within each bucket of
+    ``keyed`` (columns: ``id_col``, ``v``, *group_cols*).
+
+    Dot products accumulate one dimension at a time (rank-1 Gram
+    updates), so every pair's dot is the identical left-to-right
+    double fold the JVM ``dot`` and the SQL oracle compute —
+    vectorized across the whole bucket at once."""
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
+        g = np.zeros((n, n))
+        for i in range(A.shape[1]):
+            g += A[:, i, None] * A[None, :, i]
+        nrm = np.sqrt(np.diag(g))
+        cos = g / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= threshold
+        ids = pdf[id_col].values
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[ia, ib][keep]}
+        )
+
+    return keyed.groupBy(*group_cols).applyInPandas(
+        bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
 
 
 def embedding_neardup_lsh_banded(
@@ -243,49 +298,26 @@ def embedding_neardup_lsh_banded(
     100 TB path for embedding dedup.
 
     Plan shape: one projection computes all band keys (each an
-    ``n_planes/n_bands``-bit signature of hyperplane signs), one
-    ``posexplode`` fans out to (band_idx, key) rows, candidates come
-    from a shuffle hash equi-join on the composite band key,
-    multi-band hits are collapsed by a pair-key ``dropDuplicates``
-    BEFORE the exact cosine check so each candidate folds its vectors
-    exactly once. No all-pairs product anywhere; recall at
-    cosine >= 0.95 is ~98.5% with the default 4x4 banding (vs a
-    single fixed bucket for the coarse sign-bucket path)."""
+    ``n_planes/n_bands``-bit signature of hyperplane signs, one numpy
+    matmul per Arrow batch), one ``posexplode`` fans each vector out
+    to its ``n_bands`` (band_idx, key) buckets, and ONE shuffle on the
+    composite band key cogroups each bucket. Per bucket, all pairwise
+    cosines come from rank-1 Gram accumulation (fold-order parity with
+    the SQL oracle); pairs colliding in several bands produce
+    bit-identical cosines, collapsed by a final pair-key dedup over
+    the (sparse) surviving pairs. Data moved: ``n_bands`` x corpus
+    vector rows + the near-dup pair list — no candidate-pair vector
+    fetch joins and no all-pairs product anywhere. Recall at
+    cosine >= 0.95 is ~98.5% with the default 4x4 banding."""
     planes = rademacher_planes(n_planes, _dim(df, vec_col), seed)
-    # Candidate generation is id-only ("skinny"): shuffling the
-    # exploded band index with full vectors attached would move
-    # |bands| x vector-width bytes (the dominant cost at any scale);
-    # instead pairs of ids dedupe first, and vectors are fetched once
-    # per unique candidate by two equi-joins on the id. Signatures
-    # come from one numpy matmul per Arrow batch (band_keys_udf).
     keys = band_keys_udf(planes, n_bands)
     bands = df.select(
         F.col(id_col),
+        F.col(vec_col).alias("v"),
         F.posexplode(keys(F.col(vec_col))).alias("band_idx", "band_key"),
     )
-    cand = (
-        bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-        .join(
-            bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key"),
-            ["band_idx", "band_key"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    vecs = df.select(F.col(id_col), F.col(vec_col).alias("v"))
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
-    # Verification folds each candidate's vectors once, in the
-    # Arrow-batched sequential-order kernel (bit-identical to the JVM
-    # fold / the SQL oracle — see seq_cosine_udf).
-    cos = seq_cosine_udf()
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", cos(F.col("v_a"), F.col("v_b")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    pairs = _bucket_gram_pairs(bands, ["band_idx", "band_key"], id_col, df, threshold)
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def _dim(df: DataFrame, vec_col: str) -> int:
