@@ -1,5 +1,6 @@
 from protarrow_spark.functions.text import (
     bag_fingerprint,
+    text_ngrams,
     tokens,
     word_ngrams,
 )
@@ -7,6 +8,7 @@ from protarrow_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 __all__ = [
     "bag_fingerprint",
+    "text_ngrams",
     "tokens",
     "word_ngrams",
     "cosine_similarity",

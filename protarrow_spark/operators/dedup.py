@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from protarrow_spark.functions.text import tokens, word_ngrams
+from protarrow_spark.functions.text import text_ngrams, tokens
 
 #: Shared constants — the DuckDB oracle SQL is generated from the same
 #: values (queries/dedup.py), so Spark and oracle always agree.
@@ -43,7 +43,7 @@ _HEX = "0123456789abcdef"
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N) -> DataFrame:
     """Distinct (id, shingle) pairs."""
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("g"))
+        df.select(F.col(id_col), F.explode(text_ngrams(F.col(text_col), n)).alias("g"))
         .distinct()
     )
 
