@@ -39,6 +39,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh_banded",
     "window_sessionize",
+    "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
+    "text_token_bpe",
+    "dedup_simhash_hamming",
+    "ann_ivf_topk",
+    "agg_percentile_disc",
 ]
 
 

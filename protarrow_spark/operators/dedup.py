@@ -238,3 +238,91 @@ def simhash_duplicate_groups(
         .groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+#: Hamming-probe banding: 4 chunks of 8 bits over the 32-bit SimHash.
+SIMHASH_CHUNKS = 4
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = SIMHASH_CHUNKS - 1,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Near-duplicate pairs within ``max_hamming`` SimHash bits, via
+    banded chunk probing — the hamming-k generalization of
+    :func:`simhash_duplicate_groups`.
+
+    Pigeonhole guarantee: a pair differing in <= ``chunks - 1`` bits
+    agrees on at least one of the ``chunks`` signature chunks, so
+    chunk-bucket cogrouping finds EVERY such pair (exact recall for
+    the default ``max_hamming = chunks - 1``).
+
+    Plan shape: ONE shuffle moves each (id, signature) row to its
+    ``chunks`` buckets (rows are 2 integers — there is no payload to
+    save by going "skinny"); per bucket, all pairwise hamming
+    distances come from one vectorized XOR + byte-LUT popcount. Each
+    surviving pair is emitted exactly once — by its FIRST agreeing
+    chunk (every bucket holds full signatures, so prior-chunk
+    agreement is a local check) — so there is NO pair-dedup shuffle
+    at all; the output is a disjoint union over buckets. On
+    duplicate-heavy corpora the hot bucket is the dominant cost
+    wherever you put it — numpy does b^2 popcounts ~3 orders of
+    magnitude faster than a candidate equi-join + distinct + two
+    signature fetch joins materializing the same pairs.
+
+    Output: doc_a, doc_b, hamming (bigint).
+    """
+    import numpy as np
+    import pandas as pd
+
+    width = bits // chunks
+    sigs = simhash(df, id_col, text_col, bits)
+    chunk_exprs = [
+        ((F.col("simhash") / F.lit(2 ** (width * c))).cast("long") % F.lit(2**width)).alias(
+            f"c{c}"
+        )
+        for c in range(chunks)
+    ]
+    bands = sigs.select(F.col(id_col), "simhash", *chunk_exprs).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*[F.col(f"c{c}") for c in range(chunks)])).alias(
+            "chunk_idx", "chunk_val"
+        ),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        s = pdf["simhash"].to_numpy(dtype=np.uint64).astype(np.uint32)
+        # Work on upper-triangle pair vectors, never an n x n matrix.
+        ia, ib = np.triu_indices(n, k=1)
+        x = s[ia] ^ s[ib]
+        ham = lut[x.view(np.uint8).reshape(-1, 4)].sum(axis=-1)
+        keep = ham <= max_hamming
+        # Emit-once: skip pairs already found by an earlier chunk.
+        this_chunk = int(pdf["chunk_idx"].iloc[0])
+        mask = np.uint32(2**width - 1)
+        for cp in range(this_chunk):
+            sh = np.uint32(width * cp)
+            keep &= ((s[ia] >> sh) & mask) != ((s[ib] >> sh) & mask)
+        ids = pdf[id_col].values
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia[keep]],
+                "doc_b": ids[ib[keep]],
+                "hamming": ham[keep].astype("int64"),
+            }
+        )
+
+    return bands.groupBy("chunk_idx", "chunk_val").applyInPandas(
+        bucket_pairs, f"doc_a {id_type}, doc_b {id_type}, hamming long"
+    )

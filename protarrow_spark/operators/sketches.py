@@ -1,0 +1,219 @@
+"""Distributed sketch operators: KMV distinct-count and count-min.
+
+Not in the reference (a conversion library, SURVEY.md §2.2); these are
+the approximate-aggregation operators a 100 TB rollup pipeline leans
+on when exact distinct/frequency state per group would not fit.
+
+Design rule shared with the dedup family: every hash is md5-derived
+(identical across engines) rather than Spark's murmur ``hash()``, so
+the exact same sketch — registers, buckets, estimates — can be
+reproduced by a single-threaded SQL oracle. Spark's built-in
+``approx_count_distinct`` (HLL++) is the zero-effort alternative but
+its register layout is engine-private and unverifiable; these
+operators trade a little constant factor for bit-exact portability.
+
+Scale notes:
+
+* KMV: one shuffle to dedup (group, hash), one window over k rows per
+  group. Sketch state is k 60-bit integers per group — mergeable
+  (union of mins), so partial aggregation applies.
+* CMS: one shuffle on (row, bucket) — d*w counters per table — plus a
+  broadcast-sized join to read estimates back for candidate keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: KMV: estimate = (k-1) / normalized k-th minimum hash.
+KMV_K = 64
+#: 60-bit hash space (15 hex digits — fits a signed 64-bit integer).
+KMV_HEX_DIGITS = 15
+KMV_SPACE = float(2 ** (4 * KMV_HEX_DIGITS))
+
+#: Count-min sketch: d independent rows of w counters.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_HEX_DIGITS = 8
+
+
+def hex_to_long(col: Column, digits: int) -> Column:
+    """First ``digits`` hex chars of an md5 digest as a BIGINT —
+    portable: DuckDB spells it ``('0x' || substr(h,1,d))::BIGINT``."""
+    return F.conv(F.substring(col, 1, digits), 16, 10).cast("bigint")
+
+
+def _hex_to_long_sql(expr: str, digits: int) -> str:
+    return f"CAST('0x' || substr({expr}, 1, {digits}) AS BIGINT)"
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group.
+
+    Each distinct value hashes to a uniform 60-bit integer; the k-th
+    smallest hash h_k estimates the distinct count as
+    ``(k-1) / (h_k / 2^60)``. Groups with fewer than k distinct values
+    report the exact count (the sketch IS the full value set there).
+
+    Output: group, est_distinct (double), exact fallback applied.
+    """
+    hashed = df.select(
+        F.col(group_col), hex_to_long(F.md5(F.col(value_col).cast("string")), KMV_HEX_DIGITS).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    # Filtering rank <= k right after row_number lets Spark's
+    # WindowGroupLimit rewrite keep only k rows per group per
+    # partition BEFORE the window sort shuffle — the sketch never
+    # materializes more than k hashes per group anywhere.
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_group = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(KMV_SPACE)))
+    return per_group.select(F.col(group_col), est.alias("est_distinct"))
+
+
+def kmv_distinct_oracle_sql(
+    table: str, group_col: str, value_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB SQL computing the identical KMV estimate."""
+    h = _hex_to_long_sql(f"md5(CAST({value_col} AS VARCHAR))", KMV_HEX_DIGITS)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group_col}, {h} AS h FROM {table}
+),
+ranked AS (
+  SELECT {group_col}, h,
+         ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+  FROM hashed
+),
+per_group AS (
+  SELECT {group_col}, COUNT(*) AS n_seen,
+         MAX(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM ranked WHERE rn <= {k} GROUP BY {group_col}
+)
+SELECT {group_col},
+       CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+            ELSE {float(k - 1)} / (CAST(hk AS DOUBLE) / {KMV_SPACE})
+       END AS est_distinct
+FROM per_group
+"""
+
+
+def _cms_bucket(col: Column, j: int, width: int) -> Column:
+    return (
+        hex_to_long(F.md5(F.concat(F.lit(f"{j}|"), col.cast("string"))), CMS_HEX_DIGITS)
+        % width
+    )
+
+
+def _cms_bucket_sql(expr: str, j: int, width: int) -> str:
+    h = _hex_to_long_sql(f"md5('{j}|' || CAST({expr} AS VARCHAR))", CMS_HEX_DIGITS)
+    return f"({h} % {width})"
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topn: int = 20,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates, reported for the top-n
+    keys by estimated count (ties broken by key).
+
+    The sketch is ``depth`` hash rows of ``width`` counters; a key's
+    estimate is the min over its ``depth`` buckets — an upper bound on
+    the true count, inflated only by collisions. Build cost: one
+    groupBy over (row, bucket) with map-side partial aggregation;
+    ``depth*width`` counters total regardless of table size. Readout
+    joins the (small) sketch to the candidate key set.
+
+    Output: key, est_count (long), true_count (long) — the true count
+    is carried alongside to make over-estimation measurable.
+    """
+    keys = df.select(F.col(key_col).alias("key"))
+    # One scan: each row fans out to its `depth` (j, bucket) cells via
+    # explode (the oracle's UNION ALL reads the table `depth` times —
+    # same counters, different plan).
+    entries = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("key"), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e")
+    ).select("e.j", "e.bucket")
+    sketch = entries.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    candidates = keys.groupBy("key").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = candidates.select(
+        "key",
+        "true_count",
+        *[_cms_bucket(F.col("key"), j, width).alias(f"b{j}") for j in range(depth)],
+    )
+    est = probes
+    for j in range(depth):
+        row_j = sketch.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("c").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(row_j), f"b{j}")
+    est_count = F.least(*[F.col(f"c{j}") for j in range(depth)])
+    ranked = est.select("key", est_count.alias("est_count"), "true_count")
+    # Top-n as TakeOrderedAndProject (scales: per-partition heads +
+    # driver merge), THEN rank the tiny survivor set with a window —
+    # never a single-partition window over all candidate keys.
+    top = ranked.orderBy(F.desc("est_count"), F.asc("key")).limit(topn)
+    w = Window.orderBy(F.desc("est_count"), F.asc("key"))
+    return top.select(
+        "key", "est_count", "true_count", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def cms_heavy_hitters_oracle_sql(
+    table: str,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topn: int = 20,
+) -> str:
+    """DuckDB SQL reproducing the identical sketch and estimates."""
+    entries = "\nUNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql(key_col, j, width)} AS bucket FROM {table}"
+        for j in range(depth)
+    )
+    probe_cols = ", ".join(
+        f"{_cms_bucket_sql('key', j, width)} AS b{j}" for j in range(depth)
+    )
+    joins = "\n".join(
+        f"JOIN sketch s{j} ON s{j}.j = {j} AND s{j}.bucket = p.b{j}" for j in range(depth)
+    )
+    least = ", ".join(f"s{j}.c" for j in range(depth))
+    return f"""
+WITH entries AS ({entries}),
+sketch AS (SELECT j, bucket, COUNT(*) AS c FROM entries GROUP BY j, bucket),
+candidates AS (SELECT {key_col} AS key, COUNT(*) AS true_count FROM {table} GROUP BY {key_col}),
+probes AS (SELECT key, true_count, {probe_cols} FROM candidates),
+est AS (
+  SELECT p.key, LEAST({least}) AS est_count, p.true_count
+  FROM probes p
+  {joins}
+),
+ranked AS (
+  SELECT key, est_count, true_count,
+         ROW_NUMBER() OVER (ORDER BY est_count DESC, key) AS rank
+  FROM est
+)
+SELECT key, est_count, true_count, rank FROM ranked WHERE rank <= {topn}
+"""

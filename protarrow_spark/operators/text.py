@@ -99,3 +99,31 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("exact_fp"),
         bag_fingerprint(toks).alias("bag_fp"),
     )
+
+
+#: GPT-2-ish byte-pair pre-tokenization pattern: contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+#: Alternation-only (no lookarounds), so Java and RE2-family regex
+#: engines produce identical token streams.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting under a BPE-style pre-tokenizer vs whitespace.
+
+    ``n_bpe_tokens`` counts GPT-2-style pre-tokens (one codegen'd
+    regex pass); ``chars_per_token`` is the compression-rate proxy
+    LLM-pipeline heuristics filter on. Pure JVM expressions.
+    """
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    ws = tokens(F.col(text_col))
+    n_bpe = F.size(bpe)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        (F.length(F.col(text_col)).cast("double") / n_bpe.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )

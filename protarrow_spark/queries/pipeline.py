@@ -441,3 +441,120 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = similarity.cosine_topk_lsh(emb, qs, k=TOPK_NEIGHBORS)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting / SimHash hamming probing / IVF ANN
+# ---------------------------------------------------------------------------
+
+_BPE_SQL_PAT = text.BPE_PATTERN.replace("'", "''")
+
+
+@query(
+    "text_token_bpe",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       CAST(length(text) AS DOUBLE)
+         / CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS DOUBLE)
+         AS chars_per_token
+FROM documents
+""",
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer counts (one regex pass, pure JVM)."""
+    return text.bpe_token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_hamming_oracle() -> str:
+    votes = ", ".join(
+        f"SUM({e}) AS s{i}" for i, e in enumerate(dedup.simhash_bit_exprs("d"))
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(dedup.SIMHASH_BITS)
+    )
+    width = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk_idx, (simhash // {2 ** (width * c)}) % {2 ** width}"
+        f" AS chunk_val FROM sigs"
+        for c in range(dedup.SIMHASH_CHUNKS)
+    )
+    max_h = dedup.SIMHASH_CHUNKS - 1
+    return f"""
+WITH raw_toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+toks AS (SELECT doc_id, md5(tok) AS d FROM raw_toks),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) <= {max_h}
+"""
+
+
+@query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 SimHash near-dup pairs via banded chunk probing
+    (exact recall by pigeonhole; candidates from a chunk equi-join)."""
+    return dedup.simhash_hamming_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _ivf_oracle() -> str:
+    cos = "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (
+  SELECT e AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM v ORDER BY vec_id LIMIT {similarity.IVF_N_CELLS}
+),
+assign AS (
+  SELECT vec_id, cidx,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {cos.replace('qe', 'a.e')} DESC, cidx
+         ) AS rn
+  FROM v a CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cidx AS cell FROM assign WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM assign
+  WHERE rn <= {similarity.IVF_NPROBE} AND vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv.e, nv.e)
+           / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e)))
+           AS cosine
+  FROM qcells q
+  JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id
+  JOIN v qv ON qv.vec_id = q.query_id
+  JOIN v nv ON nv.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: nearest-centroid cells, nprobe=2."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.cosine_topk_ivf(emb, qs, k=TOPK_NEIGHBORS)
+    return out.withColumn("rank", F.col("rank").cast("long"))

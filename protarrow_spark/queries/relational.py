@@ -733,3 +733,58 @@ def subquery_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles
+# ---------------------------------------------------------------------------
+
+_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def _pct_oracle() -> str:
+    cases = ",\n       ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL({q} * cnt) AS BIGINT) THEN price END) AS p{int(q * 100)}"
+        for q in _PCTS
+    )
+    return f"""
+WITH ordered AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT flag,
+       {cases}
+FROM ordered GROUP BY flag
+"""
+
+
+@query("agg_percentile_disc", oracle=_pct_oracle())
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p25/p50/p75/p90 of extended price
+    per return flag) built from window rank + conditional aggregation
+    — no engine-private interpolation, so any SQL engine reproduces
+    the values exactly. The value at rank ceil(q*n) in a sorted
+    multiset is deterministic even with duplicate prices, so no
+    tiebreaker is needed.
+
+    Scale: one window sort per flag partition (the same shuffle an
+    exact median needs anywhere); decimal values — exact equality.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cw = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")), F.col("price"))
+        ).alias(f"p{int(q * 100)}")
+        for q in _PCTS
+    ]
+    return ranked.groupBy("flag").agg(*aggs)

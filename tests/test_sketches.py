@@ -1,0 +1,107 @@
+"""Property tests for sketch / probing / IVF operators — beyond the
+oracle-parity gate (which pins implementation exactness), these pin
+the *statistical contracts*: estimator accuracy, upper-bound
+guarantees, and exact-recall-by-pigeonhole.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from protarrow_spark.operators import dedup, similarity, sketches
+from protarrow_spark.sources.tables import table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def test_kmv_estimate_accuracy(spark, events):
+    """KMV(k=64) relative error should be well inside 3/sqrt(k) ~ 38%
+    for every group (synthetic data; bound holds with huge margin)."""
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.kmv_distinct(events, "event_type", "user_id").collect()
+    }
+    true = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(true)
+    for g, t in true.items():
+        rel = abs(est[g] - t) / t
+        assert rel < 0.38, (g, est[g], t)
+
+
+def test_kmv_small_group_exact(spark):
+    """Groups with < k distinct values report the exact count."""
+    df = spark.createDataFrame([("g", i % 7) for i in range(100)], "grp string, v int")
+    [row] = sketches.kmv_distinct(df, "grp", "v", k=64).collect()
+    assert row["est_distinct"] == 7.0
+
+
+def test_cms_upper_bound(spark, events):
+    """CMS estimates are never below the true count (min over d
+    counting rows can only over-count via collisions)."""
+    n_keys = events.select("user_id").distinct().count()
+    rows = sketches.cms_heavy_hitters(events, "user_id").collect()
+    assert len(rows) == min(20, n_keys)
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_simhash_hamming_exact_recall(spark, sf_dir):
+    """Banded chunk probing finds EVERY pair within hamming <= 3
+    (pigeonhole over 4 chunks) — compare against brute force on the
+    signature table."""
+    docs = table(spark, sf_dir, "documents").limit(200)
+    sigs = dedup.simhash(docs, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    expected = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_hamming_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == expected
+
+
+def test_ivf_structure_and_recall(spark, sf_dir):
+    """IVF returns exactly k ranked rows per query; probing 2/8 cells
+    keeps useful recall vs brute force on the synthetic corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    ivf = similarity.cosine_topk_ivf(emb, qs, k=3).collect()
+    per_q: dict = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    brute = similarity.cosine_topk_bruteforce(emb, qs, k=3).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.2, recall
+
+
+def test_bpe_tokens_nonzero(spark, sf_dir):
+    from protarrow_spark.operators.text import bpe_token_stats
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    rows = bpe_token_stats(docs, "doc_id", "text").collect()
+    assert all(r["n_bpe_tokens"] >= r["n_ws_tokens"] for r in rows)
+    assert all(r["chars_per_token"] > 0 for r in rows)
