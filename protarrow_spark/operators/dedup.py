@@ -69,6 +69,8 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n: int = NGRAM_N,
     max_df: int = MAX_SHINGLE_DF,
+    dense_vocab_cap: int = 4096,
+    block_size: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -79,13 +81,39 @@ def ngram_jaccard_pairs(
     reported Jaccard is a *lower bound* of the true Jaccard (pairs held
     together only by corpus-wide boilerplate shingles are deliberately
     down-weighted at scale).
-    """
-    grams = doc_shingles(df, id_col, text_col, n)
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
 
-    rare_shingles = (
-        grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g")).filter(F.col("df_g") <= max_df)
+    Adaptive physical strategy (same results either way):
+
+    * **Sparse path** (default): inverted-index self-join on 60-bit
+      md5-derived shingle keys, one row per (pair, shared shingle). A
+      hash collision would merely merge two shingles on BOTH engines
+      (the oracle applies the identical hash), so verification is
+      unaffected. Right when shared-shingle volume is sparse — the
+      normal regime for real text.
+    * **Dense path** (``dense_vocab_cap``): when the distinct-shingle
+      count fits the cap, the shingle space is structurally dense —
+      almost every pair overlaps, and the join would emit
+      Theta(pairs x shared) rows (224M at sf0.1 on the synthetic
+      corpus, 112 s). Instead, docs are hash-blocked and every block
+      pair cogroups once; per block pair one float32 matmul over
+      dense doc x vocab incidence matrices yields ALL pairwise
+      intersection counts (exact: counts <= vocab < 2^24). Data moved
+      is n_blocks x corpus rows — the right trade exactly when the
+      output itself is near-quadratic. 112 s -> 7 s at sf0.1 (vs
+      15.6 s for single-node DuckDB), identical rows.
+    """
+    grams = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
     )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    if dense_vocab_cap and vocab.limit(dense_vocab_cap + 1).count() <= dense_vocab_cap:
+        return _jaccard_dense_blocked(
+            grams, sizes, vocab, id_col, threshold, max_df, block_size
+        )
+
+    rare_shingles = vocab.filter(F.col("df_g") <= max_df)
     rare = grams.join(rare_shingles.select("g"), "g")
     a = rare.select(F.col(id_col).alias("doc_a"), "g")
     b = rare.select(F.col(id_col).alias("doc_b"), "g")
@@ -106,6 +134,117 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _jaccard_dense_blocked(
+    grams: DataFrame,
+    sizes: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int,
+    block_size: int,
+) -> DataFrame:
+    """Dense-vocab Jaccard: blocked all-pairs intersection counting.
+
+    Docs are assigned to ``ceil(n / block_size)`` blocks by id hash;
+    each unordered block pair (i <= j) cogroups once, and one
+    ``A @ B.T`` float32 matmul over doc x vocab 0/1 incidence
+    matrices produces every pairwise intersection count in the block
+    pair. Shingles over ``max_df`` are excluded from the matrices
+    (candidate semantics) while ``n_grams`` sizes keep the full sets
+    — identical semantics to the sparse path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # Bounded driver-side collect: the capped vocabulary IS the index
+    # (<= dense_vocab_cap entries), exactly like IVF centroids.
+    rank_rows = vocab.filter(F.col("df_g") <= max_df).select("g").collect()
+    rank = {g: i for i, g in enumerate(sorted(x["g"] for x in rank_rows))}
+    v = len(rank)
+
+    n_docs = sizes.count()
+    n_blocks = max(1, -(-n_docs // block_size))
+
+    doc_vecs = (
+        grams.groupBy(id_col)
+        .agg(F.collect_list("g").alias("gs"))
+        .join(sizes, id_col)
+        .withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+    )
+    # Replicate each doc row to every block pair it participates in:
+    # doc in block b joins groups (min(b,o), max(b,o)) for all o.
+    pairs = doc_vecs.select(
+        F.col(id_col),
+        "gs",
+        "n_grams",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        F.col(id_col),
+        "gs",
+        "n_grams",
+        "blk",
+        F.least("blk", "other").alias("gi"),
+        F.greatest("blk", "other").alias("gj"),
+    )
+
+    id_type = grams.schema[id_col].dataType.simpleString()
+
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "n_common": [], "jaccard": []})
+
+        def dense(sub: pd.DataFrame) -> tuple:
+            sub = sub.sort_values(id_col).reset_index(drop=True)
+            m = np.zeros((len(sub), v), dtype=np.float32)
+            for r, gs in enumerate(sub["gs"].values):
+                idxs = [rank[g] for g in gs if g in rank]
+                m[r, idxs] = 1.0
+            return sub[id_col].values, sub["n_grams"].to_numpy(), m
+
+        if gi == gj:
+            ids, ng, m = dense(pdf)
+            if len(ids) < 2:
+                return empty
+            c = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ids_a, ids_b = ids[ia], ids[ib]
+            common = c[ia, ib]
+            na, nb = ng[ia], ng[ib]
+        else:
+            a = pdf[pdf["blk"] == gi]
+            b = pdf[pdf["blk"] == gj]
+            if a.empty or b.empty:
+                return empty
+            ids_l, ng_l, ml = dense(a)
+            ids_r, ng_r, mr = dense(b)
+            c = ml @ mr.T
+            ii, jj = np.meshgrid(np.arange(len(ids_l)), np.arange(len(ids_r)), indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+            l_ids, r_ids = ids_l[ii], ids_r[jj]
+            swap = l_ids > r_ids
+            ids_a = np.where(swap, r_ids, l_ids)
+            ids_b = np.where(swap, l_ids, r_ids)
+            common = c[ii, jj]
+            na, nb = ng_l[ii], ng_r[jj]
+        common = common.astype(np.int64)
+        jac = common / (na + nb - common)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids_a[keep],
+                "doc_b": ids_b[keep],
+                "n_common": common[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return pairs.groupBy("gi", "gj").applyInPandas(
+        block_pair,
+        f"doc_a {id_type}, doc_b {id_type}, n_common bigint, jaccard double",
     )
 
 

@@ -83,9 +83,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_toks_cte()},
 {_grams_cte(JACCARD_N)},
-sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
-rare AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}),
-rdg AS (SELECT dg.doc_id, dg.g FROM dg JOIN rare USING (g)),
+dgh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g FROM dg
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dgh GROUP BY doc_id),
+rare AS (SELECT g FROM dgh GROUP BY g HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}),
+rdg AS (SELECT dgh.doc_id, dgh.g FROM dgh JOIN rare USING (g)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id

@@ -1,0 +1,146 @@
+"""Typed file sources: proto-JSONL, delimited proto-binary, CSV.
+
+Each reader must land the exact derived schema and proto-default
+semantics that the in-memory encode path produces — tested by
+round-tripping the same messages through both paths.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion import messages_to_dataframe
+from protarrow_spark.proto.message import Message, serialize
+from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+from protarrow_spark.sources import (
+    read_csv_typed,
+    read_proto_binary,
+    read_proto_jsonl,
+)
+
+CFG = ProtarrowSparkConfig()
+
+EVENT = MessageType(
+    "t.Event",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("user_id", 2, Kind.INT64),
+        Field("kind", 3, Kind.STRING),
+        Field("amount", 4, Kind.DOUBLE),
+        Field("ts", 5, Kind.MESSAGE, message=TIMESTAMP),
+    ),
+)
+
+
+def _event_messages(n: int = 60) -> list[Message]:
+    return [
+        Message(
+            EVENT,
+            event_id=i,
+            user_id=i % 7,
+            kind=f"k{i % 3}",
+            amount=i * 0.25,
+            ts=Message(TIMESTAMP, seconds=1_700_000_000 + i, nanos=(i % 1000) * 1000),
+        )
+        for i in range(n)
+    ]
+
+
+def _expected_rows(spark):
+    df = messages_to_dataframe(spark, _event_messages(), EVENT, CFG)
+    return sorted(df.collect(), key=lambda r: r["event_id"])
+
+
+def test_read_proto_jsonl(spark, tmp_path):
+    path = tmp_path / "events.jsonl"
+    with open(path, "w") as f:
+        for i in range(60):
+            # WKT timestamp maps to TimestampType in the scan schema,
+            # so render RFC3339 text (proto-JSON's rendering too).
+            dt = datetime.datetime.fromtimestamp(
+                1_700_000_000 + i, datetime.timezone.utc
+            )
+            micros = (i % 1000) * 1000 // 1000
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "user_id": i % 7,
+                        "kind": f"k{i % 3}",
+                        "amount": i * 0.25,
+                        "ts": dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{micros:06d}Z",
+                    }
+                )
+                + "\n"
+            )
+    got = sorted(
+        read_proto_jsonl(spark, str(path), EVENT, CFG).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert got == _expected_rows(spark)
+
+
+def test_read_proto_jsonl_missing_fields(spark, tmp_path):
+    """Absent JSON fields land as proto defaults (non-presence
+    scalars) — cast_dataframe conformance at the scan edge."""
+    path = tmp_path / "sparse.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"event_id": 1}) + "\n")
+        f.write(json.dumps({"event_id": 2, "kind": "x"}) + "\n")
+    rows = sorted(
+        read_proto_jsonl(spark, str(path), EVENT, CFG).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert rows[0]["kind"] == "" and rows[0]["amount"] == 0.0
+    assert rows[0]["ts"] is None  # message field: absent -> null
+    assert rows[1]["kind"] == "x"
+
+
+def test_read_proto_binary_roundtrip(spark, tmp_path):
+    """writeDelimitedTo-layout files decode to the exact encode-path
+    rows, split across multiple files (one frame stream each)."""
+    msgs = _event_messages()
+    for part in range(3):
+        chunk = bytearray()
+        for m in msgs[part::3]:
+            data = serialize(m)
+            length = len(data)
+            while True:
+                b = length & 0x7F
+                length >>= 7
+                if length:
+                    chunk.append(b | 0x80)
+                else:
+                    chunk.append(b)
+                    break
+            chunk.extend(data)
+        (tmp_path / f"part-{part}.bin").write_bytes(bytes(chunk))
+    got = sorted(
+        read_proto_binary(spark, str(tmp_path), EVENT, CFG).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert got == _expected_rows(spark)
+
+
+def test_read_csv_typed(spark, tmp_path):
+    """Header CSV conforms to the contract: strings cast to descriptor
+    types, unknown column dropped, missing message field null."""
+    path = tmp_path / "events.csv"
+    with open(path, "w") as f:
+        f.write("event_id,kind,amount,junk\n")
+        f.write("7,a,1.5,IGNORED\n")
+        f.write("8,b,2.5,IGNORED\n")
+    rows = sorted(
+        read_csv_typed(spark, str(path), EVENT, CFG).collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert [f.name for f in read_csv_typed(spark, str(path), EVENT, CFG).schema.fields] == [
+        "event_id", "user_id", "kind", "amount", "ts",
+    ]
+    assert rows[0]["event_id"] == 7 and rows[0]["amount"] == 1.5
+    assert rows[0]["user_id"] == 0  # missing scalar -> proto default
+    assert rows[0]["ts"] is None
