@@ -4,6 +4,8 @@ pattern, ``docs/faq.md:20-25``, made real on Spark)."""
 
 from protarrow_spark.streaming.pipeline import (
     stream_from_proto_parquet,
+    stream_stream_join,
+    streaming_dedup,
     run_to_memory,
     windowed_counts,
 )
@@ -11,6 +13,8 @@ from protarrow_spark.streaming.stateful import running_totals
 
 __all__ = [
     "stream_from_proto_parquet",
+    "stream_stream_join",
+    "streaming_dedup",
     "run_to_memory",
     "running_totals",
     "windowed_counts",

@@ -75,14 +75,86 @@ def windowed_counts(
     )
 
 
-def run_to_memory(sdf: DataFrame, name: str) -> None:
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str | None = None) -> None:
     """Drain an availableNow micro-batch run into an in-memory table
-    (test/dev sink; production uses kafka/parquet sinks)."""
+    (test/dev sink; production uses kafka/parquet sinks).
+
+    Output mode defaults by plan shape: ``complete`` for aggregation
+    plans (the memory sink then holds final results), ``append`` for
+    stateless / dedup / join plans (the only mode they support)."""
+    if output_mode is None:
+        has_agg = "Aggregate" in sdf._jdf.queryExecution().logical().toString()
+        output_mode = "complete" if has_agg else "append"
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication on ``id_cols``.
+
+    Uses ``dropDuplicatesWithinWatermark`` so per-key state is
+    EVICTED once the watermark passes — the only dedup that survives
+    an unbounded stream (plain ``dropDuplicates`` state grows
+    forever). Duplicates separated by more than the watermark are
+    NOT collapsed — that's the documented contract: at 100 TB/day the
+    state bound is the feature, and a periodic batch
+    ``exact_duplicate_groups`` pass handles long-range dups.
+
+    On a batch frame this degrades to plain ``dropDuplicates``
+    (watermarks are streaming-only), which the equivalence tests
+    exploit (all test dups arrive within the watermark).
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+    return df.dropDuplicates(id_cols)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 minutes",
+    max_delay: str = "1 minute",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events within
+    ``[left_ts, left_ts + max_delay]`` for the same key.
+
+    Both sides carry watermarks and the join predicate bounds
+    ``right_ts`` relative to ``left_ts``, so Spark can size and evict
+    the dual-sided join state — the canonical bounded-state
+    stream-stream join plan (StreamingSymmetricHashJoin). On batch
+    frames the same predicate runs as a plain equi+range join,
+    keeping batch/streaming equivalence testable.
+    """
+    lt, rt = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    lhs = left.select(
+        F.col(key_col), *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key_col]
+    )
+    rhs = right.select(
+        F.col(key_col), *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key_col]
+    )
+    if left.isStreaming:
+        lhs = lhs.withWatermark(f"l_{left_ts}", watermark)
+    if right.isStreaming:
+        rhs = rhs.withWatermark(f"r_{right_ts}", watermark)
+    return lhs.join(
+        rhs,
+        [
+            lhs[key_col] == rhs[key_col],
+            rt >= lt,
+            rt <= lt + F.expr(f"INTERVAL {max_delay}"),
+        ],
+    ).drop(rhs[key_col])

@@ -93,3 +93,71 @@ def test_write_parquet_partitioned(spark, tmp_path) -> None:
         .toString()
     )
     assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_streaming_dedup_equals_batch(spark, tmp_path) -> None:
+    """dropDuplicatesWithinWatermark collapses dups that arrive within
+    the watermark — with all test dups inside it, streaming output
+    equals batch dropDuplicates."""
+    from protarrow_spark.streaming import streaming_dedup
+
+    msgs = _clicks(200)
+    dup = msgs + msgs[:50]  # replayed slice = duplicate (user_id, ts)
+    src = messages_to_dataframe(spark, dup, CLICK, CFG).repartition(4)
+    path = str(tmp_path / "dups_proto")
+    write_proto_bytes(src, CLICK, path, CFG)
+
+    batch = decode_proto_bytes(spark.read.parquet(path), "proto", CLICK, CFG)
+    expected = sorted(
+        streaming_dedup(batch, ["user_id", "ts"], "ts").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["kind"]),
+    )
+    assert len(expected) < batch.count()
+
+    sdf = stream_from_proto_parquet(spark, path, CLICK, CFG)
+    deduped = streaming_dedup(sdf, ["user_id", "ts"], "ts", watermark="30 minutes")
+    run_to_memory(deduped, "dedup_out")
+    got = sorted(
+        spark.sql("SELECT * FROM dedup_out").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["kind"]),
+    )
+    assert got == expected
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path) -> None:
+    """Watermarked interval join of two proto streams matches the
+    identical predicate run as a batch join."""
+    from protarrow_spark.streaming import stream_stream_join
+
+    clicks = _clicks(120)
+    # 'views' slightly after clicks for the same users
+    views = [
+        Message(
+            CLICK,
+            user_id=m.user_id,
+            kind="view",
+            ts=Message(TIMESTAMP, seconds=m.ts.seconds + 10),
+        )
+        for m in clicks[::2]
+    ]
+    lpath = str(tmp_path / "l_proto")
+    rpath = str(tmp_path / "r_proto")
+    write_proto_bytes(messages_to_dataframe(spark, clicks, CLICK, CFG), CLICK, lpath, CFG)
+    write_proto_bytes(messages_to_dataframe(spark, views, CLICK, CFG), CLICK, rpath, CFG)
+
+    lb = decode_proto_bytes(spark.read.parquet(lpath), "proto", CLICK, CFG)
+    rb = decode_proto_bytes(spark.read.parquet(rpath), "proto", CLICK, CFG)
+    key = lambda r: (r["user_id"], r["l_ts"], r["r_ts"])
+    expected = sorted(
+        stream_stream_join(lb, rb, "user_id", "ts", "ts").collect(), key=key
+    )
+    assert len(expected) > 0
+
+    ls = stream_from_proto_parquet(spark, lpath, CLICK, CFG)
+    rs = stream_from_proto_parquet(spark, rpath, CLICK, CFG)
+    joined = stream_stream_join(
+        ls, rs, "user_id", "ts", "ts", watermark="30 minutes"
+    )
+    run_to_memory(joined, "join_out")
+    got = sorted(spark.sql("SELECT * FROM join_out").collect(), key=key)
+    assert got == expected
