@@ -73,3 +73,44 @@ def test_q1_pushes_filter_to_scan(spark, sf_dir) -> None:
 def test_sort_topk_avoids_global_sort(spark, sf_dir) -> None:
     plan = _plan(spark, sf_dir, "sort_topk_lineitems")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_new_ops_avoid_nested_loops(spark, sf_dir) -> None:
+    """None of the sketch / probing / IVF / percentile plans may
+    contain an all-pairs product — candidate generation is always an
+    equi-join, cogroup, or broadcast of a bounded index."""
+    for name in [
+        "sketch_kmv_distinct",
+        "sketch_cms_heavy_hitters",
+        "dedup_simhash_hamming",
+        "ann_ivf_topk",
+        "agg_percentile_disc",
+        "dedup_ngram_jaccard",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        if name != "ann_ivf_topk":
+            # IVF broadcasts the (tiny) probed query set; everything
+            # else must not need a nested loop at all.
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_kmv_window_group_limit_pushdown(spark, sf_dir) -> None:
+    """The rank<=k filter must be pushed into a WindowGroupLimit so
+    only k hashes per group survive each partition pre-shuffle."""
+    plan = _plan(spark, sf_dir, "sketch_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+
+
+def test_cms_sketch_is_broadcast_readout(spark, sf_dir) -> None:
+    """Sketch readout joins must broadcast the d*w counter table, not
+    shuffle the candidate keys."""
+    plan = _plan(spark, sf_dir, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-n, never a global sort
+
+
+def test_bpe_tokens_single_scan_no_shuffle(spark, sf_dir) -> None:
+    """Per-document token stats are a pure projection: zero exchanges."""
+    plan = _plan(spark, sf_dir, "text_token_bpe")
+    assert "Exchange" not in plan
