@@ -170,3 +170,58 @@ def decode_image_features(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("new_width", T.IntegerType(), True),
+        T.StructField("new_height", T.LongType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int = FAKE_IMAGE_WIDTH,
+    factor: int = 2,
+) -> DataFrame:
+    """Nearest-neighbor column downsampling of fake-format images:
+    keep every ``factor``-th pixel column (ragged trailing row
+    dropped — documented truncation), emitting the resized payload as
+    a new binary column. Same Arrow-batched ``mapInPandas`` plumbing
+    as :func:`decode_image_features`; a real codec slots into the
+    same inner function.
+
+    Non-image blobs pass through as nulls (total operator).
+
+    Scale: partition-local narrow map, one strided numpy view per
+    blob — no shuffle, output strictly smaller than input.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": batch["doc_id"], "new_width": [], "new_height": [], "resized": []}
+            for raw in batch["blob"]:
+                data = bytes(raw)
+                if not data.startswith(FAKE_IMAGE_MAGIC):
+                    out["new_width"].append(None)
+                    out["new_height"].append(None)
+                    out["resized"].append(None)
+                    continue
+                px = np.frombuffer(data, dtype=np.uint8, offset=len(FAKE_IMAGE_MAGIC))
+                height = len(px) // width
+                grid = px[: height * width].reshape(height, width)[:, ::factor]
+                out["new_width"].append(-(-width // factor))
+                out["new_height"].append(height)
+                out["resized"].append(grid.tobytes())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(resize, RESIZE_SCHEMA)

@@ -123,3 +123,36 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every feature byte-exactly from the hex
     rendering, so even the UDF path is value-gated."""
     return multimodal.decode_image_features(_blobs(spark, sf_dir), "doc_id", "blob")
+
+
+_RS_W = multimodal.FAKE_IMAGE_WIDTH
+_RS_F = 2
+_RS_NEW_W = -(-_RS_W // _RS_F)
+
+
+@query(
+    "mm_resize_nearest",
+    oracle=f"""
+WITH {_BLOB_CTE}
+SELECT doc_id,
+       CASE WHEN is_img THEN {_RS_NEW_W} END AS new_width,
+       CASE WHEN is_img THEN CAST((len(ph) // 2) // {_RS_W} AS BIGINT) END AS new_height,
+       CASE WHEN is_img THEN md5(array_to_string(
+         [substr(ph, (i - 1) * 2 + 1, 2)
+          FOR i IN range(1, ((len(ph) // 2) // {_RS_W}) * {_RS_W} + 1)
+          IF ((i - 1) % {_RS_W}) % {_RS_F} = 0], ''
+       )) END AS resized_md5
+FROM payloads
+""",
+)
+def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor downsample (Pandas-UDF strided numpy view);
+    the oracle reselects the identical pixel columns from the hex
+    rendering, so the resized payload is value-gated byte-for-byte."""
+    out = multimodal.resize_image(_blobs(spark, sf_dir), "doc_id", "blob", _RS_W, _RS_F)
+    return out.select(
+        "doc_id",
+        "new_width",
+        "new_height",
+        F.when(F.col("resized").isNotNull(), F.md5(F.hex("resized"))).alias("resized_md5"),
+    )

@@ -103,3 +103,23 @@ def test_media_blobs_ride_the_conversion_layer(spark) -> None:
     feats = multimodal.decode_image_features(df, "doc_id", "payload").collect()
     assert {r["doc_id"]: r["n_pixels"] for r in feats} == {1: 64, 2: None}
     assert dataframe_to_messages(df, MEDIA_BLOB, cfg) == msgs
+
+
+def test_resize_nearest_semantics(spark):
+    """Column downsampling keeps every factor-th pixel of full rows;
+    ragged trailing row is dropped; non-images pass through null."""
+    from protarrow_spark.operators.multimodal import FAKE_IMAGE_MAGIC, resize_image
+
+    px = bytes(range(16 * 2 + 5))  # two full 16px rows + ragged 5
+    rows = [
+        (1, FAKE_IMAGE_MAGIC + px),
+        (2, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in resize_image(df, "doc_id", "blob").collect()}
+    expected = bytes(
+        b for r in range(2) for b in px[r * 16 : (r + 1) * 16 : 2]
+    )
+    assert bytes(got[1]["resized"]) == expected
+    assert got[1]["new_width"] == 8 and got[1]["new_height"] == 2
+    assert got[2]["resized"] is None and got[2]["new_width"] is None
