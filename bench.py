@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "ann_ivf_topk",
     "agg_percentile_disc",
+    "join_asof_events",
 ]
 
 
@@ -83,6 +84,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Release leftover blocks (localCheckpoints, broadcast vars)
+        # before the next query: long multi-query sessions otherwise
+        # accumulate JVM heap pressure that inflates later timings by
+        # 2-3x (GC pauses mid-query), which would misread as operator
+        # cost.
+        import gc
+
+        df = None
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,78 @@
+"""Temporal operators: as-of join.
+
+Not in the reference (a conversion library, SURVEY.md §2.2) — the
+classic time-series operator a proto-event pipeline needs first.
+
+The implementation is the union-marker pattern, the scalable as-of
+shape on Spark: tag both inputs, union them, and take the running
+``last`` non-null right-side payload over a window ordered by
+(time, marker, tiebreak) within each key. ONE shuffle (the window
+partitioning), no range-join candidate explosion, no per-key state —
+the same plan an interval join would need just for its candidates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    right_tiebreak: str,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward inclusive as-of join: for each left row, attach the
+    right row with the greatest ``right_ts <= left_ts`` for the same
+    key (ties on ``right_ts`` broken by the greatest
+    ``right_tiebreak`` — a total order, so the result is
+    deterministic under any partitioning).
+
+    Output: every left column, plus each ``right_value_cols`` entry
+    as ``{prefix}{name}`` (null when no right row precedes).
+
+    Mechanics: right-side payloads ride in ONE struct so the window's
+    ``last(..., ignorenulls=True)`` picks every value from the SAME
+    matched row (per-column lasts could mix rows when a right value
+    is legitimately null). Equal timestamps sort right-before-left
+    via the marker, making the join inclusive.
+    """
+    rv_struct = F.struct(*[F.col(c).alias(c) for c in right_value_cols])
+    rv_type = right.select(rv_struct.alias("rv")).schema["rv"].dataType
+
+    left_payload = [c for c in left.columns if c != key_col]
+    u_left = left.select(
+        F.col(key_col),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_m"),
+        F.lit(-1).cast(right.schema[right_tiebreak].dataType).alias("_tb"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(rv_type).alias("_rv"),
+    )
+    u_right = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_m"),
+        F.col(right_tiebreak).alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        rv_struct.alias("_rv"),
+    )
+    u = u_left.unionByName(u_right)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_m", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_match", F.last("_rv", ignorenulls=True).over(w)).filter(
+        F.col("_m") == 1
+    )
+    return matched.select(
+        F.col(key_col),
+        *[F.col(c) for c in left_payload],
+        *[F.col("_match")[c].alias(f"{prefix}{c}") for c in right_value_cols],
+    )

@@ -127,3 +127,51 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+#: Winnowing parameters: char k-grams, window of w consecutive hashes.
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken): hash every overlapping char k-gram,
+    slide a window of ``w`` hashes, keep each window's minimum; the
+    distinct minima are the fingerprint set — guaranteed to share
+    members for any sufficiently long common substring, robust to
+    insertions that mere bag hashing is not.
+
+    All JVM expressions: one regex pass extracts the overlapping
+    k-grams (lookahead capture), higher-order transforms build the
+    hash and window-min arrays per document — no shuffle, no Python.
+    Hashes are md5-derived 60-bit ints so an independent SQL engine
+    reproduces the identical fingerprint set.
+
+    Output: doc_id, n_grams, n_fingerprints, fp_digest (md5 over the
+    sorted distinct minima — the document's winnow signature).
+    """
+    text = F.col(text_col)
+    grams = F.regexp_extract_all(text, F.lit(f"(?=(.{{{k}}}))"), 1)
+    grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(text))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+    )
+    n = F.size(hashes)
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - w + 1), lambda i: F.array_min(F.slice(hashes, i, w))
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    fps = F.array_sort(F.array_distinct(mins))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))).alias(
+            "fp_digest"
+        ),
+    )

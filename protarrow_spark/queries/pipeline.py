@@ -561,3 +561,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = similarity.cosine_topk_ivf(emb, qs, k=TOPK_NEIGHBORS)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _winnow_oracle() -> str:
+    k, w = text.WINNOW_K, text.WINNOW_W
+    h = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(text) >= {k}
+              THEN [substr(text, i, {k}) FOR i IN range(1, len(text) - {k} + 2)]
+              ELSE [text] END AS gs
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, [{h} FOR g IN gs] AS hs FROM grams
+),
+mins AS (
+  SELECT doc_id, len(hs) AS n_grams,
+         CASE WHEN len(hs) >= {w}
+              THEN [list_min(hs[i:i + {w - 1}]) FOR i IN range(1, len(hs) - {w} + 2)]
+              ELSE [list_min(hs)] END AS ms
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(ms)) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(list_distinct(ms)), ',')) AS fp_digest
+FROM mins
+"""
+
+
+@query("text_winnow_fingerprint", oracle=_winnow_oracle())
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window minima) fingerprints per doc —
+    the substring-robust dedup signature; JVM-only expressions."""
+    return text.winnow_fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")

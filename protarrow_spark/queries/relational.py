@@ -788,3 +788,61 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in _PCTS
     ]
     return ranked.groupBy("flag").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+WITH u AS (
+  SELECT user_id AS k, ts AS _t, 1 AS _m, CAST(-1 AS BIGINT) AS _tb,
+         event_id, value,
+         CAST(NULL AS STRUCT(event_id BIGINT, ts TIMESTAMP, value DOUBLE)) AS rv
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0, event_id, NULL, NULL,
+         struct_pack(event_id := event_id, ts := ts, value := value)
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT k, _t, _m, event_id, value,
+         last_value(rv IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY _t, _m, _tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM u
+)
+SELECT k AS user_id, event_id, _t AS ts, value,
+       r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value
+FROM m WHERE _m = 1
+""",
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward inclusive as-of join: each purchase event picks up the
+    user's most recent click at-or-before it (ties: marker then max
+    event_id — fully deterministic under any partitioning).
+
+    Scale: the union-marker pattern — ONE shuffle on the key for the
+    window sort; no range-join candidate explosion, no per-key state.
+    """
+    from protarrow_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["event_id", "ts", "value"],
+        right_tiebreak="event_id",
+    )
