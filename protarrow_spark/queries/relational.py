@@ -846,3 +846,87 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["event_id", "ts", "value"],
         right_tiebreak="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization rollup/cube compile
+    to) with GROUPING() indicators so subtotal rows are
+    distinguishable from genuine NULL groups. Identical SQL runs on
+    both engines; Spark plans one Expand + partial/final aggregate."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+#: Deterministic sampling: keep rows whose 60-bit md5 hash of the key
+#: falls under fraction * 2^60 — reproducible on any engine, stable
+#: under re-partitioning, and usable as a consistent cross-table
+#: sample (same key -> same decision everywhere).
+SAMPLE_FRACTION = 0.1
+
+
+@query(
+    "sample_hash_lineitem",
+    oracle=f"""
+WITH sampled AS (
+  SELECT * FROM lineitem
+  WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                                CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+        < {int(SAMPLE_FRACTION * (2 ** 60))}
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM sampled GROUP BY l_returnflag
+""",
+)
+def sample_hash_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample of lineitem (md5 of the primary
+    key under a threshold), aggregated per return flag. Unlike
+    ``df.sample()`` the decision is a pure function of the key: the
+    same rows are selected on every engine, every run, and every
+    partitioning — the property training-data pipelines need for
+    reproducible subsets and consistent joins between sampled tables.
+
+    Scale: the predicate is a scan-level filter (no shuffle added);
+    md5 cost is per-row but branch-free and pipelined."""
+    li = table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = li.filter(h < int(SAMPLE_FRACTION * (2**60)))
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
