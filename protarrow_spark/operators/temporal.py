@@ -76,3 +76,34 @@ def asof_join(
         *[F.col(c) for c in left_payload],
         *[F.col("_match")[c].alias(f"{prefix}{c}") for c in right_value_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-salted inner equi-join: identical results to
+    ``left.join(right, key_col)``, but a hot key's rows spread over
+    ``n_salts`` shuffle partitions instead of one straggler task.
+
+    Mechanics: each left row gets a deterministic salt from its
+    non-key content hash; the right side replicates ``n_salts`` x and
+    the join runs on (key, salt). Use when one side has a few
+    dominant keys and AQE's skew-join split (which handles most
+    cases) can't — e.g. a single key larger than any split threshold,
+    or a deliberately pre-partitioned layout. Cost: right side is
+    scanned/shuffled ``n_salts`` times — pick the SMALLER side to
+    replicate.
+    """
+    non_key = [c for c in left.columns if c != key_col]
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.xxhash64(F.col(key_col)),
+        F.lit(n_salts),
+    )
+    lhs = left.withColumn("_salt", salt)
+    rhs = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return lhs.join(rhs, [key_col, "_salt"]).drop("_salt")

@@ -930,3 +930,32 @@ def sample_hash_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-fact join (salting is the result-invariant
+    treatment for keys too hot for AQE's skew split): lineitem rows
+    spread each order key over 8 salted partitions; orders replicate
+    8x. The oracle is the PLAIN join — salting must be invisible in
+    the results, which is exactly what the gate checks."""
+    from protarrow_spark.operators.temporal import salted_join
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    joined = salted_join(li, orders, "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+    )

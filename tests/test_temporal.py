@@ -72,3 +72,19 @@ def test_winnow_shared_substring_shares_fingerprints(spark):
     short = spark.createDataFrame([(9, "tiny")], "doc_id long, text string")
     [s] = winnow_fingerprints(short, "doc_id", "text").collect()
     assert s["n_grams"] == 1 and s["n_fingerprints"] == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    from protarrow_spark.operators.temporal import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2) for i in range(50)], "k long, v long"
+    )  # key 1 is hot
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, name string")
+    got = sorted(
+        salted_join(left, right, "k").collect(), key=lambda r: (r["k"], r["v"], r["name"])
+    )
+    exp = sorted(
+        left.join(right, "k").collect(), key=lambda r: (r["k"], r["v"], r["name"])
+    )
+    assert got == exp
