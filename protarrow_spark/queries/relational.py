@@ -959,3 +959,30 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "agg_time_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: events bucketed
+    to the hour per type. The shape a timeseries store materializes
+    incrementally; on Spark it is one partial-aggregated groupBy whose
+    bucket key is derived in the scan projection (and in streaming
+    mode the identical expression runs under a watermark — see
+    windowed_counts). Decimal-exact sums keep it order-invariant."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+    )
