@@ -32,7 +32,11 @@ def get_spark(app_name: str = "protarrow-spark", cpus: int | None = None) -> Spa
         # testdata events.parquet uses TIMESTAMP(NANOS); Spark reads it
         # as LongType nanos with this flag (converted in sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs everything in the driver JVM: N executor threads
+        # x Arrow batch buffers + broadcast + cache all share this heap.
+        # 8g showed GC-pressure variance (2-3x query-time swings late in
+        # multi-query sessions); 16g of the box's 128 GiB removes it.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
