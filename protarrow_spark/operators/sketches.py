@@ -217,3 +217,44 @@ ranked AS (
 )
 SELECT key, est_count, true_count, rank FROM ranked WHERE rank <= {topn}
 """
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Materialized KMV sketch state: per group, the sorted array of
+    its k smallest value hashes. This is the MERGEABLE form — union
+    two sketches (any partition/day/source split) and re-take the
+    k minima to get exactly the sketch of the union, which is what
+    makes KMV viable as distributed partial state at 100 TB.
+
+    Output: group, hs (array<bigint>, ascending, len <= k).
+    """
+    hashed = df.select(
+        F.col(group_col),
+        hex_to_long(F.md5(F.col(value_col).cast("string")), KMV_HEX_DIGITS).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return ranked.groupBy(group_col).agg(F.sort_array(F.collect_list("h")).alias("hs"))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Union two KMV sketch frames: distinct hashes per group, keep
+    the k smallest. ``merge(sketch(X), sketch(Y)) == sketch(X u Y)``
+    exactly (hash sets, not estimates, are merged)."""
+    u = a.unionByName(b).select(group_col, F.explode("hs").alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return ranked.groupBy(group_col).agg(F.sort_array(F.collect_list("h")).alias("hs"))
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Estimate from sketch state — same formula as
+    :func:`kmv_distinct` (exact count under k, else (k-1)/h_k)."""
+    n = F.size("hs")
+    hk = F.element_at("hs", k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (hk.cast("double") / F.lit(KMV_SPACE))
+    )
+    return sketch.select(F.col(group_col), est.alias("est_distinct"))

@@ -54,18 +54,24 @@ def windowed_counts(
     key_col: str,
     window_duration: str = "1 minute",
     watermark: str = "2 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + sum per key with a watermark bound on
-    late data. Works identically on batch and streaming frames
-    (batch ignores the watermark — Spark semantics), which is exactly
-    what the equivalence test exploits."""
+    """Tumbling (or, with ``slide``, sliding/hopping) window counts
+    per key with a watermark bound on late data. A sliding window
+    assigns each event to ``duration/slide`` overlapping windows —
+    Spark expands this JVM-side; state is bounded by the watermark.
+    Works identically on batch and streaming frames (batch ignores
+    the watermark — Spark semantics), which is exactly what the
+    equivalence tests exploit."""
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
-        df.groupBy(
-            F.window(F.col(ts_col), window_duration).alias("win"),
-            F.col(key_col),
-        )
+        df.groupBy(win.alias("win"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("win.start").alias("win_start"),

@@ -105,3 +105,32 @@ def test_bpe_tokens_nonzero(spark, sf_dir):
     rows = bpe_token_stats(docs, "doc_id", "text").collect()
     assert all(r["n_bpe_tokens"] >= r["n_ws_tokens"] for r in rows)
     assert all(r["chars_per_token"] > 0 for r in rows)
+
+
+def test_kmv_sketch_mergeability(spark, events):
+    """merge(sketch(first half), sketch(second half)) must equal
+    sketch(all) exactly — the distributed-partial-state property —
+    and estimates derived from sketch state must equal kmv_distinct."""
+    import pyspark.sql.functions as F
+
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = sketches.kmv_merge(
+        sketches.kmv_sketch(half_a, "event_type", "user_id"),
+        sketches.kmv_sketch(half_b, "event_type", "user_id"),
+        "event_type",
+    )
+    whole = sketches.kmv_sketch(events, "event_type", "user_id")
+    m = {r["event_type"]: list(r["hs"]) for r in merged.collect()}
+    w = {r["event_type"]: list(r["hs"]) for r in whole.collect()}
+    assert m == w
+
+    est_m = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.kmv_estimate(merged, "event_type").collect()
+    }
+    est_d = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.kmv_distinct(events, "event_type", "user_id").collect()
+    }
+    assert est_m == est_d

@@ -161,3 +161,28 @@ def test_stream_stream_join_equals_batch(spark, tmp_path) -> None:
     run_to_memory(joined, "join_out")
     got = sorted(spark.sql("SELECT * FROM join_out").collect(), key=key)
     assert got == expected
+
+
+def test_sliding_window_equals_batch(spark, tmp_path) -> None:
+    """Hopping windows (1 min window, 30 s slide): each event lands in
+    2 windows; streaming output equals the batch expansion."""
+    msgs = _clicks(150)
+    src = messages_to_dataframe(spark, msgs, CLICK, CFG).repartition(4)
+    path = str(tmp_path / "slide_proto")
+    write_proto_bytes(src, CLICK, path, CFG)
+
+    batch = decode_proto_bytes(spark.read.parquet(path), "proto", CLICK, CFG)
+    expected = sorted(
+        windowed_counts(batch, "ts", "user_id", slide="30 seconds").collect(),
+        key=lambda r: (r["win_start"], r["user_id"]),
+    )
+    tumbling = windowed_counts(batch, "ts", "user_id").collect()
+    assert sum(r["n_events"] for r in expected) == 2 * sum(r["n_events"] for r in tumbling)
+
+    sdf = stream_from_proto_parquet(spark, path, CLICK, CFG)
+    run_to_memory(windowed_counts(sdf, "ts", "user_id", slide="30 seconds"), "slide_out")
+    got = sorted(
+        spark.sql("SELECT * FROM slide_out").collect(),
+        key=lambda r: (r["win_start"], r["user_id"]),
+    )
+    assert got == expected
