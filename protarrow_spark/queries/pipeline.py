@@ -597,3 +597,56 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash window minima) fingerprints per doc —
     the substring-robust dedup signature; JVM-only expressions."""
     return text.winnow_fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _cc_oracle() -> str:
+    """Connected components over the MinHash-LSH candidate pairs via
+    a recursive-CTE transitive closure (fine at gate scale; the Spark
+    side runs the O(log n)-round pointer-jumping algorithm)."""
+    k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
+    rpb = k // bands
+    band_selects = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+{_sig_cte(k)},
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+labels AS (SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.a = d.doc_id
+"""
+
+
+@query("dedup_cluster_assign", oracle=_cc_oracle())
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH candidate-pair graph; every document gets its
+    component's minimum doc_id as cluster_id (singletons map to
+    themselves). The collapse step every dedup pipeline runs after
+    candidate generation."""
+    from protarrow_spark.operators.graph import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
+    return dedup_clusters(docs, edges, "doc_id")
