@@ -72,25 +72,32 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # Best of 2 runs per query: the first execution pays one-time
-    # codegen/broadcast-build costs and OS noise; the min is the
-    # steady-state distributed-plan cost (what scales with data).
+    # Best-of-3 back-to-back per query: run 1 pays the one-time
+    # whole-stage-codegen compile for that query's plan (several
+    # seconds for wide aggregate plans); run 2 hits the codegen cache
+    # and measures the steady-state distributed-plan cost; a third
+    # rep rides out multi-second host-noise windows (observed on this
+    # box: whole-query 2-5x swings with no local process running).
+    # Repeats
+    # must stay back-to-back: separating them by a full pass lets the
+    # (100-entry) codegen cache evict the entry, and both runs pay
+    # the compile.
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        # Release leftover blocks (localCheckpoints, broadcast vars)
-        # before the next query: long multi-query sessions otherwise
-        # accumulate JVM heap pressure that inflates later timings by
-        # 2-3x (GC pauses mid-query), which would misread as operator
-        # cost.
-        import gc
-
+        # Release leftover blocks (localCheckpoints, broadcasts)
+        # between queries: long multi-query sessions otherwise
+        # accumulate JVM heap pressure that inflates later timings
+        # 2-3x (GC pauses mid-query), which would misread as
+        # operator cost.
         df = None
         gc.collect()
         spark.sparkContext._jvm.System.gc()

@@ -36,7 +36,10 @@ def get_spark(app_name: str = "protarrow-spark", cpus: int | None = None) -> Spa
         # x Arrow batch buffers + broadcast + cache all share this heap.
         # 8g showed GC-pressure variance (2-3x query-time swings late in
         # multi-query sessions); 16g of the box's 128 GiB removes it.
+        # -Xms pins the heap: G1 otherwise uncommits after full GCs and
+        # every heavy query re-pays multi-second heap re-expansion.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", "-Xms16g")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
