@@ -419,3 +419,91 @@ def cosine_topk_ivf(
         .select("query_id", "neighbor_id", cos(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     )
     return _ranked_topk(scored, k)
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_N_CELLS,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column: init =
+    the ``k`` vectors with smallest ids (same convention as the IVF
+    coarse quantizer), fixed ``n_iter`` assignment/update rounds.
+
+    The distributed shape per round: assignment is one Arrow-batched
+    matmul per partition against the broadcast centroid matrix (no
+    shuffle); the update is ONE groupBy producing per-cluster
+    component sums via vectorized numpy partial aggregation — the
+    classic mergeable-state formulation, so a round costs one shuffle
+    of k x dim partial sums per partition, never the vectors.
+
+    Returns (id, cluster) — cluster index into the id-ordered initial
+    centroid list. Iterative (driver loop), hence registered with the
+    rows-only gate, with monotone-inertia property tests in pytest.
+    """
+    cents = _centroid_matrix(corpus, id_col, vec_col, k)
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
+
+    for _ in range(n_iter):
+        assign = _cell_assign_udf(cents, 1)
+        tagged = vecs.select(F.col(id_col), "v", assign(F.col("v"))[0].alias("c"))
+
+        def partial_sums(batches):
+            import pandas as pd
+
+            for batch in batches:
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in batch["v"].values])
+                c = batch["c"].to_numpy()
+                out = []
+                for ci in np.unique(c):
+                    sel = V[c == ci]
+                    out.append((int(ci), int(sel.shape[0]), [float(x) for x in sel.sum(axis=0)]))
+                yield pd.DataFrame(out, columns=["c", "n", "s"])
+
+        sums = (
+            tagged.mapInPandas(partial_sums, "c int, n long, s array<double>")
+            .groupBy("c")
+            .agg(
+                F.sum("n").alias("n"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("s", i + 1)).alias(f"d{i}")
+                        for i in range(cents.shape[1])
+                    ]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        for row in sums:
+            if row["n"]:
+                new_cents[row["c"]] = np.array(row["s"]) / row["n"]
+        cents = new_cents
+
+    assign = _cell_assign_udf(cents, 1)
+    return vecs.select(F.col(id_col), assign(F.col("v"))[0].alias("cluster"))
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to assigned centroids (test metric)."""
+    joined = corpus.select(F.col(id_col), F.col(vec_col).alias("v")).join(
+        assignments, id_col
+    )
+
+    def sq(batches):
+        import pandas as pd
+
+        for batch in batches:
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in batch["v"].values])
+            C = cents[batch["cluster"].to_numpy()]
+            yield pd.DataFrame({"d": ((V - C) ** 2).sum(axis=1)})
+
+    return joined.mapInPandas(sq, "d double").agg(F.sum("d")).collect()[0][0]

@@ -258,3 +258,111 @@ def kmv_estimate(sketch: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame
         F.lit(float(k - 1)) / (hk.cast("double") / F.lit(KMV_SPACE))
     )
     return sketch.select(F.col(group_col), est.alias("est_distinct"))
+
+
+#: Histogram-quantile sketch: fixed uniform bins between group min/max.
+HIST_BINS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-bin histogram sketch.
+
+    Two passes: (min, max, n) per group, then counts over
+    ``bins`` uniform buckets; the q-quantile estimate is the LOWER
+    EDGE of the first bin whose cumulative count reaches
+    ``ceil(q * n)``. Error is bounded by one bin width. The sketch is
+    trivially mergeable (vector addition of counts) and every
+    arithmetic step is single IEEE ops (sub/div/mul/floor), so an
+    independent SQL engine reproduces the estimate bit-for-bit —
+    unlike t-digest/KLL whose merge order changes results.
+
+    Output: group, q50/q90/... (double).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v = F.col(value_col).cast("double")
+    binned = (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            F.col(group_col),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * bins),
+            ).alias("b"),
+        )
+        .groupBy(group_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(group_col).orderBy("b")
+    cum = binned.withColumn("cum", F.sum("c").over(w))
+    edges = cum.join(F.broadcast(stats), group_col)
+    aggs = []
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        hit_bin = F.min(F.when(F.col("cum") >= target, F.col("b")))
+        aggs.append(hit_bin.alias(f"_b{int(q * 100)}"))
+    per_group = edges.groupBy(group_col, "lo", "hi").agg(*aggs)
+    outs = [
+        (
+            F.col("lo")
+            + F.col(f"_b{int(q * 100)}") * (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+        ).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return per_group.select(F.col(group_col), *outs)
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    bins: int = HIST_BINS,
+) -> str:
+    """DuckDB SQL reproducing the identical histogram estimates."""
+    b = (
+        f"LEAST({bins - 1}, CAST(FLOOR((CAST({value_col} AS DOUBLE) - lo)"
+        f" / (hi - lo) * {bins}) AS BIGINT))"
+    )
+    hit_cols = ",\n         ".join(
+        f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN b END) AS _b{int(q * 100)}"
+        for q in qs
+    )
+    out_cols = ",\n       ".join(
+        f"lo + _b{int(q * 100)} * (hi - lo) / {float(bins)} AS q{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+WITH stats AS (
+  SELECT {group_col}, MIN(CAST({value_col} AS DOUBLE)) AS lo,
+         MAX(CAST({value_col} AS DOUBLE)) AS hi, COUNT(*) AS n
+  FROM {table} GROUP BY {group_col}
+),
+binned AS (
+  SELECT t.{group_col}, {b} AS b, COUNT(*) AS c
+  FROM {table} t JOIN stats USING ({group_col})
+  GROUP BY t.{group_col}, 2
+),
+cum AS (
+  SELECT {group_col}, b, SUM(c) OVER (PARTITION BY {group_col} ORDER BY b) AS cum
+  FROM binned
+),
+hits AS (
+  SELECT c.{group_col}, lo, hi,
+         {hit_cols}
+  FROM cum c JOIN stats USING ({group_col})
+  GROUP BY c.{group_col}, lo, hi, n
+)
+SELECT {group_col},
+       {out_cols}
+FROM hits
+"""

@@ -650,3 +650,59 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
     return dedup_clusters(docs, edges, "doc_id")
+
+
+@query("cluster_kmeans_embeddings")  # iterative -> rows-only gate
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means cluster assignment over the
+    embeddings corpus (k=8, 5 rounds, smallest-id init — the trained
+    version of the IVF coarse quantizer). Iterative driver loop, so
+    it takes the rows-only check; the algebraic properties (monotone
+    inertia, deterministic assignment) are pinned in pytest."""
+    return similarity.kmeans_lloyd(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "text_tf_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df_docs FROM toks GROUP BY tok),
+scored AS (
+  SELECT doc_id, tok, tf, df_docs,
+         CAST(tf AS DOUBLE) / df_docs AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df_docs DESC, tok
+         ) AS rnk
+  FROM tf JOIN dfreq USING (tok)
+)
+SELECT doc_id, tok, tf, df_docs, score, rnk FROM scored WHERE rnk <= 3
+""",
+)
+def text_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf/df score (the
+    tf-idf shape with an exact rational weight instead of a
+    libm-dependent log — division is IEEE-identical across engines,
+    so the gate stays hash-exact).
+
+    Scale: explode + two groupBys (tf per doc-token, df per token),
+    one broadcast-sized token dimension join, per-doc window with
+    WindowGroupLimit pushdown for the rank<=3 filter."""
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df_docs"))
+    score = F.col("tf").cast("double") / F.col("df_docs")
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df_docs", "score", F.col("rnk").cast("long").alias("rnk"))
+    )

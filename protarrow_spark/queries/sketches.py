@@ -32,3 +32,14 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch top-20 users by estimated event count (d=4,
     w=256), true counts alongside to expose collision inflation."""
     return sketches.cms_heavy_hitters(table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=sketches.histogram_quantiles_oracle_sql("events", "event_type", "value"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90 of event value per type from a 1024-bin
+    mergeable histogram (error <= one bin width; single-IEEE-op
+    arithmetic so the estimate is engine-exact)."""
+    return sketches.histogram_quantiles(table(spark, sf_dir, "events"), "event_type", "value")

@@ -134,3 +134,69 @@ def test_kmv_sketch_mergeability(spark, events):
         for r in sketches.kmv_distinct(events, "event_type", "user_id").collect()
     }
     assert est_m == est_d
+
+
+def test_kmeans_monotone_inertia_and_determinism(spark, sf_dir):
+    """Lloyd's iterations never increase inertia; assignments are
+    identical across re-runs (deterministic init + fixed rounds)."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    inertias = []
+    for n_iter in (0, 1, 3):
+        assign = similarity.kmeans_lloyd(emb, n_iter=n_iter)
+        # recompute this run's final centroids for the inertia metric
+        cents = similarity._centroid_matrix(emb, "vec_id", "embedding", 8)
+        if n_iter == 0:
+            final = cents
+        else:
+            # re-derive by rerunning the same deterministic loop
+            final = None
+        if final is None:
+            # inertia vs assigned centroid mean: use per-cluster means
+            import pandas as pd
+
+            pdf = emb.select("vec_id", "embedding").toPandas().merge(
+                assign.toPandas(), on="vec_id"
+            )
+            V = np.stack([np.asarray(x, float) for x in pdf["embedding"]])
+            cl = pdf["cluster"].to_numpy()
+            final = np.stack(
+                [
+                    V[cl == c].mean(axis=0) if (cl == c).any() else np.zeros(V.shape[1])
+                    for c in range(8)
+                ]
+            )
+            inertias.append(float(((V - final[cl]) ** 2).sum()))
+        else:
+            inertias.append(similarity.kmeans_inertia(emb, assign, final))
+    assert inertias[0] >= inertias[1] >= inertias[2] - 1e-9, inertias
+
+    a1 = sorted(map(tuple, similarity.kmeans_lloyd(emb, n_iter=2).collect()))
+    a2 = sorted(map(tuple, similarity.kmeans_lloyd(emb, n_iter=2).collect()))
+    assert a1 == a2
+
+
+def test_histogram_quantile_within_one_bin(spark, events):
+    """Histogram p50/p90 estimates are within one bin width of the
+    exact discrete quantiles."""
+    import pyspark.sql.functions as F
+
+    import math
+
+    est = {
+        r["event_type"]: r
+        for r in sketches.histogram_quantiles(events, "event_type", "value").collect()
+    }
+    pdf = events.select("event_type", "value").toPandas()
+    for g, r in est.items():
+        # Reference: the DISCRETE quantile (value at rank ceil(q*n)) —
+        # the definition the sketch approximates. An interpolated
+        # percentile can sit arbitrarily far away when adjacent order
+        # statistics have a gap, so it is NOT a valid reference here.
+        vals = sorted(pdf[pdf["event_type"] == g]["value"])
+        n = len(vals)
+        width = (vals[-1] - vals[0]) / sketches.HIST_BINS
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            exact = vals[math.ceil(q * n) - 1]
+            assert exact - width <= r[col] <= exact + width, (g, col, r[col], exact)
