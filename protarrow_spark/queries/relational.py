@@ -986,3 +986,59 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "window_time_range_sum",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS hour_value
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour sum per user — a RANGE window frame keyed on the
+    event time in microseconds (peers = every row within 3600s
+    behind), the time-series 'sliding aggregate' rows-frames cannot
+    express. Decimal accumulation keeps it order-invariant; ties in
+    the range key are handled identically by both engines (RANGE
+    frames aggregate all peers of the current key)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("hour_value"),
+    )
+
+
+@query(
+    "unpivot_order_amounts",
+    oracle="""
+SELECT o_orderkey, name, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey
+  FROM orders
+)
+UNPIVOT (val FOR name IN (totalprice, custkey))
+""",
+)
+def unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns to (key, name, value)
+    rows — the inverse of pivot; a zero-shuffle Expand node."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return orders.unpivot("o_orderkey", ["totalprice", "custkey"], "name", "val")
