@@ -48,3 +48,26 @@ def write_proto_bytes(
     alias on a real cluster."""
     encoded = encode_proto_bytes(df, mtype, config, output_col="proto", keep_cols=keep_cols)
     encoded.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: co-locates rows by hash(bucket_col)
+    at WRITE time so later equi-joins and aggregations on that key
+    need NO shuffle — the pre-partitioning strategy for fact tables
+    that join repeatedly on the same key at 100 TB (pay one shuffle
+    once, at ingest, instead of per query).
+
+    Optionally sort within buckets (turns joins into zero-sort merge
+    joins). Bucketed output requires ``saveAsTable`` (bucket metadata
+    lives in the catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
