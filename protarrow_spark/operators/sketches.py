@@ -155,7 +155,14 @@ def cms_heavy_hitters(
             )
         ).alias("e")
     ).select("e.j", "e.bucket")
-    sketch = entries.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the (depth x width)-row counter table ONCE — the
+    # readout below joins it `depth` times, and without this each
+    # branch would re-run the full build scan.
+    sketch = (
+        entries.groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
     candidates = keys.groupBy("key").agg(F.count(F.lit(1)).alias("true_count"))
     probes = candidates.select(
