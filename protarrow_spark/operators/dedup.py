@@ -69,7 +69,7 @@ def ngram_jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n: int = NGRAM_N,
     max_df: int = MAX_SHINGLE_DF,
-    dense_vocab_cap: int = 4096,
+    dense_vocab_cap: int | None = None,
     block_size: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
@@ -90,8 +90,11 @@ def ngram_jaccard_pairs(
       (the oracle applies the identical hash), so verification is
       unaffected. Right when shared-shingle volume is sparse — the
       normal regime for real text.
-    * **Dense path** (``dense_vocab_cap``): when the distinct-shingle
-      count fits the cap, the shingle space is structurally dense —
+    * **Dense path** (opt-in via ``dense_vocab_cap``; probing costs a
+      full vocab scan, so the caller asserts density rather than every
+      sparse-regime call paying to discover it isn't): when the
+      distinct-shingle count fits the cap, the shingle space is
+      structurally dense —
       almost every pair overlaps, and the join would emit
       Theta(pairs x shared) rows (224M at sf0.1 on the synthetic
       corpus, 112 s). Instead, docs are hash-blocked and every block
@@ -108,10 +111,15 @@ def ngram_jaccard_pairs(
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
-    if dense_vocab_cap and vocab.limit(dense_vocab_cap + 1).count() <= dense_vocab_cap:
-        return _jaccard_dense_blocked(
-            grams, sizes, vocab, id_col, threshold, max_df, block_size
-        )
+    if dense_vocab_cap:
+        # Probe by collecting up to cap+1 vocab rows: if the vocab fits,
+        # the collected rows ARE the index — the dense path reuses them
+        # instead of rescanning the corpus for the vocabulary.
+        probe = vocab.limit(dense_vocab_cap + 1).collect()
+        if len(probe) <= dense_vocab_cap:
+            return _jaccard_dense_blocked(
+                grams, sizes, probe, id_col, threshold, max_df, block_size
+            )
 
     rare_shingles = vocab.filter(F.col("df_g") <= max_df)
     rare = grams.join(rare_shingles.select("g"), "g")
@@ -140,7 +148,7 @@ def ngram_jaccard_pairs(
 def _jaccard_dense_blocked(
     grams: DataFrame,
     sizes: DataFrame,
-    vocab: DataFrame,
+    vocab_rows: list,
     id_col: str,
     threshold: float,
     max_df: int,
@@ -159,10 +167,12 @@ def _jaccard_dense_blocked(
     import numpy as np
     import pandas as pd
 
-    # Bounded driver-side collect: the capped vocabulary IS the index
-    # (<= dense_vocab_cap entries), exactly like IVF centroids.
-    rank_rows = vocab.filter(F.col("df_g") <= max_df).select("g").collect()
-    rank = {g: i for i, g in enumerate(sorted(x["g"] for x in rank_rows))}
+    # The caller's bounded probe collect (<= dense_vocab_cap rows) IS
+    # the index, exactly like IVF centroids — no second vocab scan.
+    rank = {
+        g: i
+        for i, g in enumerate(sorted(x["g"] for x in vocab_rows if x["df_g"] <= max_df))
+    }
     v = len(rank)
 
     n_docs = sizes.count()
@@ -417,6 +427,13 @@ def simhash_hamming_pairs(
     """
     import numpy as np
     import pandas as pd
+
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound: with "
+            f"{chunks} chunks only pairs within {chunks - 1} differing bits are "
+            f"guaranteed to collide in some chunk; use chunks >= max_hamming + 1"
+        )
 
     width = bits // chunks
     sigs = simhash(df, id_col, text_col, bits)

@@ -301,10 +301,17 @@ def histogram_quantiles(
         df.join(F.broadcast(stats), group_col)
         .select(
             F.col(group_col),
-            F.least(
-                F.lit(bins - 1),
-                F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * bins),
-            ).alias("b"),
+            # Degenerate group (all values equal, or one row): hi == lo
+            # makes the scale 0/0 = NaN; Spark floors NaN to 0 while other
+            # engines raise on the cast. Pin bin 0 explicitly on both sides.
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo")) * bins),
+                )
+            )
+            .alias("b"),
         )
         .groupBy(group_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -337,8 +344,9 @@ def histogram_quantiles_oracle_sql(
 ) -> str:
     """DuckDB SQL reproducing the identical histogram estimates."""
     b = (
+        f"CASE WHEN hi = lo THEN 0 ELSE "
         f"LEAST({bins - 1}, CAST(FLOOR((CAST({value_col} AS DOUBLE) - lo)"
-        f" / (hi - lo) * {bins}) AS BIGINT))"
+        f" / (hi - lo) * {bins}) AS BIGINT)) END"
     )
     hit_cols = ",\n         ".join(
         f"MIN(CASE WHEN cum >= CEIL({q} * n) THEN b END) AS _b{int(q * 100)}"

@@ -109,6 +109,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=JACCARD_T,
         n=JACCARD_N,
+        # Synthetic corpus is known vocab-dense (template text): assert
+        # the dense matmul path instead of paying the probe to find out.
+        dense_vocab_cap=4096,
     ).withColumn("n_common", F.col("n_common").cast("long"))
 
 

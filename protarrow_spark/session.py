@@ -13,6 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_mem() -> str:
+    """Driver heap size; one env knob drives both -Xmx and the -Xms pin."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+
 def get_spark(app_name: str = "protarrow-spark", cpus: int | None = None) -> SparkSession:
     """Create (or reuse) a SparkSession with scale-aware defaults."""
     if cpus is None:
@@ -36,10 +41,12 @@ def get_spark(app_name: str = "protarrow-spark", cpus: int | None = None) -> Spa
         # x Arrow batch buffers + broadcast + cache all share this heap.
         # 8g showed GC-pressure variance (2-3x query-time swings late in
         # multi-query sessions); 16g of the box's 128 GiB removes it.
-        # -Xms pins the heap: G1 otherwise uncommits after full GCs and
-        # every heavy query re-pays multi-second heap re-expansion.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.driver.extraJavaOptions", "-Xms16g")
+        # -Xms pins the heap at the same size as -Xmx: G1 otherwise
+        # uncommits after full GCs and every heavy query re-pays
+        # multi-second heap re-expansion. Deriving Xms from the same env
+        # var keeps Xms <= Xmx whatever the user sets.
+        .config("spark.driver.memory", _driver_mem())
+        .config("spark.driver.extraJavaOptions", f"-Xms{_driver_mem()}")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

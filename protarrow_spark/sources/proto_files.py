@@ -94,24 +94,42 @@ def read_proto_binary(
     """
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def split_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             frames: list[bytes] = []
-            for blob in batch["content"].values:
+            for fpath, blob in zip(batch["path"].values, batch["content"].values):
                 data = bytes(blob)
                 pos = 0
                 while pos < len(data):
                     length = 0
                     shift = 0
                     while True:
+                        if pos >= len(data):
+                            raise ValueError(
+                                f"{fpath}: truncated varint length prefix at "
+                                f"byte {pos}"
+                            )
+                        # Varints are at most 64 bits (10 bytes); unbounded
+                        # continuation bits mean corrupt framing, not data.
+                        if shift >= 64:
+                            raise ValueError(
+                                f"{fpath}: malformed varint (>10 continuation "
+                                f"bytes) near byte {pos}"
+                            )
                         b = data[pos]
                         pos += 1
                         length |= (b & 0x7F) << shift
                         if not b & 0x80:
                             break
                         shift += 7
+                    if pos + length > len(data):
+                        raise ValueError(
+                            f"{fpath}: frame of {length} bytes at offset {pos} "
+                            f"overruns file end ({len(data)} bytes) — corrupt "
+                            f"length prefix or truncated file"
+                        )
                     frames.append(data[pos : pos + length])
                     pos += length
             yield pd.DataFrame({"proto": frames})

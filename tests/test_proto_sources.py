@@ -144,3 +144,20 @@ def test_read_csv_typed(spark, tmp_path):
     assert rows[0]["event_id"] == 7 and rows[0]["amount"] == 1.5
     assert rows[0]["user_id"] == 0  # missing scalar -> proto default
     assert rows[0]["ts"] is None
+
+def test_read_proto_binary_corrupt_frames(spark, tmp_path):
+    """Corrupt framing fails loudly with the file path in the error:
+    a length prefix overrunning the file, and an unbounded varint."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    # Frame length 200 but only 3 payload bytes follow.
+    (tmp_path / "bad-length.bin").write_bytes(bytes([200, 1]) + b"abc")
+    with pytest.raises(Exception, match="bad-length.bin"):
+        read_proto_binary(spark, str(tmp_path), EVENT, CFG).collect()
+
+    # 11 continuation bytes: varint wider than 64 bits.
+    (tmp_path / "bad-length.bin").unlink()
+    (tmp_path / "bad-varint.bin").write_bytes(bytes([0x80] * 11) + b"\x01")
+    with pytest.raises(Exception, match="malformed varint"):
+        read_proto_binary(spark, str(tmp_path), EVENT, CFG).collect()

@@ -200,3 +200,24 @@ def test_histogram_quantile_within_one_bin(spark, events):
         for q, col in ((0.5, "q50"), (0.9, "q90")):
             exact = vals[math.ceil(q * n) - 1]
             assert exact - width <= r[col] <= exact + width, (g, col, r[col], exact)
+
+def test_histogram_degenerate_group_returns_lo(spark):
+    """A group whose values are all equal (hi == lo) must yield the
+    value itself for every quantile, not NaN (0/0 guard on both
+    engines)."""
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+    )
+    got = {r["g"]: r for r in sketches.histogram_quantiles(df, "g", "v").collect()}
+    assert got["a"]["q50"] == 5.0 and got["a"]["q90"] == 5.0
+    import math
+
+    assert not math.isnan(got["b"]["q50"])
+
+
+def test_simhash_hamming_rejects_unguaranteed_radius(spark, sf_dir):
+    """max_hamming beyond the pigeonhole bound (chunks - 1) must raise
+    instead of silently returning incomplete candidates."""
+    docs = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=4)
