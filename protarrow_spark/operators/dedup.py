@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from protarrow_spark.functions.text import text_ngrams, tokens
+from protarrow_spark.sources.tables import spread
 
 #: Shared constants — the DuckDB oracle SQL is generated from the same
 #: values (queries/dedup.py), so Spark and oracle always agree.
@@ -41,9 +42,15 @@ _HEX = "0123456789abcdef"
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N) -> DataFrame:
-    """Distinct (id, shingle) pairs."""
+    """Distinct (id, shingle) pairs.
+
+    ``spread`` parallelizes the explode+hash pipeline when the scan is
+    a single compact row group (the local-test regime); at scale the
+    scan is already wide and it is a no-op.
+    """
     return (
-        df.select(F.col(id_col), F.explode(text_ngrams(F.col(text_col), n)).alias("g"))
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(text_ngrams(F.col(text_col), n)).alias("g"))
         .distinct()
     )
 
@@ -252,27 +259,73 @@ def _jaccard_dense_blocked(
             }
         )
 
-    return pairs.groupBy("gi", "gj").applyInPandas(
-        block_pair,
-        f"doc_a {id_type}, doc_b {id_type}, n_common bigint, jaccard double",
+    # Keyed repartition before the grouped-pandas op: the block rows
+    # are byte-small, so AQE would coalesce this shuffle to one
+    # partition — but block-pair cost is a matmul, CPU-quadratic in
+    # block size, not byte-proportional. An explicit repartition is
+    # exempt from AQE coalescing and the groupBy reuses it (no second
+    # shuffle).
+    parallelism = grams.sparkSession.sparkContext.defaultParallelism
+    return (
+        pairs.repartition(parallelism, "gi", "gj")
+        .groupBy("gi", "gj")
+        .applyInPandas(
+            block_pair,
+            f"doc_a {id_type}, doc_b {id_type}, n_common bigint, jaccard double",
+        )
     )
 
 
-def _minhash_expr(j: int) -> Column:
-    return F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"mh{j}")
+#: Universal-hash modulus for MinHash: the Mersenne prime 2^31 - 1.
+#: Products a_j * h stay under 2^62, so the arithmetic is exact in
+#: 64-bit integers on every engine.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_consts(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic ``(a_j, b_j)`` constants for the universal hash
+    family ``h_j = (a_j * h + b_j) mod P`` — derived from md5 so both
+    engines embed the identical literals (no seed table to ship)."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K, n: int = NGRAM_N
 ) -> DataFrame:
-    """k-permutation MinHash signature per document.
+    """k-permutation MinHash signature per document (columns
+    ``mh0..mh{k-1}``, bigint).
 
-    Hash family: md5 of ``"{j}|" + shingle`` — the lexicographic min of
-    fixed-width hex equals the numeric min, is stable across engines,
-    and needs no seed table. One shuffle (groupBy id).
+    Hash family: ONE md5 per shingle, parsed to a 60-bit integer, then
+    k universal hashes ``(a_j * h + b_j) mod (2^31 - 1)`` — numeric
+    min is engine-portable and k-1 md5 calls per shingle cheaper than
+    hashing k times. Shingles are NOT deduplicated first: ``min`` is
+    duplicate-insensitive, so the distinct's extra shuffle would buy
+    nothing — the only shuffle is the per-doc partial-aggregated
+    groupBy of k integers.
     """
-    grams = doc_shingles(df, id_col, text_col, n)
-    return grams.groupBy(id_col).agg(*[_minhash_expr(j) for j in range(k)])
+    grams = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(text_ngrams(F.col(text_col), n)).alias("g")
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(MINHASH_P),
+    )
+    hashed = grams.select(F.col(id_col), h.alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(
+                f"mh{j}"
+            )
+            for j, (a, b) in enumerate(minhash_consts(k))
+        ]
+    )
 
 
 def band_key(b: int, rows_per_band: int) -> Column:
@@ -355,18 +408,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     sum sets the bit.
 
     Scale: explode + single groupBy — same shape as a word count. The
-    md5 digest is projected once per token; the 32 vote expressions
-    read hex digits out of that single digest column.
+    md5 digest is parsed to ONE integer per token (``conv``); the
+    vote expressions are then pure bit arithmetic on that integer —
+    numerically identical to the portable hex-digit string exprs of
+    :func:`simhash_bit_exprs` (which the DuckDB oracle runs), but
+    ~2x faster in codegen since nothing re-touches the string.
     """
     toks = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
-        .select(F.col(id_col), F.md5(F.col("tok")).alias("d"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4), 16, 10)
+            .cast("long")
+            .alias("v"),
+        )
     )
+    # simhash_bit_exprs numbers bit k as bit k%4 of 1-based hex digit
+    # k//4; conv() parses digit 1 as the MOST significant nibble, so in
+    # the parsed integer that same bit sits at position
+    # (top_nibble - 4*(k//4)) + k%4.
+    top = 4 * ((bits + 3) // 4 - 1)
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(F.expr(e)).alias(f"s{k}")
-            for k, e in enumerate(simhash_bit_exprs("d", bits))
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("v"), top - 4 * (k // 4) + (k % 4)) % 2 == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{k}")
+            for k in range(bits)
         ]
     )
     sig = sum(
@@ -402,26 +474,36 @@ def simhash_hamming_pairs(
     chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
     """Near-duplicate pairs within ``max_hamming`` SimHash bits, via
-    banded chunk probing — the hamming-k generalization of
-    :func:`simhash_duplicate_groups`.
+    banded chunk probing over DISTINCT signatures — the hamming-k
+    generalization of :func:`simhash_duplicate_groups`.
 
     Pigeonhole guarantee: a pair differing in <= ``chunks - 1`` bits
     agrees on at least one of the ``chunks`` signature chunks, so
     chunk-bucket cogrouping finds EVERY such pair (exact recall for
     the default ``max_hamming = chunks - 1``).
 
-    Plan shape: ONE shuffle moves each (id, signature) row to its
-    ``chunks`` buckets (rows are 2 integers — there is no payload to
-    save by going "skinny"); per bucket, all pairwise hamming
-    distances come from one vectorized XOR + byte-LUT popcount. Each
-    surviving pair is emitted exactly once — by its FIRST agreeing
-    chunk (every bucket holds full signatures, so prior-chunk
-    agreement is a local check) — so there is NO pair-dedup shuffle
-    at all; the output is a disjoint union over buckets. On
-    duplicate-heavy corpora the hot bucket is the dominant cost
-    wherever you put it — numpy does b^2 popcounts ~3 orders of
-    magnitude faster than a candidate equi-join + distinct + two
-    signature fetch joins materializing the same pairs.
+    Plan shape — the key move is deduplicating signatures FIRST:
+
+    1. groupBy signature -> (signature, members) groups. On a
+       duplicate-heavy corpus (the whole reason to run this operator)
+       this collapses the pair space quadratically: D distinct
+       signatures give D^2 candidate work instead of n^2.
+    2. Banded chunk probing over the D signatures only: one shuffle of
+       (signature, chunk) rows; per bucket a vectorized XOR + byte-LUT
+       popcount scores all signature pairs, emitting each surviving
+       pair exactly once — by its FIRST agreeing chunk (buckets hold
+       full signatures, so prior-chunk agreement is a local check), so
+       there is no pair-dedup shuffle at all. The explicit keyed
+       ``repartition`` pins bucket parallelism: AQE would coalesce
+       this byte-tiny shuffle to one partition, serializing buckets
+       whose cost is CPU-quadratic, not byte-proportional.
+    3. Expansion back to doc pairs happens JVM-side in whole-stage
+       codegen: identical-signature (hamming-0) pairs from a
+       positional self-explode of each member list; cross-signature
+       pairs by joining the surviving signature pairs to the member
+       lists and exploding both sides. Python/Arrow never touches a
+       doc-pair row — on degenerate corpora the output is O(n^2)-ish
+       and building it in pandas was the old bottleneck.
 
     Output: doc_a, doc_b, hamming (bigint).
     """
@@ -437,48 +519,89 @@ def simhash_hamming_pairs(
 
     width = bits // chunks
     sigs = simhash(df, id_col, text_col, bits)
-    chunk_exprs = [
-        ((F.col("simhash") / F.lit(2 ** (width * c))).cast("long") % F.lit(2**width)).alias(
-            f"c{c}"
-        )
-        for c in range(chunks)
-    ]
-    bands = sigs.select(F.col(id_col), "simhash", *chunk_exprs).select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(F.array(*[F.col(f"c{c}") for c in range(chunks)])).alias(
-            "chunk_idx", "chunk_val"
-        ),
+    # Feeds banding + both expansion joins: materialize once.
+    groups = (
+        sigs.groupBy("simhash")
+        .agg(F.collect_list(F.col(id_col)).alias("members"))
+        .localCheckpoint(eager=True)
     )
-    id_type = df.schema[id_col].dataType.simpleString()
+
+    # Hamming-0: docs sharing one signature; positional i < j gives each
+    # unordered pair once, least/greatest canonicalizes the order.
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.col("members"), F.posexplode("members").alias("i", "da"))
+        .select("members", "i", "da", F.posexplode("members").alias("j", "db"))
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+
+    bands = groups.select(
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        (F.col("simhash") / F.lit(2 ** (width * c))).cast("long")
+                        % F.lit(2**width)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    bands = bands.repartition(parallelism, "chunk_idx", "chunk_val")
     lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    nbytes = max(1, (bits + 7) // 8)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        empty = pd.DataFrame({"sig_a": [], "sig_b": [], "hamming": []})
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        s = pdf["simhash"].to_numpy(dtype=np.uint64).astype(np.uint32)
-        # Work on upper-triangle pair vectors, never an n x n matrix.
+            return empty
+        pdf = pdf.sort_values("simhash").reset_index(drop=True)
+        s = pdf["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        # Upper-triangle pair vectors over DISTINCT signatures only.
         ia, ib = np.triu_indices(n, k=1)
         x = s[ia] ^ s[ib]
-        ham = lut[x.view(np.uint8).reshape(-1, 4)].sum(axis=-1)
-        keep = ham <= max_hamming
+        ham = (
+            lut[x.view(np.uint8).reshape(-1, 8)[:, :nbytes]].sum(axis=-1).astype(np.int64)
+        )
+        keep = (ham >= 1) & (ham <= max_hamming)
         # Emit-once: skip pairs already found by an earlier chunk.
         this_chunk = int(pdf["chunk_idx"].iloc[0])
-        mask = np.uint32(2**width - 1)
+        mask = np.uint64(2**width - 1)
         for cp in range(this_chunk):
-            sh = np.uint32(width * cp)
+            sh = np.uint64(width * cp)
             keep &= ((s[ia] >> sh) & mask) != ((s[ib] >> sh) & mask)
-        ids = pdf[id_col].values
         return pd.DataFrame(
             {
-                "doc_a": ids[ia[keep]],
-                "doc_b": ids[ib[keep]],
-                "hamming": ham[keep].astype("int64"),
+                "sig_a": s[ia[keep]].astype(np.int64),
+                "sig_b": s[ib[keep]].astype(np.int64),
+                "hamming": ham[keep],
             }
         )
 
-    return bands.groupBy("chunk_idx", "chunk_val").applyInPandas(
-        bucket_pairs, f"doc_a {id_type}, doc_b {id_type}, hamming long"
+    sig_pairs = bands.groupBy("chunk_idx", "chunk_val").applyInPandas(
+        bucket_pairs, "sig_a long, sig_b long, hamming long"
     )
+
+    ga = groups.select(F.col("simhash").alias("sig_a"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("simhash").alias("sig_b"), F.col("members").alias("mb"))
+    cross = (
+        sig_pairs.join(ga, "sig_a")
+        .join(gb, "sig_b")
+        .select("hamming", F.explode("ma").alias("da"), "mb")
+        .select("hamming", "da", F.explode("mb").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    return intra.unionByName(cross)

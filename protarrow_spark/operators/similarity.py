@@ -280,8 +280,15 @@ def _bucket_gram_pairs(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[ia, ib][keep]}
         )
 
-    return keyed.groupBy(*group_cols).applyInPandas(
-        bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double"
+    # Explicit keyed repartition: AQE coalesces byte-small shuffles to
+    # one partition, but bucket cost is a Gram matmul — CPU-quadratic
+    # in bucket size. User repartition is exempt from coalescing and
+    # the groupBy reuses the partitioning (no extra shuffle).
+    parallelism = keyed.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartition(parallelism, *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine double")
     )
 
 

@@ -58,8 +58,21 @@ def _grams_cte(n: int) -> str:
 
 
 def _sig_cte(k: int) -> str:
-    mins = ", ".join(f"min(md5('{j}|' || g)) AS mh{j}" for j in range(k))
-    return f"sig AS (SELECT doc_id, {mins} FROM dg GROUP BY doc_id)"
+    """Mirrors operators.dedup.minhash_signatures: one md5 per shingle
+    parsed to a 60-bit int, then k universal hashes mod 2^31 - 1 with
+    the same md5-derived (a, b) literals. min() is duplicate-
+    insensitive, so reusing the DISTINCT dg CTE is value-identical to
+    the engine's non-distinct gram stream."""
+    p = dedup.MINHASH_P
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.minhash_consts(k))
+    )
+    return (
+        f"hg AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {p}"
+        " AS h FROM dg),\n"
+        f"sig AS (SELECT doc_id, {mins} FROM hg GROUP BY doc_id)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the plan is under-parallel, else no-op.
+
+    CPU-heavy per-row pipelines (shingling, hashing, vector math)
+    inherit the scan's partitioning; a compact parquet file is one row
+    group = ONE task, serializing the whole pipeline on a single core.
+    At 100 TB a scan has thousands of row groups and this never fires —
+    the repartition triggers only when its cost (reshuffling a small
+    input) is trivial by construction.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
