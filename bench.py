@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "agg_percentile_disc",
     "join_asof_events",
+    "q8_market_share",
+    "q18_large_orders",
 ]
 
 

@@ -198,10 +198,11 @@ WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate CTE + scalar-subquery max filter.
 
-    Scale: the revenue aggregate shuffles once on l_suppkey; the max
-    is a 1-row broadcast crossed back against the same (reused)
-    aggregate, so the CTE computes once. The max comparison happens on
-    the exact decimal, never the rounded double.
+    Scale: the revenue aggregate shuffles once on l_suppkey and is
+    materialized once (localCheckpoint — exchange reuse does not fire
+    across the max-broadcast join under AQE, so without it lineitem
+    would be scanned and aggregated twice). The max comparison happens
+    on the exact decimal, never the rounded double.
     """
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -214,6 +215,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC6)
             ).alias("total_rev")
         )
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -371,4 +373,401 @@ def q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast(DEC4)).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume by year.
+
+    Scale: nation broadcasts twice (fixed-size dim); the lineitem ⋈
+    orders shuffle on the order key dominates and happens once;
+    supplier/customer join after their nation filters prune them, so
+    AQE can broadcast the filtered sides. Decimal-exact revenue.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+        )
+        .agg(_dsum(rev, DEC6).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH vol AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                          ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's PROMO
+    volume, by order year.
+
+    Scale: a 7-table join tree — the two fixed dims (nation, region)
+    broadcast; part's type filter prunes before its join; the two big
+    shuffles (lineitem ⋈ orders on the order key, then ⋈ customer on
+    the customer key) are unavoidable and keyed uniformly. The share
+    is a ratio of two decimal-exact sums per group.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC6)
+    vol = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(region), F.col("crk") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+        F.lit(0).cast(DEC6)
+    )
+    return vol.groupBy("o_year").agg(
+        (F.sum(nation_rev).cast("double") / F.sum("rev").cast("double"))
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS v
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey = 5
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(v AS DOUBLE) > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM val)
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value (from one nation's
+    suppliers) exceeds a fraction of the total — aggregate reused by
+    a scalar subquery over itself.
+
+    Scale: the per-part aggregate shuffles once on l_partkey and is
+    materialized once (localCheckpoint — plan-identical exchange
+    reuse does NOT fire across the crossJoin under AQE, so without it
+    lineitem would be scanned and aggregated twice); the grand total
+    is then a 1-row broadcast crossed back. Threshold compares exact
+    decimal sums cast to double identically on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5).select("s_suppkey")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC6)
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("cutoff"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("cutoff"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM co
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram via a left
+    outer join with a join-time predicate (NOT a post-filter: the
+    predicate must not drop order-less customers).
+
+    Scale: the left join shuffles on the customer key; COUNT(o_orderkey)
+    counts only matched rows (null for the unmatched), and the second
+    aggregation is over one row per customer — trivially small.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    co = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a supplier blacklist (NOT IN -> anti-join).
+
+    Scale: part's attribute filters prune at the scan; the blacklist
+    is a tiny aggregate side that broadcasts for the anti-join; the
+    count-distinct expands to (brand,type,size,suppkey) partial
+    dedup map-side before the final shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_sum,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0
+       AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.pk = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * n < qty_sum
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-20%-of-average-quantity
+    line items of one brand (correlated per-part average).
+
+    The threshold l_quantity < 0.2 * avg rewrites to the division-free
+    5 * n * l_quantity < sum so both engines compare EXACT decimals —
+    a double average would make borderline rows engine-dependent.
+    Scale: the per-part aggregate shuffles on the part key once and
+    joins back; the brand filter prunes the probe side first.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    qdec = F.col("l_quantity").cast("decimal(18,4)")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qdec).alias("qty_sum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(qdec * F.lit(5) * F.col("n") < F.col("qty_sum"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC6)).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50
+)
+""",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved bulk volume of PROMO parts
+    in a year — IN over a grouped-HAVING subquery (semi-join).
+
+    Scale: the inner aggregate shuffles on (suppkey, partkey) after
+    scan-level date + part-type pruning; the HAVING survivor set is
+    tiny, so the outer semi-join broadcasts it. Decimal quantity sum
+    keeps the HAVING threshold exact.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = table(spark, sf_dir, "supplier")
+    bulk = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH lates AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+),
+solo AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS culprit
+  FROM lates GROUP BY l_orderkey HAVING COUNT(*) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM solo
+JOIN multi USING (l_orderkey)
+JOIN supplier ON s_suppkey = culprit
+GROUP BY s_name
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier per multi-supplier
+    order (EXISTS + NOT-EXISTS pair, rewritten as two aggregates —
+    'some other supplier in the order' and 'no other LATE supplier').
+
+    (No l_commitdate/l_receiptdate in the driver's lineitem; 'late' =
+    shipped >60 days after the order date.) Scale: all three legs key
+    on l_orderkey, so one shuffle partitioning serves the late-pair
+    dedup, the multi-supplier count, and the solo-late reduction; the
+    final supplier join is over the tiny culprit set.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = table(spark, sf_dir, "supplier")
+    lates = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    solo = (
+        lates.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("culprit"), F.count(F.lit(1)).alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey", "culprit")
+    )
+    return (
+        solo.join(multi, "l_orderkey")
+        .join(supp, F.col("culprit") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
