@@ -1,0 +1,167 @@
+"""Structured Streaming queries in the correctness gate.
+
+The reference documents streaming only as an ecosystem pattern
+(``docs/faq.md:20-25``); here the streaming operators are first-class
+oracle-gated queries: each runs a real Structured Streaming job
+(``readStream`` file source -> watermarked windowed aggregation ->
+``availableNow`` trigger -> memory sink) whose completed output is
+deterministically equal to a batch aggregation — so the SAME DuckDB
+value-oracle machinery that gates batch queries gates streaming.
+
+Scale notes: the file source stands in for Kafka (swap
+``readStream.format("kafka")`` + the proto decode path,
+``streaming/pipeline.py``); the stateful window agg shuffles on the
+window key exactly like batch, and the watermark bounds state. The
+``availableNow`` trigger processes the backlog and terminates, which
+is also the production backfill pattern.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from protarrow_spark.queries.registry import query
+
+#: events.parquet carries TIMESTAMP(NANOS); the streaming schema reads
+#: it as long nanos (session sets nanosAsLong) and converts to µs.
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion into a memory sink and
+    return the completed table. Complete output mode: every window is
+    in the final table, so the result equals the batch aggregation
+    (append mode would hold back windows newer than the watermark)."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+@query(
+    "stream_window_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour counts per event type, run as a REAL
+    streaming job (readStream -> window agg -> availableNow -> memory
+    sink); the completed stream equals the batch hourly rollup, which
+    is what the oracle pins.
+
+    Scale: one stateful shuffle on (window, type) — identical to the
+    batch agg; the 2h watermark bounds state on an unbounded source.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "mem_stream_window_counts")
+
+
+@query(
+    "stream_sliding_value",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b30, event_type, value
+  FROM events
+),
+w AS (
+  SELECT b30 AS win_start, event_type, value FROM b
+  UNION ALL
+  SELECT b30 - INTERVAL '30 minutes' AS win_start, event_type, value FROM b
+)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1h/30m windowed totals per event type as a
+    streaming job. Each event lands in exactly 2 overlapping windows —
+    the oracle materializes the same assignment as a 2-way UNION of
+    shifted 30-minute buckets.
+
+    Scale: Spark expands the window assignment JVM-side (2 rows per
+    event), then one stateful shuffle on (window, type); watermark
+    bounds state.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "mem_stream_sliding_value")
+
+
+@query("stream_stateful_user_totals")  # no oracle: custom stateful op
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative totals via ``applyInPandasWithState`` run as
+    a streaming job (update mode). Genuinely non-SQL-expressible
+    (arbitrary Python state machine), so registered without an oracle:
+    the driver records the weaker rows-only check — one output row per
+    distinct user for the single-file backlog batch.
+
+    Scale: state is one (n, sum) pair per key; the grouped shuffle is
+    the same as a batch groupBy on user_id.
+    """
+    from protarrow_spark.streaming.stateful import running_totals
+
+    ev = _stream_events(spark, sf_dir)
+    totals = running_totals(ev, "user_id", "value")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("mem_stream_stateful_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mem_stream_stateful_user_totals")
