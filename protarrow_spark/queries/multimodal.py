@@ -156,3 +156,61 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_height",
         F.when(F.col("resized").isNotNull(), F.md5(F.hex("resized"))).alias("resized_md5"),
     )
+
+
+_AMAGIC = multimodal.FAKE_AUDIO_MAGIC_HEX
+_AWIN = multimodal.AUDIO_WINDOW
+
+
+def _audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): ids ≡ 1 (mod 4) get the FAUD
+    magic (a mixed corpus: the operator must skip the rest)."""
+    docs = table(spark, sf_dir, "documents")
+    blob_hex = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.lit(_AMAGIC), F.hex(F.encode("text", "UTF-8"))),
+    ).otherwise(F.hex(F.encode("text", "UTF-8")))
+    return docs.select("doc_id", F.unhex(blob_hex).alias("blob"))
+
+
+@query(
+    "mm_audio_windows",
+    oracle=f"""
+WITH ablobs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN '{_AMAGIC}' || hex(encode(text))
+              ELSE hex(encode(text)) END AS blob_hex
+  FROM documents
+),
+aud AS (
+  SELECT doc_id, substr(blob_hex, 9) AS ph
+  FROM ablobs WHERE substr(blob_hex, 1, 8) = '{_AMAGIC}'
+),
+samples AS (
+  SELECT doc_id,
+         i - 1 AS si,
+         (i - 1) // {_AWIN} AS win_idx,
+         {_byteval('ph', 'i')} AS v
+  FROM aud, LATERAL unnest(range(1, len(ph) // 2 + 1)) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, win_idx, v,
+         CASE WHEN si % {_AWIN} > 0
+               AND (v >= 128) <> (LAG(v) OVER (PARTITION BY doc_id ORDER BY si) >= 128)
+              THEN 1 ELSE 0 END AS zc
+  FROM samples
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       COUNT(*) AS n_samples,
+       CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy_sum,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM flagged
+GROUP BY doc_id, win_idx
+""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF (stubbed-codec) windowed audio features — integer-
+    exact energy and zero-crossing counts, recomputed byte-for-byte by
+    the oracle from the hex rendering."""
+    return multimodal.audio_window_features(_audio_blobs(spark, sf_dir), "doc_id", "blob")

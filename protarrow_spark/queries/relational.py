@@ -274,7 +274,13 @@ GROUP BY p_brand
 )
 def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dim broadcast hash join: no shuffle of the fact table
-    for the join; only the 25-group aggregate shuffles."""
+    for the join; only the 25-group aggregate shuffles.
+
+    This is the engine's broadcast-join demonstration, so the hint is
+    explicit by design; part is sf-proportional, so at a scale where
+    the filtered build side outgrows executor memory the hint comes
+    off and AQE decides (the pattern every OTHER part join here uses,
+    e.g. q14/q19)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))

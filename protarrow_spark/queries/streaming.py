@@ -141,6 +141,50 @@ def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "mem_stream_sliding_value")
 
 
+@query(
+    "stream_session_windows",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user as a streaming job
+    — Structured Streaming's native ``session_window`` dynamic-merge
+    state. A session's range is [start, last + gap): an event exactly
+    gap after its predecessor starts a NEW session, which is why the
+    lag-based oracle breaks on ``>= gap`` (not ``>``).
+
+    Scale: state per in-flight session, merged as events arrive and
+    evicted past the watermark; the shuffle keys on user_id only.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"), "user_id", "n_events"
+        )
+    )
+    return _run_to_memory(agg, "mem_stream_session_windows")
+
+
 @query("stream_stateful_user_totals")  # no oracle: custom stateful op
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cumulative totals via ``applyInPandasWithState`` run as

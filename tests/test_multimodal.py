@@ -123,3 +123,23 @@ def test_resize_nearest_semantics(spark):
     assert bytes(got[1]["resized"]) == expected
     assert got[1]["new_width"] == 8 and got[1]["new_height"] == 2
     assert got[2]["resized"] is None and got[2]["new_width"] is None
+
+
+def test_audio_window_features_skips_non_audio(spark):
+    """Mixed corpus: only FAUD blobs produce windows; energy and
+    zero-crossings are integer-exact for a known payload."""
+    from protarrow_spark.operators import multimodal as mm
+
+    rows = [
+        (1, mm.FAKE_AUDIO_MAGIC + bytes([128, 130, 126, 130])),
+        (2, b"plain bytes, no magic"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in mm.audio_window_features(df, "doc_id", "blob").collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_samples"] == 4
+    # deviations: 0, 2, -2, 2 -> energy 0+4+4+4
+    assert r["energy_sum"] == 12
+    # classes: hi hi lo hi -> crossings at i=2 and i=3
+    assert r["zero_crossings"] == 2
