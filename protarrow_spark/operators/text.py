@@ -175,3 +175,52 @@ def winnow_fingerprints(
             "fp_digest"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_dup_frac: float = 0.3,
+) -> DataFrame:
+    """Repetition-based quality signals per document — the Gopher /
+    Dolma "repetitious text" filters (fraction of tokens inside
+    duplicated n-grams, fraction covered by the single most frequent
+    n-gram), computed from word n-gram frequency counts.
+
+    Not in the reference (conversion-only, SURVEY.md §2.2); part of
+    the north-star LLM-pipeline text layer.
+
+    Scale: documents are hash-partitioned by id ONCE (the text column
+    shuffles a single time); both downstream groupBys — ``(doc, gram)``
+    counts, then per-doc totals — reuse that partitioning, so the
+    exploded gram stream (~2x the text bytes) never crosses the wire.
+    No joins, no Python in the row path. All ratios are single
+    divisions of exact integer counts, so results hash-match any SQL
+    engine.
+
+    Output: id, n_ngrams, dup_ngram_frac, top_ngram_frac,
+    keep (dup_ngram_frac < ``max_dup_frac``).
+    """
+    from protarrow_spark.functions.text import text_ngrams
+
+    grams = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(text_ngrams(F.col(text_col), n)).alias("g"))
+    )
+    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_toks"),
+        F.max("c").alias("top_c"),
+    )
+    dup_frac = F.col("dup_toks").cast("double") / F.col("n_ngrams")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        dup_frac.alias("dup_ngram_frac"),
+        (F.col("top_c").cast("double") / F.col("n_ngrams")).alias("top_ngram_frac"),
+        (dup_frac < F.lit(max_dup_frac)).alias("keep"),
+    )

@@ -722,3 +722,53 @@ def text_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tf", "df_docs", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition_filter — Gopher/Dolma-style repetition quality
+# ---------------------------------------------------------------------------
+
+REPETITION_N = 2
+REPETITION_MAX_DUP = 0.3
+
+
+def _repetition_oracle(n: int = REPETITION_N, thr: float = REPETITION_MAX_DUP) -> str:
+    # ALL n-grams (not distinct — frequencies matter), mirroring
+    # functions/text.py text_ngrams incl. the short-doc whole-text
+    # fallback; integer counts + single final divisions.
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+    THEN [array_to_string(t[i:i+{n - 1}], ' ') for i in range(1, len(t) - {n} + 2)]
+    ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks
+),
+counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+         AS dup_ngram_frac,
+       CAST(max(c) AS DOUBLE) / sum(c) AS top_ngram_frac,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) < {thr}
+         AS keep
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@query("text_repetition_filter", oracle=_repetition_oracle())
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (duplicate-bigram and
+    top-bigram token fractions) — operators/text.py repetition_stats.
+
+    Scale: word-count-shaped — explode + two partial-aggregated
+    groupBys, zero joins, all codegen."""
+    return text.repetition_stats(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=REPETITION_N,
+        max_dup_frac=REPETITION_MAX_DUP,
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from protarrow_spark.functions.time import epoch_micros
 from protarrow_spark.queries.registry import query
 from protarrow_spark.sources.tables import table
 
@@ -401,15 +402,15 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
-        (F.unix_micros(F.col("ts")) / F.lit(60_000_000)).cast("long").alias("c_bucket"),
+        (epoch_micros("ts") / F.lit(60_000_000)).cast("long").alias("c_bucket"),
     )
     # Each error probes its own bucket and the previous one (window = 60s).
     probe = errors.withColumn(
         "p_bucket",
         F.explode(
             F.array(
-                (F.unix_micros(F.col("e_ts")) / F.lit(60_000_000)).cast("long"),
-                (F.unix_micros(F.col("e_ts")) / F.lit(60_000_000)).cast("long") - 1,
+                (epoch_micros("e_ts") / F.lit(60_000_000)).cast("long"),
+                (epoch_micros("e_ts") / F.lit(60_000_000)).cast("long") - 1,
             )
         ),
     )
@@ -509,7 +510,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+        (epoch_micros("ts") - epoch_micros(F.lag("ts").over(w))).alias(
             "micros_since_prev"
         ),
     )
@@ -565,8 +566,8 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "user_id",
-        F.unix_micros("session_start").alias("session_start_us"),
-        F.unix_micros("session_end").alias("session_end_us"),
+        epoch_micros("session_start").alias("session_start_us"),
+        epoch_micros("session_end").alias("session_end_us"),
         "n_events",
         "sum_value",
     )
@@ -1016,7 +1017,7 @@ def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
@@ -1048,3 +1049,47 @@ def unpivot_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("double").alias("custkey"),
     )
     return orders.unpivot("o_orderkey", ["totalprice", "custkey"], "name", "val")
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+WITH j AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                          AS n_events,
+       CAST(sum(k) AS BIGINT)                            AS sum_k,
+       CAST(min(k) AS BIGINT)                            AS min_k,
+       CAST(max(k) AS BIGINT)                            AS max_k,
+       CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+FROM j
+GROUP BY event_type
+""",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column processing: parse ``events.props``
+    with a typed contract (``from_json`` with an explicit schema — the
+    same external-schema-is-truth stance as the proto conversion
+    layer, SURVEY.md §1.1) and aggregate the extracted field.
+
+    Scale: JSON parsing is a JVM codegen expression in the scan
+    projection (no Python); one partial-aggregated groupBy on a
+    low-cardinality key. Malformed JSON yields NULL, never an error —
+    the PERMISSIVE contract a 100 TB ingest needs.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+        )
+    )

@@ -23,23 +23,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 from protarrow_spark.queries.registry import query
 
-#: events.parquet carries TIMESTAMP(NANOS); the streaming schema reads
-#: it as long nanos (session sets nanosAsLong) and converts to µs.
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet.
+
+    A file stream needs an explicit schema; deriving it from the batch
+    reader (a footer-only peek, no data scan) keeps the stream layout
+    in lockstep with whatever the source actually stores — TIMESTAMP
+    (NANOS) read as long nanos in older drops, plain µs TIMESTAMP_NTZ
+    today — mirroring sources/tables.py. Watermarks require the zoned
+    TIMESTAMP type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so
+    naive event time is cast under the UTC session every registered
+    query pins — wall clock unchanged, matching the oracle's naive
+    timestamps.
+    """
+    import os
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(agg: DataFrame, name: str) -> DataFrame:
