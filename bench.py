@@ -48,6 +48,10 @@ HEADLINE = [
     "join_asof_events",
     "q8_market_share",
     "q18_large_orders",
+    "text_repetition_filter",
+    "text_decontaminate",
+    "pack_sequences",
+    "scalar_json_extract",
 ]
 
 

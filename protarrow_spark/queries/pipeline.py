@@ -772,3 +772,120 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=REPETITION_N,
         max_dup_frac=REPETITION_MAX_DUP,
     )
+
+
+# ---------------------------------------------------------------------------
+# text_decontaminate — eval-set n-gram contamination detection
+# ---------------------------------------------------------------------------
+
+#: Docs whose id falls in this residue class act as the held-out
+#: "benchmark" set; everything else is the training corpus.
+DECON_EVAL_MOD = 20
+DECON_N = 3
+
+
+def _decon_oracle(n: int = DECON_N, mod: int = DECON_EVAL_MOD) -> str:
+    return f"""
+WITH {_toks_cte()},
+{_grams_cte(n)},
+eval_g AS (SELECT DISTINCT g FROM dg WHERE doc_id % {mod} = 0)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM dg d JOIN eval_g e USING (g)
+WHERE d.doc_id % {mod} <> 0
+GROUP BY d.doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_decon_oracle())
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word {DECON_N}-gram with a held-out eval set (docs in residue
+    class 0 mod {DECON_EVAL_MOD}), reporting how many distinct eval
+    shingles each one contains.
+
+    Scale: the eval set is benchmark-sized (MBs against a 100 TB
+    corpus), so its distinct-shingle set BROADCASTS — the training
+    corpus is filtered by a broadcast hash semi-join in the scan
+    stage and never shuffles; only matching (doc, gram) pairs reach
+    the per-doc count. This is the standard n-gram decontamination
+    pass (GPT-3 appendix C / PaLM style) expressed as one broadcast
+    join + one groupBy.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = dedup.doc_shingles(docs, "doc_id", "text", DECON_N)
+    eval_g = (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — contiguous context-window packing for training shards
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {PACK_WINDOW} AS BIGINT) AS pack_id
+FROM o
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-shard preparation: concatenate
+    each source's documents in deterministic (doc_id) order and chunk
+    the token stream into {PACK_WINDOW}-token context windows — every
+    doc gets its running token offset and the window (pack) its first
+    token lands in. The GPT-style concat-then-chunk packing model
+    (deterministic, join-free), not FFD bin-packing (which is
+    inherently sequential-greedy and changes results under
+    reordering).
+
+    Scale: one shuffle on source (the shard key); the running offset
+    is a window cumsum inside each shard, all codegen, and integer
+    token counts make every engine agree exactly.
+    """
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        off,
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_WINDOW))
+        .cast("long")
+        .alias("pack_id"),
+    )

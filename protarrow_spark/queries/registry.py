@@ -77,7 +77,8 @@ GRADED_FIRST = [
     "text_language_id",
     "text_token_bpe",
     "text_winnow_fingerprint",
-    "text_tf_scores",
+    "text_decontaminate",
+    "pack_sequences",
     # similarity search
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -111,7 +112,6 @@ GRADED_FIRST = [
     "sort_topk_lineitems",
     "set_union_priority_keys",
     "pivot_event_matrix",
-    "scalar_string_date_funcs",
     "scalar_json_extract",
     "sample_hash_lineitem",
     # structured streaming (oracle-gated + one stateful rows-only)

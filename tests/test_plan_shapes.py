@@ -114,3 +114,35 @@ def test_bpe_tokens_single_scan_no_shuffle(spark, sf_dir) -> None:
     """Per-document token stats are a pure projection: zero exchanges."""
     plan = _plan(spark, sf_dir, "text_token_bpe")
     assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir) -> None:
+    """The eval shingle set is benchmark-sized; the corpus side must be
+    filtered by a broadcast hash join (no corpus shuffle for candidate
+    generation) and never a nested loop."""
+    plan = _plan(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_filter_single_exchange(spark, sf_dir) -> None:
+    """Docs are hash-partitioned by id once; both gram groupBys reuse
+    that partitioning, so the exploded gram stream never shuffles."""
+    plan = _plan(spark, sf_dir, "text_repetition_filter")
+    assert plan.count("Exchange") == 1
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir) -> None:
+    """Packing is one shuffle on the shard key + a window cumsum."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_json_extract_parses_in_scan_projection(spark, sf_dir) -> None:
+    """from_json must sit in the pre-aggregate projection (JVM
+    codegen), with only the two needed columns read from parquet."""
+    plan = _plan(spark, sf_dir, "scalar_json_extract")
+    assert "from_json" in plan
+    assert "ReadSchema: struct<event_type:string,props:string>" in plan
