@@ -138,7 +138,12 @@ def cms_heavy_hitters(
     Output: key, est_count (long), true_count (long) — the true count
     is carried alongside to make over-estimation measurable.
     """
-    keys = df.select(F.col(key_col).alias("key"))
+    from protarrow_spark.sources.tables import spread
+
+    # The 4x md5 bucket hashing is CPU-bound in the scan stage;
+    # spread parallelizes it when the local file is one row group
+    # (no-op at scale — see sources/tables.py).
+    keys = spread(df.select(F.col(key_col).alias("key")))
     # One scan: each row fans out to its `depth` (j, bucket) cells via
     # explode (the oracle's UNION ALL reads the table `depth` times —
     # same counters, different plan).

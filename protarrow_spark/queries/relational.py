@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from protarrow_spark.functions.time import epoch_micros
 from protarrow_spark.queries.registry import query
-from protarrow_spark.sources.tables import table
+from protarrow_spark.sources.tables import spread, table
 
 # Exact decimal accumulation: double sums are order-dependent, decimal
 # sums are not. Cast each addend to decimal, sum exactly, cast back.
@@ -60,13 +60,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: filter reaches the parquet scan (PushedFilters), partial
     aggregation happens map-side, the shuffle carries only 6 groups.
+    ``spread`` parallelizes the decimal-heavy partial aggregate when
+    the local file is a single row group (one scan task); at real
+    scale the scan is already wide and it is a no-op.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     cnt = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        spread(li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -55,18 +55,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition IF the plan is under-parallel, else no-op.
 
-    CPU-heavy per-row pipelines (shingling, hashing, vector math)
-    inherit the scan's partitioning; a compact parquet file is one row
-    group = ONE task, serializing the whole pipeline on a single core.
-    At 100 TB a scan has thousands of row groups and this never fires —
-    the repartition triggers only when its cost (reshuffling a small
-    input) is trivial by construction.
+    CPU-heavy per-row pipelines (shingling, hashing, vector math,
+    wide decimal aggregation) inherit the scan's partitioning; a
+    compact parquet file is one row group = ONE task, serializing the
+    whole pipeline on a single core. At 100 TB a scan has thousands
+    of row groups and this never fires — the repartition triggers
+    only when its cost (reshuffling a small input) is trivial by
+    construction.
+
+    Parallelism probe: ``inputFiles()`` (a file listing — cheap)
+    rather than ``rdd.getNumPartitions()`` (forces a full
+    plan-to-RDD conversion costing seconds). Non-file-backed frames
+    keep the RDD fallback.
     """
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files:
+        if len(files) >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(
