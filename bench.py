@@ -52,6 +52,9 @@ HEADLINE = [
     "text_decontaminate",
     "pack_sequences",
     "scalar_json_extract",
+    "layout_zorder_lineitem",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
 ]
 
 

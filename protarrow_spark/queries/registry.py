@@ -107,7 +107,8 @@ GRADED_FIRST = [
     "window_topk_per_segment",
     "window_running_revenue",
     "window_sessionize",
-    "window_time_range_sum",
+    # data layout
+    "layout_zorder_lineitem",
     # sort / set / pivot / scalar / sampling
     "sort_topk_lineitems",
     "set_union_priority_keys",

@@ -1096,3 +1096,86 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
         )
     )
+
+
+def _zorder_oracle() -> str:
+    from protarrow_spark.operators.layout import ZORDER_BITS, zorder_sql
+
+    z = zorder_sql("l_partkey", "l_suppkey", ZORDER_BITS)
+    shift = 1 << (2 * ZORDER_BITS - 6)
+    return f"""
+WITH z AS (
+  SELECT l_partkey AS x, l_suppkey AS y, ({z}) // {shift} AS bucket
+  FROM lineitem
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z
+GROUP BY bucket
+"""
+
+
+@query("layout_zorder_lineitem", oracle=_zorder_oracle())
+def layout_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering over (l_partkey, l_suppkey):
+    each row's file bucket is the top 6 bits of the interleaved key,
+    and the output is the per-bucket min/max statistics a reader's
+    file-skipping consults — tight rectangles in both dimensions,
+    which is what makes predicates on EITHER column prune most
+    buckets at 100 TB (operators/layout.py).
+
+    Scale: z-key is constant-folded shift/mask arithmetic in the scan
+    projection; one partial-aggregated groupBy on <= 64 bucket keys.
+    The actual rewrite is repartitionByRange(zkey) +
+    sortWithinPartitions + write — the statistics here are the
+    measurable effect.
+    """
+    from protarrow_spark.operators.layout import zorder_layout_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    return zorder_layout_stats(li, "l_partkey", "l_suppkey")
+
+
+@query(
+    "window_ntile_bins",
+    oracle="""
+WITH b AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM b
+GROUP BY event_type, bin
+""",
+)
+def window_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quantile binning (feature bucketing): NTILE(10) per
+    event type over a total order, then per-bin row counts and value
+    ranges — deterministic exact decile edges, no engine-private
+    interpolation (the same reason agg_percentile_disc avoids
+    percentile_cont).
+
+    Scale: one shuffle on event_type; NTILE is a single window pass;
+    min/max carry raw doubles (no accumulation-order sensitivity).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

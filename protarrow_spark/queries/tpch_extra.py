@@ -17,7 +17,7 @@ tiebreakers on every LIMIT.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from protarrow_spark.queries.registry import query
 from protarrow_spark.queries.relational import DEC4, DEC6, _dsum
@@ -770,4 +770,131 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("culprit") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+c AS (
+  SELECT s.partkey, s.suppkey, s.unit_cost, e.s_name, e.s_acctbal, e.n_name,
+         MIN(s.unit_cost) OVER (PARTITION BY s.partkey) AS min_cost
+  FROM supply s JOIN eu e ON s.suppkey = e.s_suppkey
+)
+SELECT c.partkey AS p_partkey, p.p_brand, c.suppkey AS s_suppkey,
+       c.s_name, c.s_acctbal, c.n_name, c.unit_cost
+FROM c JOIN part p ON c.partkey = p.p_partkey
+WHERE c.unit_cost = c.min_cost AND p.p_size >= 40
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier in a region, correlated MIN
+    subquery) bound to the driver's columns: the part<->supplier
+    relation and unit cost come from observed lineitem shipments
+    (MIN(l_extendedprice / l_quantity) per pair — the data's own
+    partsupp), and the correlated `cost = (SELECT MIN ...)` predicate
+    is decorrelated into a per-part window minimum, the standard
+    rewrite every planner applies.
+
+    Scale: the supply aggregation shuffles once on (part, supp);
+    nation/region force-broadcast (fixed size); supplier joins via
+    AQE choice; the window min re-partitions only (part) — no
+    correlated per-row subquery execution anywhere. Ties on the exact
+    min share identical float division results on both engines, so
+    emitting all tied suppliers is deterministic without a LIMIT.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supply = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    c = supply.join(eu, supply.suppkey == eu.s_suppkey).select(
+        "partkey", "suppkey", "unit_cost", "s_name", "s_acctbal", "n_name"
+    )
+    w = Window.partitionBy("partkey")
+    c = c.withColumn("min_cost", F.min("unit_cost").over(w))
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        c.filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(part, F.col("partkey") == part.p_partkey)
+        .select(
+            F.col("partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "unit_cost",
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1 AS DECIMAL(27,6)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'ECONOMY'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): a
+    5-table join tree with the profit expression aggregated per
+    (nation, order-year). The driver's schema has no ps_supplycost,
+    so cost binds to ``p_retailprice * quantity * 0.1`` — same
+    expression shape, existing columns.
+
+    Scale: part/supplier filter-then-join via AQE; nation broadcasts;
+    the two big joins (lineitem<->part on partkey, <->orders on
+    orderkey) shuffle on uniformly distributed keys; decimal-exact
+    profit sums keep the result partition-order invariant.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dsum(profit, DEC6).alias("sum_profit"))
     )

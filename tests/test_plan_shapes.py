@@ -146,3 +146,11 @@ def test_json_extract_parses_in_scan_projection(spark, sf_dir) -> None:
     plan = _plan(spark, sf_dir, "scalar_json_extract")
     assert "from_json" in plan
     assert "ReadSchema: struct<event_type:string,props:string>" in plan
+
+
+def test_zorder_stats_zero_join_single_agg_shuffle(spark, sf_dir) -> None:
+    """The z-key is scan-projection arithmetic; the only exchange is
+    the <=64-group aggregate."""
+    plan = _plan(spark, sf_dir, "layout_zorder_lineitem")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
