@@ -137,17 +137,27 @@ def cms_heavy_hitters(
 
     Output: key, est_count (long), true_count (long) — the true count
     is carried alongside to make over-estimation measurable.
+
+    Build order matters at scale: raw rows are counted per key FIRST
+    (one map-side-combined shuffle of plain counts — no hashing in
+    the scan stage), then the ``depth`` md5 buckets are computed over
+    the DISTINCT keys only, weighted by their counts. The counters
+    are bit-identical to hashing every row (sum of per-key counts per
+    cell), but the md5 work drops from rows x depth to
+    distinct_keys x depth — on a heavy-hitter-shaped distribution
+    (the only case this sketch is for) that is orders of magnitude.
+    The count table is also exactly the probe-side candidate set, so
+    it is materialized once and reused.
     """
     from protarrow_spark.sources.tables import spread
 
-    # The 4x md5 bucket hashing is CPU-bound in the scan stage;
-    # spread parallelizes it when the local file is one row group
-    # (no-op at scale — see sources/tables.py).
     keys = spread(df.select(F.col(key_col).alias("key")))
-    # One scan: each row fans out to its `depth` (j, bucket) cells via
-    # explode (the oracle's UNION ALL reads the table `depth` times —
-    # same counters, different plan).
-    entries = keys.select(
+    counts = (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .localCheckpoint(eager=True)
+    )
+    entries = counts.select(
         F.explode(
             F.array(
                 *[
@@ -158,19 +168,19 @@ def cms_heavy_hitters(
                     for j in range(depth)
                 ]
             )
-        ).alias("e")
-    ).select("e.j", "e.bucket")
+        ).alias("e"),
+        F.col("true_count"),
+    ).select("e.j", "e.bucket", "true_count")
     # Materialize the (depth x width)-row counter table ONCE — the
     # readout below joins it `depth` times, and without this each
-    # branch would re-run the full build scan.
+    # branch would re-run the build.
     sketch = (
         entries.groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").alias("c"))
         .localCheckpoint(eager=True)
     )
 
-    candidates = keys.groupBy("key").agg(F.count(F.lit(1)).alias("true_count"))
-    probes = candidates.select(
+    probes = counts.select(
         "key",
         "true_count",
         *[_cms_bucket(F.col("key"), j, width).alias(f"b{j}") for j in range(depth)],
