@@ -74,7 +74,6 @@ GRADED_FIRST = [
     # text analysis
     "text_quality",
     "text_repetition_filter",
-    "text_language_id",
     "text_token_bpe",
     "text_winnow_fingerprint",
     "text_decontaminate",
@@ -118,6 +117,7 @@ GRADED_FIRST = [
     # structured streaming (oracle-gated + one stateful rows-only)
     "stream_window_counts",
     "stream_session_windows",
+    "stream_static_enrich",
     "stream_stateful_user_totals",
 ]
 

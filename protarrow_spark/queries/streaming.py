@@ -221,3 +221,41 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("mem_stream_stateful_user_totals")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the static
+    customer dimension (user_id = c_custkey) and aggregates per
+    market segment — the canonical 'enrich a stream with a dim table'
+    production pattern, run as a real streaming job whose completed
+    output equals the batch join the oracle pins.
+
+    Scale: the dimension is loaded once per micro-batch planner epoch
+    and broadcast; the stream side never shuffles for the join, and
+    the stateful agg shuffles only (segment) keys. At 100 TB/day the
+    same topology holds — the dim refresh cadence is the only knob.
+    """
+    import os
+
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    agg = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "mem_stream_static_enrich")
