@@ -55,6 +55,7 @@ HEADLINE = [
     "layout_zorder_lineitem",
     "q2_min_cost_supplier",
     "q9_product_profit",
+    "ann_int8_topk",
 ]
 
 

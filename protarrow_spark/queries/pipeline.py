@@ -889,3 +889,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_int8_topk — quantized similarity search
+# ---------------------------------------------------------------------------
+
+
+def _int8_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+  FROM v
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS q
+  FROM s
+),
+n8 AS (
+  SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS qn FROM q8
+),
+qs AS (SELECT vec_id AS query_id, q AS qq, qn AS q_norm FROM n8
+       WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_inner_product(qq, q) / (q_norm * qn) AS cosine_q8
+  FROM qs JOIN n8 ON vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_q8,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_q8 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine_q8
+FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+@query("ann_int8_topk", oracle=_int8_oracle())
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over int8-quantized embeddings
+    (operators/similarity.py quantize_int8 / int8_topk): 4x smaller
+    vectors, exact integer dot products — the standard scale lever for
+    billion-vector corpora; quantization is the only approximation.
+
+    Scale: same topology as the exact brute-force path (broadcast
+    query set, corpus never shuffles), but every candidate fold moves
+    a quarter of the bytes.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.int8_topk(emb, qs, k=TOPK_NEIGHBORS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
