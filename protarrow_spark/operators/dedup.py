@@ -605,3 +605,25 @@ def simhash_hamming_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """(id, band, band_key) rows — the LSH index representation: one
+    md5 band key per signature band per document. This is what a
+    persisted dedup index stores; incremental ingest computes these
+    for the delta only and equi-joins against the stored set."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[band_key(b, rows_per_band) for b in range(bands)])
+        ).alias("band", "bkey"),
+    )

@@ -946,3 +946,78 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = similarity.int8_topk(emb, qs, k=TOPK_NEIGHBORS)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_lsh — delta-vs-index near-dup flagging
+# ---------------------------------------------------------------------------
+
+#: Docs in residue classes >= this (mod 10) form the "daily delta";
+#: the rest are the already-indexed corpus.
+INCR_MOD = 10
+INCR_NEW_FROM = 8
+
+
+def _incremental_oracle() -> str:
+    k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
+    rpb = k // bands
+    band_selects = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+{_sig_cte(k)},
+bands AS ({band_selects}),
+idx AS (SELECT DISTINCT band, bkey FROM bands
+        WHERE doc_id % {INCR_MOD} < {INCR_NEW_FROM}),
+hits AS (
+  SELECT b.doc_id, CAST(count(DISTINCT b.band) AS BIGINT) AS n_hot_bands
+  FROM bands b JOIN idx USING (band, bkey)
+  WHERE b.doc_id % {INCR_MOD} >= {INCR_NEW_FROM}
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hot_bands, 0) AS n_hot_bands,
+       COALESCE(h.n_hot_bands, 0) > 0 AS is_dup
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {INCR_MOD} >= {INCR_NEW_FROM}) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("dedup_incremental_lsh", oracle=_incremental_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-index) near-dup detection: documents in
+    the 'daily delta' (doc_id residue >= {INCR_NEW_FROM} mod
+    {INCR_MOD}) are flagged when ANY of their MinHash-LSH band keys
+    collides with the indexed corpus — the production dedup topology,
+    where the historical corpus is a stored band-key table and each
+    ingest batch only computes its own signatures and probes.
+
+    Scale: the delta's signature pipeline touches delta bytes only;
+    the probe is a band-key equi-join against the index (shuffle
+    bounded by delta size + matched keys, never corpus-sized). Here
+    both sides derive from one banding pass over the shared table,
+    checkpointed so the shingle->signature pipeline runs once.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bk = dedup.minhash_band_keys(docs, "doc_id", "text").localCheckpoint(eager=True)
+    new_pred = F.col("doc_id") % INCR_MOD >= INCR_NEW_FROM
+    idx = bk.filter(~new_pred).select("band", "bkey").distinct()
+    hits = (
+        bk.filter(new_pred)
+        .join(idx, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").alias("n_hot_bands"))
+    )
+    new_docs = docs.filter(new_pred).select("doc_id")
+    return new_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hot_bands"), F.lit(0)).alias("n_hot_bands"),
+        (F.coalesce(F.col("n_hot_bands"), F.lit(0)) > 0).alias("is_dup"),
+    )

@@ -154,3 +154,34 @@ def test_zorder_stats_zero_join_single_agg_shuffle(spark, sf_dir) -> None:
     plan = _plan(spark, sf_dir, "layout_zorder_lineitem")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+#: Queries whose plan deliberately contains a BroadcastNestedLoopJoin:
+#: the ANN paths broadcast a bounded query set against the corpus with
+#: a != predicate (linear scan by design), and the two TPC-H shapes
+#: broadcast a SINGLE-ROW scalar aggregate as the comparison cutoff.
+BNLJ_BY_DESIGN = {
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "q11_important_parts",
+    "q22_dormant_balance",
+}
+
+
+def test_no_accidental_nested_loops_anywhere(spark, sf_dir) -> None:
+    """Blanket guard: NO registered batch query may plan a cartesian
+    product, and nested-loop joins are allowed only for the pinned
+    bounded-broadcast designs above. Catches an accidental all-pairs
+    regression anywhere in the registry."""
+    from protarrow_spark.queries import all_queries
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        if name.startswith("stream_"):
+            continue  # building the frame runs a streaming job
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
