@@ -627,3 +627,67 @@ def minhash_band_keys(
             F.array(*[band_key(b, rows_per_band) for b in range(bands)])
         ).alias("band", "bkey"),
     )
+
+
+#: Cross-document span dedup (C4-style): non-overlapping spans of this
+#: many tokens; a span occurring in at least ``SPAN_MIN_DF`` distinct
+#: documents is corpus-duplicated and removed from every document.
+SPAN_TOKENS = 10
+SPAN_MIN_DF = 2
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = SPAN_TOKENS,
+    min_df: int = SPAN_MIN_DF,
+) -> DataFrame:
+    """Cross-document span-level dedup: chop every document into
+    non-overlapping ``span``-token spans, find spans occurring in
+    >= ``min_df`` distinct documents corpus-wide, and emit each
+    document with those spans removed (the C4 "duplicated span"
+    cleaning pass — finer-grained than whole-doc dedup, catches
+    boilerplate shared across otherwise-distinct pages).
+
+    Scale: the (doc, span) stream shuffles once on a 128-bit span
+    digest to count distinct-document frequency (uniform keys, partial
+    map-side distinct), and once more to rejoin the duplicated-span
+    set; document reassembly groups on the id — three uniform
+    shuffles total, never all-pairs, and the heavy string payload
+    crosses the wire only for the reassembly shuffle. At 100 TB the
+    duplicated-span set is typically small enough that AQE turns the
+    flagging join into a broadcast.
+
+    Output: id, n_spans, n_dup_spans, clean_text (surviving spans
+    rejoined in document order; empty string when everything was
+    boilerplate).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(span))
+    spans = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, span)))
+    ex = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span_text")
+    )
+    dup = (
+        ex.groupBy("span_text")
+        .agg(F.count_distinct(F.col(id_col)).alias("span_df"))
+        .filter(F.col("span_df") >= min_df)
+        .select("span_text", F.lit(True).alias("is_dup"))
+    )
+    flagged = ex.join(dup, "span_text", "left").select(
+        F.col(id_col),
+        "pos",
+        "span_text",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("is_dup"), F.col("span_text")))
+    )
+    kept = F.filter(parts, lambda p: ~p.is_dup)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_spans"),
+        F.concat_ws(" ", F.transform(kept, lambda p: p.span_text)).alias("clean_text"),
+    )

@@ -177,6 +177,88 @@ def winnow_fingerprints(
     )
 
 
+#: Sliding-window chunking defaults (RAG / training-context prep).
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+#: PII patterns — alternation/char-class only (no lookarounds, no
+#: engine-private escapes) so Java regex and RE2-family engines match
+#: the identical spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window document chunking: overlapping ``window``-token
+    chunks every ``stride`` tokens — the standard RAG / context-window
+    preparation pass. Chunk starts are 1, 1+stride, ... <= n_tokens,
+    so the tail chunk may be shorter than ``window``; every token is
+    covered and the spec is deterministic (no length-dependent
+    re-centering).
+
+    Scale: pure per-row codegen (split + sequence + slice) followed by
+    one explode — no shuffle at all; chunk output lands partitioned
+    exactly like the input scan, which is what a downstream embed /
+    index stage wants to consume.
+
+    Output: id, chunk_id (0-based), tok_start (1-based), n_chunk_tokens,
+    chunk_text.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, window)))
+    ex = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    tok_start = (F.col("chunk_id") * stride + 1).cast("long")
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        tok_start.alias("tok_start"),
+        F.least(F.col("_n") - tok_start + 1, F.lit(window)).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        "chunk_text",
+    )
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: replace email addresses and international phone
+    numbers with typed placeholder tags, reporting per-document match
+    counts — the standard pre-training privacy pass (C4 / Dolma style).
+
+    Scale: two codegen'd regex passes per row, zero shuffles; the
+    patterns are alternation-free character classes, so the pass is
+    linear in text bytes and identical across regex engines.
+
+    Output: id, n_emails, n_phones, redacted_md5 (digest of the
+    scrubbed text — lets the gate value-check the full output without
+    hauling the corpus), redacted_len.
+    """
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0))
+    red = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,

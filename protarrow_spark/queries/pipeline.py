@@ -1021,3 +1021,170 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hot_bands"), F.lit(0)).alias("n_hot_bands"),
         (F.coalesce(F.col("n_hot_bands"), F.lit(0)) > 0).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_clean — cross-document span-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def _span_oracle(span: int = dedup.SPAN_TOKENS, min_df: int = dedup.SPAN_MIN_DF) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT t.doc_id, CAST(gs.i AS BIGINT) AS pos,
+         array_to_string(toks[CAST(gs.i*{span}+1 AS BIGINT):CAST(gs.i*{span}+{span} AS BIGINT)], ' ') AS span_text
+  FROM t, LATERAL unnest(range(0, (len(toks)-1)//{span} + 1)) AS gs(i)
+),
+dup AS (SELECT span_text FROM s GROUP BY span_text HAVING COUNT(DISTINCT doc_id) >= {min_df}),
+f AS (SELECT s.doc_id, s.pos, s.span_text, d.span_text IS NOT NULL AS is_dup
+      FROM s LEFT JOIN dup d USING (span_text))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       COALESCE(string_agg(CASE WHEN NOT is_dup THEN span_text END, ' ' ORDER BY pos), '') AS clean_text
+FROM f GROUP BY doc_id
+"""
+
+
+@query("dedup_span_clean", oracle=_span_oracle())
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup (operators/dedup.py span_dedup): the
+    C4 "duplicated span" cleaning pass — corpus-duplicated
+    {dedup.SPAN_TOKENS}-token spans removed from every document, with
+    the cleaned text reassembled in order.
+
+    Scale: three uniform shuffles (span-digest distinct-df count,
+    dup-set flag join, per-doc reassembly); never all-pairs, and AQE
+    broadcasts the dup-span set when it is small."""
+    return dedup.span_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap — sliding-window chunking (RAG / context prep)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_oracle(w: int = text.CHUNK_WINDOW, st: int = text.CHUNK_STRIDE) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT t.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
+         CAST(gs.i*{st}+1 AS BIGINT) AS tok_start,
+         array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text,
+         len(toks) AS n
+  FROM t, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
+)
+SELECT doc_id, chunk_id, tok_start,
+       CAST(LEAST(n - tok_start + 1, {w}) AS BIGINT) AS n_chunk_tokens, chunk_text
+FROM c
+"""
+
+
+@query("text_chunk_overlap", oracle=_chunk_oracle())
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/text.py chunk_sliding):
+    {text.CHUNK_WINDOW}-token chunks every {text.CHUNK_STRIDE} tokens,
+    the RAG / training-context preparation pass.
+
+    Scale: zero shuffles — split + sequence + slice + one explode, all
+    codegen; output stays partitioned like the scan for the downstream
+    embed/index stage."""
+    return text.chunk_sliding(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# text_pii_redact — privacy scrub with per-doc match accounting
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    email, phone = text.PII_EMAIL_RE, text.PII_PHONE_RE
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-202-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(txt, '{email}')) AS n_emails,
+         len(regexp_extract_all(txt, '{phone}')) AS n_phones,
+         regexp_replace(regexp_replace(txt, '{email}', '<EMAIL>', 'g'), '{phone}', '<PHONE>', 'g') AS red
+  FROM aug
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, CAST(n_phones AS BIGINT) AS n_phones,
+       md5(red) AS redacted_md5, CAST(length(red) AS BIGINT) AS redacted_len
+FROM r
+"""
+
+
+@query("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py pii_redact) over documents
+    augmented with deterministic synthetic contact lines (the corpus
+    itself is PII-free, so each doc gets a derived email + phone
+    appended — the scrub machinery and its per-doc accounting are what
+    is under test).
+
+    Scale: two linear codegen'd regex passes per row, zero shuffles;
+    the output digest keeps the verification payload small."""
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.pii_redact(aug, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_sources — deterministic per-stratum cap (data mixing)
+# ---------------------------------------------------------------------------
+
+STRATIFIED_CAP = 15
+
+
+def _stratified_oracle(cap: int = STRATIFIED_CAP) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= {cap}
+"""
+
+
+@query("sample_stratified_sources", oracle=_stratified_oracle())
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling for training-data mixing: each source
+    contributes at most {STRATIFIED_CAP} documents, chosen by md5
+    ranking of the document id — deterministic across engines,
+    partitionings, and reruns (the property a reproducible data-mix
+    recipe needs), unlike rand()-based sampling.
+
+    Scale: one shuffle on the stratum key; Spark's WindowGroupLimit
+    rewrite prunes each partition to the top {STRATIFIED_CAP} rows
+    map-side before the shuffle, so the full corpus never moves."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= STRATIFIED_CAP)
+    )
