@@ -71,13 +71,17 @@ GRADED_FIRST = [
     "dedup_simhash_hamming",
     "dedup_embedding_lsh_banded",
     "dedup_cluster_assign",
-    # text analysis
+    # text analysis / training-data prep
     "text_quality",
     "text_repetition_filter",
     "text_token_bpe",
     "text_winnow_fingerprint",
     "text_decontaminate",
     "pack_sequences",
+    "dedup_span_clean",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "sample_stratified_sources",
     # similarity search
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -90,13 +94,10 @@ GRADED_FIRST = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    "q13_order_distribution",
-    "q21_waiting_suppliers",
     # aggregation variants
     "agg_rollup_flags",
     "agg_grouping_sets",
     "agg_percentile_disc",
-    "agg_time_rollup",
     # join variants
     "join_broadcast_brand_revenue",
     "join_range_bucketed",
@@ -104,7 +105,6 @@ GRADED_FIRST = [
     "join_salted_skew",
     # window variants
     "window_topk_per_segment",
-    "window_running_revenue",
     "window_sessionize",
     # data layout
     "layout_zorder_lineitem",
@@ -117,7 +117,7 @@ GRADED_FIRST = [
     # structured streaming (oracle-gated + one stateful rows-only)
     "stream_window_counts",
     "stream_session_windows",
-    "stream_static_enrich",
+    "stream_interval_join",
     "stream_stateful_user_totals",
 ]
 

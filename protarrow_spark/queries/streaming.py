@@ -259,3 +259,56 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "mem_stream_static_enrich")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL '4 hours'
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution
+    within 4 hours, same user) run as a REAL streaming job: both sides
+    are watermarked streams and the range predicate bounds each side's
+    join state, so the physical plan is the canonical bounded-state
+    StreamingSymmetricHashJoin. Inner-join matches are emitted in the
+    micro-batch they occur, so the completed availableNow run equals
+    the batch interval join the oracle pins.
+
+    Scale: state per key bounded by watermark + 4h window on both
+    sides; the shuffle keys on user_id only — identical topology at
+    100 TB/day, with the watermark the only state-size knob.
+    """
+    from protarrow_spark.functions.time import epoch_micros
+    from protarrow_spark.streaming.pipeline import stream_stream_join
+
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, "user_id", "ts", "ts", watermark="8 hours", max_delay="4 hours"
+    ).select(
+        F.col("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        epoch_micros("l_ts").alias("click_us"),
+        epoch_micros("r_ts").alias("purchase_us"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("mem_stream_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mem_stream_interval_join")
