@@ -1188,3 +1188,143 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= STRATIFIED_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_mix — per-source Bernoulli rates (data-mixing recipe)
+# ---------------------------------------------------------------------------
+
+#: Mixing recipe: sampling rate per source tier. Thresholds are
+#: precomputed 60-bit integers (rate * 2^60) so the keep test is pure
+#: integer comparison — no float rounding anywhere.
+MIX_TIERS: list[tuple[tuple[str, ...], float]] = [
+    (("src0", "src1"), 1.0),
+    (("src2", "src3", "src4"), 0.5),
+]
+MIX_DEFAULT_RATE = 0.2
+_T60 = 1 << 60
+
+
+def _mix_threshold(rate: float) -> int:
+    return int(rate * _T60)
+
+
+def _weighted_mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source IN ({', '.join(repr(s) for s in srcs)}) THEN {_mix_threshold(r)}"
+        for srcs, r in MIX_TIERS
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE {cases} ELSE {_mix_threshold(MIX_DEFAULT_RATE)} END AS thr,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, source FROM w WHERE h < thr
+"""
+
+
+@query("sample_weighted_mix", oracle=_weighted_mix_oracle())
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: each source is Bernoulli-sampled at
+    its recipe rate (full weight for the premium tier, 0.5 / 0.2 down
+    the tiers) by comparing a 60-bit md5 key against the precomputed
+    integer threshold rate*2^60 — the deterministic per-stratum
+    downsampling step of a data-mixing recipe. Complements
+    sample_stratified_sources (hard per-stratum caps need a rank; rate
+    sampling needs only the row itself).
+
+    Scale: a scan-level integer filter — zero shuffles, no window, no
+    join; identical sample whatever the partitioning, engine, or rerun.
+    """
+    docs = table(spark, sf_dir, "documents")
+    thr = F.lit(_mix_threshold(MIX_DEFAULT_RATE))
+    for srcs, r in reversed(MIX_TIERS):
+        thr = F.when(F.col("source").isin(*srcs), F.lit(_mix_threshold(r))).otherwise(thr)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return docs.select("doc_id", "source", h.alias("h"), thr.alias("thr")).filter(
+        F.col("h") < F.col("thr")
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# report_source_quality — dataset-card rollup per source
+# ---------------------------------------------------------------------------
+
+
+def _report_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, text, string_split(text, ' ') AS t FROM documents
+),
+m AS (
+  SELECT source, lang, text, len(t) AS n_toks,
+         (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+         * least(1.0, CAST(len(t) AS DOUBLE) / 50.0)
+         * (1.0 - CAST(len(list_filter(t, x -> list_contains([{stop_list}], x))) AS DOUBLE) / len(t)) AS q
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN q >= 0.25 AND q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       CAST(SUM(CASE WHEN q < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM m GROUP BY source
+"""
+
+
+@query("report_source_quality", oracle=_report_oracle())
+def report_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per-source document counts, exact token
+    totals, language spread, exact-duplicate counts, and quality-
+    bucket histogram (the text_quality score composed into a corpus
+    report) — what a training-data pipeline publishes per ingest.
+
+    Every aggregate is an exact integer (counts, sums of token
+    counts, distinct counts); the per-row quality double is computed
+    identically on both engines, so bucket membership agrees and only
+    integers cross the aggregation — no float-accumulation-order
+    dependence.
+
+    Scale: one pass over the corpus, partial-aggregated groupBy on the
+    (low-cardinality) source key; the two distinct-aggregates expand
+    per Spark's multi-distinct rewrite but still shuffle only
+    (source, lang) / (source, md5) pairs, never text.
+    """
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = ws_tokens(F.col("text"))
+    n = F.size(t)
+    ttr = F.size(F.array_distinct(t)).cast("double") / n
+    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / n
+    q = ttr * length_factor * (F.lit(1.0) - stop_ratio)
+    per_doc = docs.select(
+        "source",
+        "lang",
+        n.alias("n_toks"),
+        F.md5("text").alias("tmd5"),
+        q.alias("q"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct("tmd5")).cast("long").alias("n_exact_dups"),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.sum(F.when((F.col("q") >= 0.25) & (F.col("q") < 0.5), 1).otherwise(0))
+        .cast("long")
+        .alias("n_medium"),
+        F.sum(F.when(F.col("q") < 0.25, 1).otherwise(0)).cast("long").alias("n_low"),
+    )

@@ -312,3 +312,44 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("mem_stream_interval_join")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+SELECT DISTINCT user_id, event_type,
+       date_trunc('hour', ts) AS hour_start
+FROM events
+""",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: one row per (user, event type, hour)
+    via ``dropDuplicatesWithinWatermark`` — per-key state is EVICTED
+    once the watermark passes, the only dedup that survives an
+    unbounded stream. Only the key columns are emitted, so the
+    completed output is the deterministic distinct-key set the batch
+    oracle pins (which surviving row represents a key is arrival-
+    order-dependent; the key set itself is not).
+
+    Scale: state is one entry per in-flight key bounded by the
+    watermark horizon; the shuffle keys on the dedup key — identical
+    topology at 100 TB/day ingest.
+    """
+    ev = _stream_events(spark, sf_dir)
+    keyed = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour_start"), "ts"
+    )
+    deduped = (
+        keyed.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
+        .select("user_id", "event_type", "hour_start")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("mem_stream_dedup_keys")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mem_stream_dedup_keys")
