@@ -56,6 +56,12 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "ann_int8_topk",
+    "dedup_span_clean",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "sample_stratified_sources",
+    "sample_weighted_mix",
+    "report_source_quality",
 ]
 
 

@@ -307,3 +307,60 @@ def audio_window_features(
             )
 
     return src.mapInPandas(extract, AUDIO_WINDOW_SCHEMA)
+
+
+#: Scene-cut threshold on the per-frame signature byte (0..255).
+SCENE_CUT_THRESHOLD = 64
+
+
+def scene_cuts(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    frame_bytes: int = FRAME_BYTES,
+    threshold: int = SCENE_CUT_THRESHOLD,
+) -> DataFrame:
+    """Scene-change detection over a video-ish blob: one signature
+    byte per fixed-size frame (the stub for a real frame-histogram
+    distance — the codec is deterministic-stubbed like the rest of
+    the multimodal pack), a cut wherever the signature jumps by
+    >= ``threshold`` vs the previous frame, and a running cut count
+    that numbers each frame's scene — the keyframe/segmentation pass
+    a video training pipeline runs before captioning or sampling.
+
+    Scale: frame explode is a narrow map; the only shuffle keys on the
+    video id for the lag/cumsum window — state per video is one row,
+    and 100 TB of video shards by id with no skew (frame counts are
+    bounded per blob).
+
+    Output: id, frame_idx, sig (0..255), is_cut, scene_id (1-based).
+    """
+    from pyspark.sql import Window
+
+    hx = frame_bytes * 2
+    blob = F.col(blob_col)
+    payload_hex = F.when(
+        is_fake_image(blob), F.substring(F.hex(blob), 9, 2_000_000_000)
+    ).otherwise(F.hex(blob))
+    src = df.select(F.col(id_col), payload_hex.alias("ph"))
+    n_frames = F.ceil(F.length("ph") / hx).cast("int")
+    frames = src.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.conv(F.substring(F.col("ph"), F.col("frame_idx") * hx + 1, 2), 16, 10)
+        .cast("int")
+        .alias("sig"),
+    )
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("sig").over(w)
+    is_cut = prev.isNull() | (F.abs(F.col("sig") - prev) >= threshold)
+    cum = Window.partitionBy(id_col).orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return frames.select(
+        F.col(id_col),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "sig",
+        is_cut.alias("is_cut"),
+        F.sum(is_cut.cast("long")).over(cum).alias("scene_id"),
+    )

@@ -214,3 +214,46 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact energy and zero-crossing counts, recomputed byte-for-byte by
     the oracle from the hex rendering."""
     return multimodal.audio_window_features(_audio_blobs(spark, sf_dir), "doc_id", "blob")
+
+
+_SC_FB = multimodal.FRAME_BYTES
+_SC_THR = multimodal.SCENE_CUT_THRESHOLD
+
+
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+WITH {_BLOB_CTE},
+framed AS (
+  SELECT doc_id, ph,
+         CAST(ceil(len(ph) / {_SC_FB * 2.0}) AS INT) AS n_frames
+  FROM payloads
+),
+f AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         {_byteval('ph', f'(i*{_SC_FB}+1)')} AS sig
+  FROM framed, unnest(range(0, n_frames)) AS t(i)
+),
+l AS (
+  SELECT doc_id, frame_idx, sig,
+         LAG(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM f
+)
+SELECT doc_id, frame_idx, CAST(sig AS INT) AS sig,
+       (prev IS NULL OR abs(sig - prev) >= {_SC_THR}) AS is_cut,
+       CAST(SUM(CASE WHEN prev IS NULL OR abs(sig - prev) >= {_SC_THR}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY frame_idx
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+FROM l
+""",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection + scene numbering over video-ish blobs
+    (operators/multimodal.py scene_cuts): per-frame signature byte,
+    lag-threshold cuts, running cumsum as the scene id — the temporal
+    segmentation pass of a video pipeline, value-gated byte-exactly.
+
+    Scale: narrow frame explode; one shuffle on the video id for the
+    lag/cumsum window."""
+    return multimodal.scene_cuts(_blobs(spark, sf_dir), "doc_id", "blob")
