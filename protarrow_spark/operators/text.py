@@ -44,17 +44,32 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_expr(text_col) -> "F.Column":
+    """The composite quality score as a single per-row Column:
+    lexical diversity (type-token ratio) x length factor x stopword
+    sanity. Shared by quality_score, the per-source dataset report,
+    and the end-to-end pipeline query so the three can never drift."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(col)
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / n
+    return ttr * length_factor * (F.lit(1.0) - stop_ratio)
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Composite quality heuristic: lexical diversity x length factor x
     stopword sanity — the standard cheap pre-filter for training data."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     stop_ratio = n_stop.cast("double") / n
-    score = ttr * length_factor * (F.lit(1.0) - stop_ratio)
+    score = quality_expr(text_col)
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),

@@ -1303,13 +1303,7 @@ def report_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     t = ws_tokens(F.col("text"))
     n = F.size(t)
-    ttr = F.size(F.array_distinct(t)).cast("double") / n
-    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
-    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
-    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast(
-        "double"
-    ) / n
-    q = ttr * length_factor * (F.lit(1.0) - stop_ratio)
+    q = text.quality_expr("text")
     per_doc = docs.select(
         "source",
         "lang",
@@ -1327,4 +1321,125 @@ def report_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_medium"),
         F.sum(F.when(F.col("q") < 0.25, 1).otherwise(0)).cast("long").alias("n_low"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_training_corpus — the whole prep pipeline as ONE declarative plan
+# ---------------------------------------------------------------------------
+
+PIPE_QUALITY_MIN = 0.25
+
+
+def _gram_list_sql(arr: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({arr}) >= {n} "
+        f"THEN [array_to_string({arr}[i:i+{n - 1}], ' ') for i in range(1, len({arr}) - {n} + 2)] "
+        f"ELSE [array_to_string({arr}, ' ')] END"
+    )
+
+
+def _pipeline_oracle(
+    n: int = DECON_N,
+    mod: int = DECON_EVAL_MOD,
+    qmin: float = PIPE_QUALITY_MIN,
+    window: int = PACK_WINDOW,
+) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS tk,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+d AS (SELECT doc_id, source, tk FROM t WHERE rn = 1),
+q AS (
+  SELECT * FROM d
+  WHERE (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+        * least(1.0, CAST(len(tk) AS DOUBLE) / 50.0)
+        * (1.0 - CAST(len(list_filter(tk, x -> list_contains([{stop_list}], x))) AS DOUBLE) / len(tk))
+        >= {qmin}
+),
+ev AS (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % {mod} = 0),
+eg AS (SELECT DISTINCT unnest({_gram_list_sql('tk', n)}) AS g FROM ev),
+tg AS (
+  SELECT DISTINCT doc_id, unnest({_gram_list_sql('tk', n)}) AS g
+  FROM q WHERE doc_id % {mod} <> 0
+),
+contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
+clean AS (
+  SELECT doc_id, source, len(tk) AS n_tokens FROM q
+  WHERE doc_id % {mod} <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM clean
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {window} AS BIGINT) AS pack_id
+FROM o
+"""
+
+
+@query("pipeline_training_corpus", oracle=_pipeline_oracle())
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus preparation pipeline composed as ONE
+    declarative plan: exact dedup (keep the canonical min-id copy) ->
+    quality filter (composite score >= {PIPE_QUALITY_MIN}) ->
+    benchmark decontamination (drop docs sharing any word
+    {DECON_N}-gram with the held-out eval residue class) -> sequence
+    packing of the survivors into {PACK_WINDOW}-token shards. What a
+    real ingest runs nightly — here Catalyst sees the whole DAG at
+    once, so scan pruning, broadcast decisions, and shuffle reuse
+    happen across stage boundaries a hand-staged pipeline would lose.
+
+    Scale: one digest-keyed shuffle (dedup window), per-row quality in
+    the same pass, the eval shingle set broadcast for the
+    decontamination anti-join (corpus never shuffles for it), one
+    source-keyed shuffle for packing — four operators, three uniform
+    shuffles, no all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        docs.select("doc_id", "source", "text", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .filter(text.quality_expr("text") >= PIPE_QUALITY_MIN)
+    )
+    eval_g = (
+        dedup.doc_shingles(
+            docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0), "doc_id", "text", DECON_N
+        )
+        .select("g")
+        .distinct()
+    )
+    train = surv.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    contaminated = (
+        dedup.doc_shingles(train, "doc_id", "text", DECON_N)
+        .join(F.broadcast(eval_g), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source", F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    pw = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(pw)
+    return clean.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_WINDOW)).cast("long").alias("pack_id"),
     )
