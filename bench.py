@@ -62,6 +62,8 @@ HEADLINE = [
     "sample_stratified_sources",
     "sample_weighted_mix",
     "report_source_quality",
+    "pipeline_training_corpus",
+    "mm_scene_cuts",
 ]
 
 

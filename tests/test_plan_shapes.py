@@ -185,3 +185,36 @@ def test_no_accidental_nested_loops_anywhere(spark, sf_dir) -> None:
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_chunk_and_pii_are_zero_shuffle(spark, sf_dir) -> None:
+    # scan-stage-only ops: chunking explodes in place, PII scrubbing is
+    # a per-row regex pass — any Exchange is a regression
+    for name in ("text_chunk_overlap", "text_pii_redact", "sample_weighted_mix"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_stratified_sample_prunes_map_side(spark, sf_dir) -> None:
+    # the per-stratum cap must push a WindowGroupLimit below the
+    # shuffle (partial top-k map-side) and shuffle only on the stratum
+    plan = _plan(spark, sf_dir, "sample_stratified_sources")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_scene_cuts_single_window_shuffle(spark, sf_dir) -> None:
+    # frame explode is narrow; the lag/cumsum windows share one
+    # id-keyed exchange
+    plan = _plan(spark, sf_dir, "mm_scene_cuts")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pipeline_composition_broadcasts_eval_set(spark, sf_dir) -> None:
+    # the decontamination stage must reach the corpus as a broadcast
+    # hash join (the eval shingle set is benchmark-sized), and the
+    # composed plan must stay free of all-pairs operators
+    plan = _plan(spark, sf_dir, "pipeline_training_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
