@@ -396,3 +396,100 @@ SELECT {group_col},
        {out_cols}
 FROM hits
 """
+
+
+#: Bloom filter: m bits packed 32-per-BIGINT word (32-bit masks stay
+#: positive, sidestepping engine-specific signed-shift semantics),
+#: k independent md5-derived hash functions.
+BLOOM_BITS = 1 << 16
+BLOOM_WORD = 32
+BLOOM_HASHES = 4
+
+
+def _bloom_pos(col: Column, j: int, bits: int) -> Column:
+    return (
+        hex_to_long(F.md5(F.concat(F.lit(f"bf{j}|"), col.cast("string"))), KMV_HEX_DIGITS)
+        % bits
+    )
+
+
+def _bloom_mask(pos: Column) -> Column:
+    """1 << (pos % 32) via a 32-entry literal lookup (shiftleft's
+    shift amount must be a literal in the DataFrame API)."""
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(BLOOM_WORD)])
+    return F.element_at(masks, (pos % BLOOM_WORD).cast("int") + 1)
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a Bloom filter over a key set as a (word, bits) table.
+
+    Spark's own runtime filters (InjectRuntimeFilter) do this
+    implicitly for eligible joins; this is the explicit, composable
+    version — the filter is a first-class DataFrame that can be
+    persisted, shipped across jobs, or unioned (bit_or merge) with
+    another filter built with the same parameters, which the
+    optimizer's internal filter cannot.
+
+    Each key sets ``hashes`` bits; positions are md5-derived (engine-
+    portable, partitioning-invariant). Output is at most
+    ``bits/32`` rows (2,048 at defaults) REGARDLESS of key count —
+    the explode fans out ``hashes`` rows per key and the groupBy
+    collapses them with map-side partial bit_or aggregation, so the
+    shuffle carries at most ``n_partitions * bits/32`` tiny rows.
+    """
+    exploded = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(key_col), j, bits) for j in range(hashes)])
+        ).alias("pos")
+    )
+    return (
+        exploded.select(
+            F.shiftright(F.col("pos"), 5).cast("int").alias("word"),
+            _bloom_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Drop probe rows whose key is definitely not in the filter.
+
+    ``hashes`` broadcast hash joins against the (<=2,048-row) word
+    table, each followed by a bit test — the probe side is NEVER
+    shuffled, so at 100 TB this runs entirely in the scan stage and
+    cuts the rows entering any downstream exact join/shuffle to
+    true matches + the false-positive rate (~0.24% at 65,536 bits /
+    4 hashes / 10k keys). False positives pass; callers needing
+    exactness follow with the exact join (see
+    ``queries/relational.py::join_bloom_prefilter``, whose oracle is
+    the plain semi join — the filter must be result-invisible).
+    """
+    out = probe
+    for j in range(hashes):
+        pos = _bloom_pos(F.col(key_col), j, bits)
+        word_j = f"__bf_w{j}"
+        bits_j = f"__bf_b{j}"
+        bj = F.broadcast(
+            bloom.select(F.col("word").alias(word_j), F.col("bits").alias(bits_j))
+        )
+        out = (
+            out.join(bj, F.shiftright(pos, 5).cast("int") == F.col(word_j), "left")
+            .filter(
+                F.col(bits_j).isNotNull()
+                & (F.col(bits_j).bitwiseAND(_bloom_mask(pos)) != 0)
+            )
+            .drop(word_j, bits_j)
+        )
+    return out

@@ -1443,3 +1443,47 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum - F.col("n_tokens")).alias("tok_offset"),
         F.floor((cum - F.col("n_tokens")) / F.lit(PACK_WINDOW)).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest([substr(w, CAST(i AS INT), 2) FOR i IN range(1, length(w))]) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n_pair
+FROM pairs GROUP BY pair
+ORDER BY n_pair DESC, pair
+LIMIT 20
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: count adjacent symbol pairs across
+    the corpus and rank the top candidates (the pair a BPE trainer
+    would merge next). Character-level here; with an evolving vocab
+    the same plan re-runs per merge round over re-segmented words.
+
+    Scale shape: the explode happens in the scan stage (no data
+    motion), and the groupBy's key space is bounded by |alphabet|^2 —
+    partial aggregation collapses each scan partition to at most that
+    many rows, so the shuffle is tiny no matter the corpus size; the
+    final top-20 is a TakeOrdered, never a full sort."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(20)
+    )

@@ -218,3 +218,26 @@ def test_pipeline_composition_broadcasts_eval_set(spark, sf_dir) -> None:
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_probes_below_exact_join(spark, sf_dir) -> None:
+    # the 4 bloom bit-probes must be broadcast joins applied in the
+    # scan stage, BELOW the exact verification join (plan text is
+    # outermost-first, so the exact join must appear EARLIER in the
+    # string); a SortMergeJoin anywhere means the probe side shuffled
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = plan.find("BroadcastHashJoin [l_orderkey")
+    probe = plan.find("bf0|")
+    assert exact != -1 and probe != -1 and exact < probe, (exact, probe)
+    for j in range(4):
+        assert f"bf{j}|" in plan
+
+
+def test_bpe_pair_counts_single_exchange_topk(spark, sf_dir) -> None:
+    # explode in the scan stage, partial agg map-side, one shuffle on
+    # the bounded pair key space, top-20 as TakeOrdered (no full sort)
+    plan = _plan(spark, sf_dir, "text_bpe_pair_counts")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
