@@ -70,3 +70,69 @@ def sign_bucket(a: Column, n_components: int) -> Column:
         bit = F.when(F.element_at(a, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket * 2 + bit
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Achlioptas / Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+#: Default projected dimensionality for the JL transform.
+RP_DIM_OUT = 8
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Sparse-JL matrix entry r[i][j] in {+1, 0, -1} with probability
+    {1/6, 2/3, 1/6} (Achlioptas 2003), md5-derived from the (i, j)
+    index alone so every engine — and the SQL oracle — regenerates the
+    identical matrix with no matrix to ship or broadcast."""
+    import hashlib
+
+    m = int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[:15], 16) % 6
+    return 1 if m == 0 else (-1 if m == 5 else 0)
+
+
+def random_projection_exprs(
+    qvec_col: str, dim_in: int, dim_out: int = RP_DIM_OUT
+) -> list[Column]:
+    """Sparse JL projection of an int8-quantized vector (see
+    ``operators.similarity.quantize_int8``) as ``dim_out`` integer
+    Column expressions p0..p{dim_out-1}.
+
+    All-integer arithmetic (entries in [-127,127], signs in {-1,0,1})
+    makes every output EXACT — no float accumulation order to pin, so
+    Spark, the SQL oracle, and any reassociating/FMA engine agree
+    bit-for-bit. ~2/3 of the matrix is zero, so each output sums only
+    ~dim_in/3 terms: pure whole-stage-codegen adds in the scan
+    projection, no UDF, no shuffle. Distance distortion follows the JL
+    lemma (scale by sqrt(3/dim_out) when absolute distances matter);
+    downstream LSH banding / clustering run on dim_out components."""
+    out = []
+    for j in range(dim_out):
+        acc = F.lit(0).cast("bigint")
+        for i in range(dim_in):
+            s = _rp_sign(i, j)
+            if s == 1:
+                acc = acc + F.element_at(qvec_col, i + 1)
+            elif s == -1:
+                acc = acc - F.element_at(qvec_col, i + 1)
+        out.append(acc.alias(f"p{j}"))
+    return out
+
+
+def random_projection_sql(
+    qvec_expr: str, dim_in: int, dim_out: int = RP_DIM_OUT
+) -> str:
+    """The oracle-side projection: same md5-derived sign matrix, same
+    integer sums, as a select-list fragment."""
+    cols = []
+    for j in range(dim_out):
+        terms = []
+        for i in range(dim_in):
+            s = _rp_sign(i, j)
+            if s == 1:
+                terms.append(f"+ {qvec_expr}[{i + 1}]")
+            elif s == -1:
+                terms.append(f"- {qvec_expr}[{i + 1}]")
+        body = " ".join(terms) if terms else "0"
+        cols.append(f"CAST(0 {body} AS BIGINT) AS p{j}")
+    return ",\n       ".join(cols)

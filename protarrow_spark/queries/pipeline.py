@@ -1487,3 +1487,46 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "pair")
         .limit(20)
     )
+
+
+def _rp_oracle() -> str:
+    from protarrow_spark.functions.vector import RP_DIM_OUT, random_projection_sql
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+  FROM v
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS q
+  FROM s
+)
+SELECT vec_id,
+       {random_projection_sql("q", 64, RP_DIM_OUT)}
+FROM q8
+"""
+
+
+@query("embed_random_projection", oracle=_rp_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Johnson-Lindenstrauss random projection 64 -> 8 dims
+    over int8-quantized vectors: the pre-processing step that makes
+    downstream LSH banding / k-means / near-dup checks 8x cheaper
+    with bounded distance distortion (Achlioptas {-1,0,+1} matrix,
+    2/3 sparse).
+
+    Scale shape: the sign matrix is md5-derived from indices (nothing
+    to broadcast), quantization + projection are pure whole-stage-
+    codegen integer arithmetic in the scan projection — zero shuffles,
+    zero Python — and all-integer outputs are EXACT, immune to float
+    accumulation order / FMA differences between engines."""
+    from protarrow_spark.functions.vector import RP_DIM_OUT, random_projection_exprs
+    from protarrow_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    return q.select("vec_id", *random_projection_exprs("q", 64, RP_DIM_OUT))

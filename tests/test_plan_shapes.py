@@ -241,3 +241,11 @@ def test_bpe_pair_counts_single_exchange_topk(spark, sf_dir) -> None:
     plan = _plan(spark, sf_dir, "text_bpe_pair_counts")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_random_projection_zero_shuffle_zero_python(spark, sf_dir) -> None:
+    # quantization + sparse JL projection are scan-stage integer
+    # arithmetic: any Exchange or Python eval operator is a regression
+    plan = _plan(spark, sf_dir, "embed_random_projection")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
