@@ -88,7 +88,8 @@ GRADED_FIRST = [
     # sketches
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
-    "sketch_histogram_quantiles",
+    # embedding dimensionality reduction (sparse JL transform)
+    "embed_random_projection",
     # core TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -221,3 +221,45 @@ def test_simhash_hamming_rejects_unguaranteed_radius(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=4)
+
+
+def test_bloom_no_false_negatives_and_bounded_size(spark, sf_dir):
+    # every member key must survive the prefilter (Bloom filters have
+    # no false negatives), and the filter table is capped at bits/32
+    # rows no matter how many keys went in
+    orders = table(spark, sf_dir, "orders").select("o_orderkey").limit(500)
+    bloom = sketches.bloom_build(orders, "o_orderkey")
+    assert bloom.count() <= sketches.BLOOM_BITS // sketches.BLOOM_WORD
+    kept = sketches.bloom_prefilter(orders, bloom, "o_orderkey")
+    assert kept.count() == orders.count()
+
+
+def test_bloom_false_positive_rate_is_small(spark, sf_dir):
+    # probe with keys disjoint from the member set: survivors are
+    # false positives; at 65,536 bits / 4 hashes / ~1.5k member keys
+    # the expected rate is < 1%, allow 3% slack for hash variance
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    members = orders.filter(F.col("o_orderkey") % 10 == 0)
+    probes = orders.filter(F.col("o_orderkey") % 10 != 0)
+    bloom = sketches.bloom_build(members, "o_orderkey")
+    n_probe = probes.count()
+    n_fp = sketches.bloom_prefilter(probes, bloom, "o_orderkey").count()
+    assert n_fp / n_probe < 0.03, (n_fp, n_probe)
+
+
+def test_bloom_union_merge_equals_filter_of_union(spark, sf_dir):
+    # mergeability: bit_or of two filters over key sets A and B is
+    # bit-identical to one filter built over A UNION B — the property
+    # that lets incremental loads extend a persisted filter
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    fa, fb = sketches.bloom_build(a, "o_orderkey"), sketches.bloom_build(b, "o_orderkey")
+    merged = (
+        fa.unionByName(fb)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = sketches.bloom_build(a.unionByName(b), "o_orderkey")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
