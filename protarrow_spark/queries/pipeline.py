@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from protarrow_spark.operators import dedup, similarity, text
 from protarrow_spark.queries.registry import query
-from protarrow_spark.sources.tables import table
+from protarrow_spark.sources.tables import spread, table
 
 # ---------------------------------------------------------------------------
 # Shared oracle SQL fragments (DuckDB dialect), generated from operator
@@ -1530,3 +1530,105 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = quantize_int8(emb)
     return q.select("vec_id", *random_projection_exprs("q", 64, RP_DIM_OUT))
+
+
+@query(
+    "text_novelty_score",
+    oracle=f"""
+WITH {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
+SELECT dg.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS n_first,
+       CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM dg JOIN first USING (g)
+GROUP BY dg.doc_id
+""",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose FIRST corpus occurrence (lowest doc_id) is this doc
+    — the memorization/self-contamination signal (a low-novelty doc is
+    mostly re-statement of earlier corpus content; curriculum or
+    near-dup pipelines drop or down-weight it).
+
+    Scale shape: shingle explode in the scan; first-occurrence
+    attribution is one groupBy on the shingle key; the join back is
+    co-partitioned on the same key (exchange reuse, no extra
+    shuffle); the per-doc rollup is one more uniform shuffle. Hot
+    stopword shingles skew the join — AQE skew-split handles it, and
+    a DF cap (as in ngram_jaccard) is the explicit lever if needed."""
+    docs = table(spark, sf_dir, "documents")
+    dg = dedup.doc_shingles(docs, "doc_id", "text", n=dedup.NGRAM_N)
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = dg.join(first, "g")
+    n_first = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).alias("n_first")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"), n_first
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_first",
+        (F.col("n_first").cast("double") / F.col("n_shingles")).alias("novelty"),
+    )
+
+
+#: OOV-rate vocabulary size (top tokens by corpus frequency).
+OOV_VOCAB_K = 1000
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT {OOV_VOCAB_K}
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM toks LEFT JOIN vocab USING (tok)
+GROUP BY doc_id
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-k corpus vocabulary and
+    score every document's out-of-vocabulary token rate — the signal
+    for tokenizer/corpus mismatch (high-OOV docs inflate token counts
+    and degrade training).
+
+    Scale shape: the vocab is a word-count groupBy pruned to k rows by
+    TakeOrdered (map-side partial counts, one uniform shuffle); the
+    per-token membership check is a BROADCAST left join against the
+    k-row vocab — the corpus token stream never shuffles for it — and
+    the per-doc rollup is one partial-aggregated groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), n_oov
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )

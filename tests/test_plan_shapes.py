@@ -249,3 +249,23 @@ def test_random_projection_zero_shuffle_zero_python(spark, sf_dir) -> None:
     plan = _plan(spark, sf_dir, "embed_random_projection")
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_novelty_score_reuses_shingle_exchange(spark, sf_dir) -> None:
+    # first-occurrence attribution and the join back share the shingle
+    # key: the plan must stay equi-join only (no all-pairs) and within
+    # the three-logical-shuffle budget (distinct, groupBy g + reused
+    # side, per-doc rollup)
+    plan = _plan(spark, sf_dir, "text_novelty_score")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir) -> None:
+    # the k-row vocabulary must reach the token stream as a broadcast
+    # join — a SortMergeJoin would shuffle the whole corpus token
+    # stream for a 1,000-row membership check
+    plan = _plan(spark, sf_dir, "text_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
