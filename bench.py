@@ -64,6 +64,12 @@ HEADLINE = [
     "report_source_quality",
     "pipeline_training_corpus",
     "mm_scene_cuts",
+    "join_bloom_prefilter",
+    "text_bpe_pair_counts",
+    "embed_random_projection",
+    "text_novelty_score",
+    "text_oov_rate",
+    "sketch_kmv_set_ops",
 ]
 
 

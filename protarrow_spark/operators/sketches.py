@@ -400,17 +400,38 @@ FROM hits
 
 #: Bloom filter: m bits packed 32-per-BIGINT word (32-bit masks stay
 #: positive, sidestepping engine-specific signed-shift semantics),
-#: k independent md5-derived hash functions.
-BLOOM_BITS = 1 << 16
+#: k hash functions via double hashing. 2^18 bits = 8,192 BIGINT words
+#: (~64 KiB broadcast) keeps the false-positive rate under 1% up to
+#: ~27k keys; size bits ~ 10x key count for ~1% FP at k=4.
+BLOOM_BITS = 1 << 18
 BLOOM_WORD = 32
 BLOOM_HASHES = 4
 
 
-def _bloom_pos(col: Column, j: int, bits: int) -> Column:
-    return (
-        hex_to_long(F.md5(F.concat(F.lit(f"bf{j}|"), col.cast("string"))), KMV_HEX_DIGITS)
-        % bits
+def _bloom_h12(col: Column) -> tuple[Column, Column]:
+    """Two independent md5-derived 60-bit hashes; all ``hashes`` bit
+    positions derive from them as ``(h1 + j*h2) % bits`` (Kirsch-
+    Mitzenmacher double hashing) — the false-positive rate matches k
+    independent hashes while the per-row digest work stays at TWO md5
+    calls regardless of k."""
+    # coalesce-to-0 marks the digests non-nullable (md5 of a non-null
+    # key never is), so join-key null-inference cannot push an
+    # isnotnull(md5(...)) filter into the scan stage — without it the
+    # scan re-evaluates both digests per row before the repartition
+    # spreads the work.
+    h1 = F.coalesce(
+        hex_to_long(F.md5(F.concat(F.lit("bf1|"), col.cast("string"))), KMV_HEX_DIGITS),
+        F.lit(0).cast("bigint"),
     )
+    h2 = F.coalesce(
+        hex_to_long(F.md5(F.concat(F.lit("bf2|"), col.cast("string"))), KMV_HEX_DIGITS),
+        F.lit(0).cast("bigint"),
+    )
+    return h1, h2
+
+
+def _bloom_pos(h1: Column, h2: Column, j: int, bits: int) -> Column:
+    return (h1 + F.lit(j) * h2) % bits
 
 
 def _bloom_mask(pos: Column) -> Column:
@@ -437,14 +458,17 @@ def bloom_build(
 
     Each key sets ``hashes`` bits; positions are md5-derived (engine-
     portable, partitioning-invariant). Output is at most
-    ``bits/32`` rows (2,048 at defaults) REGARDLESS of key count —
+    ``bits/32`` rows (8,192 at defaults) REGARDLESS of key count —
     the explode fans out ``hashes`` rows per key and the groupBy
     collapses them with map-side partial bit_or aggregation, so the
     shuffle carries at most ``n_partitions * bits/32`` tiny rows.
     """
-    exploded = keys.select(
+    from protarrow_spark.sources.tables import spread
+
+    h1, h2 = _bloom_h12(F.col(key_col))
+    exploded = spread(keys.select(F.col(key_col))).select(
         F.explode(
-            F.array(*[_bloom_pos(F.col(key_col), j, bits) for j in range(hashes)])
+            F.array(*[_bloom_pos(h1, h2, j, bits) for j in range(hashes)])
         ).alias("pos")
     )
     return (
@@ -466,19 +490,24 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Drop probe rows whose key is definitely not in the filter.
 
-    ``hashes`` broadcast hash joins against the (<=2,048-row) word
+    ``hashes`` broadcast hash joins against the (<=8,192-row) word
     table, each followed by a bit test — the probe side is NEVER
     shuffled, so at 100 TB this runs entirely in the scan stage and
     cuts the rows entering any downstream exact join/shuffle to
-    true matches + the false-positive rate (~0.24% at 65,536 bits /
-    4 hashes / 10k keys). False positives pass; callers needing
+    true matches + the false-positive rate (<1% while keys <= bits/10
+    at 4 probes). False positives pass; callers needing
     exactness follow with the exact join (see
     ``queries/relational.py::join_bloom_prefilter``, whose oracle is
     the plain semi join — the filter must be result-invisible).
     """
-    out = probe
+    h1, h2 = _bloom_h12(F.col(key_col))
+    # The two digests are materialized ONCE per row in a projection;
+    # every probe join's key and bit test are then plain arithmetic
+    # over them (md5 inside a join condition would otherwise be
+    # re-evaluated per probe).
+    out = probe.withColumn("__bf_h1", h1).withColumn("__bf_h2", h2)
     for j in range(hashes):
-        pos = _bloom_pos(F.col(key_col), j, bits)
+        pos = _bloom_pos(F.col("__bf_h1"), F.col("__bf_h2"), j, bits)
         word_j = f"__bf_w{j}"
         bits_j = f"__bf_b{j}"
         bj = F.broadcast(
@@ -492,4 +521,4 @@ def bloom_prefilter(
             )
             .drop(word_j, bits_j)
         )
-    return out
+    return out.drop("__bf_h1", "__bf_h2")

@@ -613,7 +613,7 @@ def set_union_priority_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) of two filtered scans."""
     o = table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    b = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 480000).select("o_custkey")
     return a.union(b).distinct()
 
 
@@ -1188,14 +1188,14 @@ SELECT l_returnflag,
        COUNT(*) AS n_items,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
 FROM lineitem
-WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
 GROUP BY l_returnflag
 """,
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit Bloom-filter runtime join pruning (the composable
     version of Spark's InjectRuntimeFilter): high-value order keys
-    build a <=2,048-row bit table; lineitem is pre-filtered by k
+    build a <=2,048-row bit table; lineitem is pre-filtered by 4
     broadcast bit probes IN THE SCAN STAGE — no shuffle of the fact
     side — then the exact semi join removes the ~0.2% false
     positives. The oracle is the plain semi join: the filter must be
@@ -1208,12 +1208,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hot = (
         table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 400000)
+        .filter(F.col("o_totalprice") > 480000)
         .select("o_orderkey")
     )
     bloom = bloom_build(hot, "o_orderkey")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
     )
     pruned = bloom_prefilter(li, bloom, "l_orderkey")
     # Exact verification as an INNER join on the (unique) order key —

@@ -8,6 +8,7 @@ can only ever be checked against loose error bounds.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from protarrow_spark.operators import sketches
@@ -43,3 +44,87 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable histogram (error <= one bin width; single-IEEE-op
     arithmetic so the estimate is engine-exact)."""
     return sketches.histogram_quantiles(table(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _kmv_set_ops_oracle() -> str:
+    from protarrow_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        KMV_K,
+        KMV_SPACE,
+        _hex_to_long_sql,
+    )
+
+    k = KMV_K
+    h = _hex_to_long_sql("md5(CAST(user_id AS VARCHAR))", KMV_HEX_DIGITS)
+
+    def est_cte(src: str, name: str) -> str:
+        return f"""
+r_{name} AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM {src}
+),
+e_{name} AS (
+  SELECT COUNT(*) AS n, MAX(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM r_{name} WHERE rn <= {k}
+)"""
+
+    est = (
+        lambda nm: f"CASE WHEN e_{nm}.n < {k} THEN CAST(e_{nm}.n AS DOUBLE) "
+        f"ELSE {float(k - 1)} / (CAST(e_{nm}.hk AS DOUBLE) / {KMV_SPACE}) END"
+    )
+    return f"""
+WITH ha AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'),
+hb AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'),
+hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+{est_cte('ha', 'a')},
+{est_cte('hb', 'b')},
+{est_cte('hu', 'u')}
+SELECT {est('a')} AS est_click,
+       {est('b')} AS est_purchase,
+       {est('u')} AS est_union,
+       ({est('a')} + {est('b')}) - {est('u')} AS est_intersect
+FROM e_a, e_b, e_u
+"""
+
+
+@query("sketch_kmv_set_ops", oracle=_kmv_set_ops_oracle())
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: distinct-user estimates for two event
+    types, their union (exact sketch merge — k minima of the merged
+    hash sets), and the intersection via inclusion-exclusion. The
+    operation a 100 TB audience-overlap / cross-dataset-leakage
+    rollup runs on sketch STATE (k 60-bit hashes per set) instead of
+    the user sets themselves; sketches built per partition/day/source
+    merge associatively to the same state.
+
+    Scale: each sketch build is one distinct + WindowGroupLimit-pruned
+    window (k rows per group survive map-side); the merge moves only
+    sketch state. All estimates share the oracle's exact arithmetic."""
+    from protarrow_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events")
+
+    def sk(event_type: str):
+        side = ev.filter(F.col("event_type") == event_type).select(
+            F.lit("p").alias("g"), F.col("user_id")
+        )
+        return kmv_sketch(side, "g", "user_id", k=KMV_K)
+
+    sa, sb = sk("click"), sk("purchase")
+    su = kmv_merge(sa, sb, "g", k=KMV_K)
+    ea = kmv_estimate(sa, "g", k=KMV_K).withColumnRenamed("est_distinct", "est_click")
+    eb = kmv_estimate(sb, "g", k=KMV_K).withColumnRenamed("est_distinct", "est_purchase")
+    eu = kmv_estimate(su, "g", k=KMV_K).withColumnRenamed("est_distinct", "est_union")
+    out = ea.join(eb, "g").join(eu, "g")
+    return out.select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        ((F.col("est_click") + F.col("est_purchase")) - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+    )

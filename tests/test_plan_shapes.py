@@ -229,10 +229,13 @@ def test_bloom_prefilter_probes_below_exact_join(spark, sf_dir) -> None:
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     exact = plan.find("BroadcastHashJoin [l_orderkey")
-    probe = plan.find("bf0|")
+    probe = plan.find("__bf_w0")
     assert exact != -1 and probe != -1 and exact < probe, (exact, probe)
-    for j in range(4):
-        assert f"bf{j}|" in plan
+    # double hashing: exactly two md5 digests per probe row, derived
+    # once in a projection below the joins
+    for tag in ("bf1|", "bf2|"):
+        assert tag in plan
+    assert plan.find("bf1|") > probe
 
 
 def test_bpe_pair_counts_single_exchange_topk(spark, sf_dir) -> None:
