@@ -1527,7 +1527,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from protarrow_spark.functions.vector import RP_DIM_OUT, random_projection_exprs
     from protarrow_spark.operators.similarity import quantize_int8
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"))
     q = quantize_int8(emb)
     return q.select("vec_id", *random_projection_exprs("q", 64, RP_DIM_OUT))
 
