@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from protarrow_spark.queries.registry import query
 from protarrow_spark.queries.relational import DEC4, DEC6, _dsum
-from protarrow_spark.sources.tables import table
+from protarrow_spark.sources.tables import spread, table
 
 
 @query(
@@ -815,7 +815,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min share identical float division results on both engines, so
     emitting all tied suppliers is deterministic without a LIMIT.
     """
-    li = table(spark, sf_dir, "lineitem")
+    # spread: the (part, supp) partial aggregate is high-cardinality
+    # hash-table work; a single-row-group local scan would run it on
+    # one core (no-op on wide scans at scale).
+    li = spread(table(spark, sf_dir, "lineitem"))
     supply = (
         li.groupBy(
             F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
