@@ -70,6 +70,7 @@ HEADLINE = [
     "text_novelty_score",
     "text_oov_rate",
     "sketch_kmv_set_ops",
+    "table_merge_upsert",
 ]
 
 

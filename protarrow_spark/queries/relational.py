@@ -1230,3 +1230,60 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         _dsum(F.col("l_extendedprice"), DEC6).alias("sum_price"),
     )
+
+
+@query(
+    "table_merge_upsert",
+    oracle="""
+WITH ch AS (
+  SELECT CASE WHEN o_orderkey % 97 = 2 THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'R'
+              WHEN o_orderkey % 97 = 2 THEN 'N' ELSE o_orderstatus END AS st,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS tp,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'U'
+              WHEN o_orderkey % 97 = 1 THEN 'D' ELSE 'I' END AS op
+  FROM orders WHERE o_orderkey % 97 IN (0, 1, 2)
+),
+ud AS (SELECT * FROM ch WHERE op IN ('U', 'D'))
+SELECT b.o_orderkey,
+       CASE WHEN ud.op = 'U' THEN ud.st ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN ud.op = 'U' THEN ud.tp ELSE b.o_totalprice END AS o_totalprice
+FROM orders b LEFT JOIN ud ON b.o_orderkey = ud.k
+WHERE ud.op IS NULL OR ud.op = 'U'
+UNION ALL
+SELECT k, st, tp FROM ch WHERE op = 'I'
+""",
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC apply (operators/merge.py): a deterministic
+    change set — updates, deletes, and new-key inserts derived from
+    the order key — merges onto the orders base table.
+
+    Scale: the base is NEVER shuffled — updates/deletes arrive as a
+    broadcast left join on the primary key (a CDC batch is bounded,
+    the table is not), inserts union on afterwards; a full-outer
+    formulation would hash-partition the entire base to apply a
+    bounded delta. The oracle replicates the merge in SQL."""
+    from protarrow_spark.operators.merge import apply_changes
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 97
+    ch = o.filter(m.isin(0, 1, 2)).select(
+        F.when(m == 2, F.col("o_orderkey") + 100000000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("o_orderkey"),
+        F.when(m == 0, F.lit("R"))
+        .when(m == 2, F.lit("N"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(m == 0, F.col("o_totalprice") + F.lit(1000.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(m == 0, F.lit("U"))
+        .when(m == 1, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    return apply_changes(o, ch, "o_orderkey")
