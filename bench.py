@@ -71,6 +71,7 @@ HEADLINE = [
     "text_oov_rate",
     "sketch_kmv_set_ops",
     "table_merge_upsert",
+    "table_scd2_history",
 ]
 
 

@@ -69,3 +69,47 @@ def apply_changes(
     )
     inserts = changes.filter(F.col(op_col) == OP_INSERT).select(*data_cols)
     return merged.unionByName(inserts)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str = "change_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: apply a change batch to a
+    versioned dimension, closing the current version of each changed
+    key (its ``valid_to`` becomes the change timestamp) and appending
+    the new version (``valid_from`` = change timestamp, open-ended).
+
+    ``dim`` holds the full history; a row is CURRENT iff ``valid_to``
+    is null. ``changes`` carries the dimension's data columns plus
+    ``ts_col``; at most one change per key per batch.
+
+    Same scale contract as :func:`apply_changes`: the dimension is
+    never shuffled — the bounded change batch broadcasts to a left
+    join that closes current rows in place, and the new versions are
+    a union of the (small) change batch itself.
+    """
+    data_cols = [c for c in dim.columns if c not in (valid_from, valid_to)]
+    ch = changes.select(
+        F.col(key_col).alias("__s_key"),
+        F.col(ts_col).alias("__s_ts"),
+    )
+    closed = dim.join(F.broadcast(ch), dim[key_col] == F.col("__s_key"), "left").select(
+        *data_cols,
+        F.col(valid_from),
+        F.when(
+            F.col(valid_to).isNull() & F.col("__s_ts").isNotNull(), F.col("__s_ts")
+        )
+        .otherwise(F.col(valid_to))
+        .alias(valid_to),
+    )
+    new_versions = changes.select(
+        *[F.col(c) for c in data_cols],
+        F.col(ts_col).alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    return closed.unionByName(new_versions)

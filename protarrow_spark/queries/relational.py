@@ -1287,3 +1287,56 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return apply_changes(o, ch, "o_orderkey")
+
+
+@query(
+    "table_scd2_history",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+ch AS (
+  SELECT c_custkey, c_name, 'MACHINERY' AS c_mktsegment,
+         TIMESTAMP '2024-06-01 00:00:00' AS change_ts
+  FROM customer WHERE c_custkey % 101 = 0
+)
+SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.valid_from,
+       CASE WHEN d.valid_to IS NULL AND ch.change_ts IS NOT NULL
+            THEN ch.change_ts ELSE d.valid_to END AS valid_to
+FROM dim d LEFT JOIN ch ON d.c_custkey = ch.c_custkey
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, change_ts, CAST(NULL AS TIMESTAMP)
+FROM ch
+""",
+)
+def table_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 (operators/merge.py
+    scd2_apply): a deterministic change batch re-segments every 101st
+    customer; the current version closes at the change timestamp and
+    the new version appends open-ended — the versioned-dimension
+    pattern every warehouse backfill needs.
+
+    Scale: identical contract to the CDC merge — the dimension
+    history is never shuffled; the bounded change batch broadcasts."""
+    from protarrow_spark.operators.merge import scd2_apply
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    ch = cust.filter(F.col("c_custkey") % 101 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("change_ts"),
+    )
+    return scd2_apply(dim, ch, "c_custkey")
