@@ -1,5 +1,7 @@
 from protarrow_spark.sources.proto_files import (
     read_csv_typed,
+    read_jsonl_typed,
+    read_orc_typed,
     read_proto_binary,
     read_proto_jsonl,
 )
@@ -10,6 +12,8 @@ __all__ = [
     "load_tables",
     "table",
     "read_csv_typed",
+    "read_jsonl_typed",
+    "read_orc_typed",
     "read_proto_binary",
     "read_proto_jsonl",
 ]

@@ -154,3 +154,36 @@ def read_csv_typed(
     """
     raw = spark.read.option("header", "true").csv(path)
     return cast_dataframe(raw, mtype, config)
+
+
+def read_jsonl_typed(
+    spark: SparkSession,
+    path: str,
+    mtype: MessageType,
+    config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
+) -> DataFrame:
+    """Read JSON-lines (one object per line) and conform to the proto
+    contract. Unlike :func:`read_proto_jsonl` (which parses proto-JSON
+    notation field-by-field in Python), this uses Spark's native JSON
+    reader with the contract's schema as the read schema — fully
+    JVM-side, scan-parallel — then applies the cast for defaults and
+    exact types. Missing fields synthesize as proto defaults, unknown
+    fields are dropped by the read schema itself (never parsed)."""
+    from protarrow_spark.schema import message_type_to_schema
+
+    target = message_type_to_schema(mtype, config)
+    raw = spark.read.schema(target).json(path)
+    return cast_dataframe(raw, mtype, config)
+
+
+def read_orc_typed(
+    spark: SparkSession,
+    path: str,
+    mtype: MessageType,
+    config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
+) -> DataFrame:
+    """Read ORC (Spark-bundled columnar format) and conform to the
+    proto contract — same cast semantics as the parquet/CSV edges;
+    ORC predicate pushdown and column pruning apply as with parquet."""
+    raw = spark.read.orc(path)
+    return cast_dataframe(raw, mtype, config)

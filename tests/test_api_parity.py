@@ -36,5 +36,5 @@ def test_distributed_surface_exported():
         assert name in ps.__all__
     from protarrow_spark import sources
 
-    for name in ("read_proto_jsonl", "read_proto_binary", "read_csv_typed"):
+    for name in ("read_proto_jsonl", "read_proto_binary", "read_csv_typed", "read_jsonl_typed", "read_orc_typed"):
         assert name in sources.__all__

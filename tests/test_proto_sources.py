@@ -161,3 +161,51 @@ def test_read_proto_binary_corrupt_frames(spark, tmp_path):
     (tmp_path / "bad-varint.bin").write_bytes(bytes([0x80] * 11) + b"\x01")
     with pytest.raises(Exception, match="malformed varint"):
         read_proto_binary(spark, str(tmp_path), EVENT, CFG).collect()
+
+
+def test_read_jsonl_typed_native(spark, tmp_path):
+    # native JVM JSON reader with the contract schema: values equal the
+    # in-memory encode path; extra fields never parsed, missing fields
+    # land proto defaults
+    from protarrow_spark.sources import read_jsonl_typed
+
+    msgs = _event_messages(30)
+    ref = messages_to_dataframe(spark, msgs, EVENT, CFG)
+    path = tmp_path / "ev.jsonl"
+    with open(path, "w") as f:
+        for m in msgs:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": m.event_id,
+                        "user_id": m.user_id,
+                        "kind": m.kind,
+                        "amount": m.amount,
+                        "extra_junk": "ignored",
+                    }
+                )
+                + "\n"
+            )
+    got = read_jsonl_typed(spark, str(path), EVENT, CFG)
+    assert got.schema == ref.schema
+    g = {r["event_id"]: r for r in got.collect()}
+    for m in msgs:
+        row = g[m.event_id]
+        assert row["kind"] == m.kind and row["amount"] == m.amount
+        assert row["ts"] is None  # absent presence field -> null
+
+
+def test_read_orc_typed_roundtrip(spark, tmp_path):
+    # ORC edge: write the reference frame as ORC (columns shuffled and
+    # one dropped), read back through the contract
+    from protarrow_spark.sources import read_orc_typed
+
+    msgs = _event_messages(30)
+    ref = messages_to_dataframe(spark, msgs, EVENT, CFG)
+    path = str(tmp_path / "ev_orc")
+    ref.select("amount", "kind", "user_id", "event_id").write.orc(path)
+    got = read_orc_typed(spark, path, EVENT, CFG)
+    assert [f.name for f in got.schema.fields] == [f.name for f in ref.schema.fields]
+    g = {r["event_id"]: r for r in got.collect()}
+    for m in msgs:
+        assert g[m.event_id]["amount"] == m.amount
