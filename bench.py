@@ -72,6 +72,8 @@ HEADLINE = [
     "sketch_kmv_set_ops",
     "table_merge_upsert",
     "table_scd2_history",
+    "window_funnel_stages",
+    "agg_cohort_retention",
 ]
 
 

@@ -1340,3 +1340,110 @@ def table_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("change_ts"),
     )
     return scd2_apply(dim, ch, "c_custkey")
+
+
+@query(
+    "window_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked,
+       (SELECT COUNT(*) FROM p) AS n_purchased
+""",
+)
+def window_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (ClickHouse windowFunnel shape): users
+    who viewed, then clicked strictly after their first view, then
+    purchased strictly after that first qualifying click.
+
+    Scale: three chained per-user conditional MIN aggregates — every
+    groupBy and join keys on user_id, so one hash partitioning is
+    planned once and reused (co-partitioned joins, no re-shuffle);
+    stage results shrink monotonically. The earliest-qualifying-event
+    semantics (not ANY ordering) are pinned by the oracle."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+@query(
+    "agg_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(FLOOR(MIN(epoch_us(ts)) / 604800000000) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       a.week - f.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM firsts f JOIN active a ON f.user_id = a.user_id
+GROUP BY f.cohort_week, a.week - f.cohort_week
+""",
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in every subsequent week they return — the
+    growth-analytics staple.
+
+    Scale: first-activity and distinct-active-week are both user-keyed
+    aggregates; the join is co-partitioned on user_id (no re-shuffle)
+    and only the final rollup re-partitions on the (small)
+    cohort/offset key space. Integer epoch-week arithmetic keeps the
+    bucketing engine-exact."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", (F.floor(epoch_micros("ts") / F.lit(604800000000)).cast("bigint")).alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
