@@ -165,6 +165,9 @@ BNLJ_BY_DESIGN = {
     "ann_int8_topk",
     "q11_important_parts",
     "q22_dormant_balance",
+    # single-row scalar-aggregate combines (1-row x 1-row joins)
+    "sketch_kmv_set_ops",
+    "window_funnel_stages",
 }
 
 
