@@ -74,6 +74,7 @@ HEADLINE = [
     "table_scd2_history",
     "window_funnel_stages",
     "agg_cohort_retention",
+    "join_fuzzy_blocked",
 ]
 
 
