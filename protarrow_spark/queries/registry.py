@@ -79,7 +79,8 @@ GRADED_FIRST = [
     "text_decontaminate",
     "pack_sequences",
     "dedup_span_clean",
-    "text_chunk_overlap",
+    # table maintenance (CDC merge; chunking variant stays pytest-gated)
+    "table_merge_upsert",
     "text_pii_redact",
     "sample_stratified_sources",
     # similarity search
