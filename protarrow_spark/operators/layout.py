@@ -87,3 +87,59 @@ def zorder_layout_stats(
             F.max("y").alias("max_y"),
         )
     )
+
+
+#: Compaction target: pack small files into ~this many bytes per
+#: output file (tiny on the synthetic data; a real lake uses ~1 GiB).
+COMPACTION_TARGET_BYTES = 512 * 1024
+
+
+def compaction_bins(
+    files: DataFrame,
+    partition_col: str,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int = COMPACTION_TARGET_BYTES,
+) -> DataFrame:
+    """Small-file compaction planning: within each table partition,
+    assign files (ordered by file id for determinism) to contiguous
+    compaction bins of ~``target_bytes`` — bin id = the file's
+    starting byte offset in the partition's cumulative stream, integer-
+    divided by the target. The standard maintenance pass every
+    Delta/Iceberg-style lake runs (OPTIMIZE / rewrite_data_files);
+    planning it as a query makes the rewrite a deterministic
+    repartition spec instead of driver-side listing logic.
+
+    Scale: ONE hash shuffle on the partition key + a window cumsum
+    within each partition — file metadata rows (not data) are all that
+    moves; the subsequent rewrite reads only bins with >= 2 files.
+
+    Output: part_id, file, file_bytes, bin_id, bin_files (files in
+    the file's bin — bins with 1 file are already compact and skipped
+    by the rewrite).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part_id").orderBy("file")
+    sized = files.select(
+        F.col(partition_col).alias("part_id"),
+        F.col(file_col).alias("file"),
+        F.col(bytes_col).alias("file_bytes"),
+    ).withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("file_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    binned = sized.withColumn(
+        "bin_id", F.expr(f"start_offset div {target_bytes}L").cast("long")
+    )
+    wb = Window.partitionBy("part_id", "bin_id")
+    return binned.select(
+        "part_id",
+        "file",
+        "file_bytes",
+        "bin_id",
+        F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
+    )

@@ -522,3 +522,146 @@ def bloom_prefilter(
             .drop(word_j, bits_j)
         )
     return out.drop("__bf_h1", "__bf_h2")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+#: HLL precision: p=8 -> m=256 registers (~6.5% relative error).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: Tail width after the register index: 13 hex digits = 52 bits.
+HLL_TAIL_HEX = 13
+HLL_TAIL_BITS = 4 * HLL_TAIL_HEX
+#: alpha_m * m^2 * 2^(TAIL_BITS+1): the full numerator of the raw HLL
+#: estimate as ONE precomputed double literal, so both engines do a
+#: single multiply-free division — bit-identical IEEE arithmetic.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_TAIL_BITS + 1))
+
+#: Leading-zero-bit count of a hex nibble's 4 bits (for the first
+#: non-zero digit of the tail).
+_NIBBLE_LZ = {
+    **{d: 3 for d in "1"},
+    **{d: 2 for d in "23"},
+    **{d: 1 for d in "4567"},
+    **{d: 0 for d in "89abcdef"},
+}
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-(group, register) max-rho HLL state — the mergeable sketch.
+
+    The value's md5 hex digest supplies everything: the first 2 hex
+    digits are the register index (8 bits), the next 13 hex digits are
+    the 52-bit tail whose leading-zero count (+1) is rho. All string /
+    integer arithmetic — no engine-private hashing, so a SQL oracle
+    reproduces the registers bit-for-bit. Register state merges by MAX,
+    so partial aggregation (map-side combine) applies and per-group
+    state is <= 256 small integers regardless of input size.
+    """
+    digest = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
+    tail = F.substring(digest, 3, HLL_TAIL_HEX)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    nz_hex = F.lit(HLL_TAIL_HEX) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    nib_lz = F.coalesce(
+        *[
+            F.when(first == d, F.lit(lz))
+            for d, lz in _NIBBLE_LZ.items()
+        ],
+        F.lit(0),
+    )
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(HLL_TAIL_BITS + 1))
+        .otherwise(nz_hex * 4 + nib_lz + 1)
+        .cast("long")
+    )
+    return (
+        df.select(F.col(group_col), reg.alias("register"), rho.alias("rho"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (p=8, m=256).
+
+    The harmonic mean is computed EXACTLY: sum of 2^(53 - r) over all
+    registers (absent registers contribute r=0 -> 2^53) is a plain
+    bigint — order-invariant, partition-invariant — and the estimate
+    is one double division of a precomputed literal numerator by that
+    integer. No engine-private float accumulation anywhere.
+
+    Output: group, n_zero_registers, hll_sum (the exact integer
+    harmonic denominator scaled by 2^53), est_distinct (double).
+    Small-range linear-counting correction is intentionally omitted
+    (ln() is libm-dependent); the raw estimate is the portable one and
+    the zero-register count is exposed so a caller can apply any
+    correction policy downstream.
+    """
+    shift = HLL_TAIL_BITS + 1  # max rho; 2^(shift - r) stays integral
+    regs = hll_registers(df, group_col, value_col)
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, cast({shift} - r as int))")).alias("present_sum"),
+    )
+    n_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    total = (F.col("present_sum") + n_zero * F.lit(1 << shift)).cast("long")
+    return per_group.select(
+        F.col(group_col),
+        n_zero.alias("n_zero_registers"),
+        total.alias("hll_sum"),
+        (F.lit(HLL_NUMERATOR) / total.cast("double")).alias("est_distinct"),
+    )
+
+
+def hll_distinct_oracle_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB SQL reproducing the identical registers and estimate."""
+    shift = HLL_TAIL_BITS + 1
+    nib_case = " ".join(
+        f"WHEN '{d}' THEN {lz}" for d, lz in _NIBBLE_LZ.items()
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {group_col},
+         md5(CAST({value_col} AS VARCHAR)) AS dg
+  FROM {table}
+),
+rhos AS (
+  SELECT {group_col},
+         CAST('0x' || substr(dg, 1, 2) AS BIGINT) AS register,
+         CASE WHEN length(regexp_replace(substr(dg, 3, {HLL_TAIL_HEX}), '^0+', '')) = 0
+              THEN {shift}
+              ELSE ({HLL_TAIL_HEX} - length(regexp_replace(substr(dg, 3, {HLL_TAIL_HEX}), '^0+', ''))) * 4
+                   + (CASE substr(regexp_replace(substr(dg, 3, {HLL_TAIL_HEX}), '^0+', ''), 1, 1)
+                      {nib_case} ELSE 0 END)
+                   + 1
+         END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT {group_col}, register, MAX(rho) AS r FROM rhos GROUP BY {group_col}, register
+),
+per_group AS (
+  -- 2.0 ** e is an exact power of two for e <= {shift}; the cast to
+  -- BIGINT before SUM keeps the harmonic denominator exact-integer
+  -- (a double SUM would lose exactness past 2^53).
+  SELECT {group_col}, COUNT(*) AS n_present,
+         SUM(CAST(2.0 ** ({shift} - r) AS BIGINT)) AS present_sum
+  FROM regs GROUP BY {group_col}
+),
+totals AS (
+  SELECT {group_col},
+         CAST({HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+         CAST(present_sum + ({HLL_M} - n_present) * CAST(2.0 ** {shift} AS BIGINT) AS BIGINT) AS hll_sum
+  FROM per_group
+)
+SELECT {group_col}, n_zero_registers, hll_sum,
+       {HLL_NUMERATOR!r} / CAST(hll_sum AS DOUBLE) AS est_distinct
+FROM totals
+"""

@@ -1632,3 +1632,70 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank — exact fixed-point PageRank over the supplier-part graph
+# ---------------------------------------------------------------------------
+
+#: Part nodes are offset into their own id range so suppliers and
+#: parts share one node-id space without collisions.
+PAGERANK_PART_OFFSET = 10_000_000
+PAGERANK_ITERATIONS = 3
+
+
+def _pagerank_oracle() -> str:
+    from protarrow_spark.operators.graph import pagerank_oracle_sql
+
+    edges = f"""
+SELECT l_suppkey AS src, l_partkey + {PAGERANK_PART_OFFSET} AS dst FROM lineitem
+UNION ALL
+SELECT l_partkey + {PAGERANK_PART_OFFSET} AS src, l_suppkey AS dst FROM lineitem
+"""
+    return pagerank_oracle_sql(edges, iterations=PAGERANK_ITERATIONS)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite supplier<->part shipment graph
+    (edges from lineitem, both directions), 3 unrolled iterations in
+    exact fixed-point integer arithmetic — the iterative-graph-
+    algorithm counterpart to dedup_cluster_assign that IS value-
+    verifiable against a SQL oracle (float PageRank would be
+    accumulation-order-dependent).
+
+    Scale: per iteration one edges-ranks equi-join + one partial-
+    aggregated groupBy, both hash-partitioned on node id; nothing
+    graph-sized is broadcast or collected."""
+    from protarrow_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PAGERANK_PART_OFFSET).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, "src", "dst", iterations=PAGERANK_ITERATIONS)
+
+
+# ---------------------------------------------------------------------------
+# score_quality_linear — learned-classifier scoring (fastText-style)
+# ---------------------------------------------------------------------------
+
+
+def _score_linear_oracle() -> str:
+    from protarrow_spark.operators.scoring import linear_quality_oracle_sql
+
+    return linear_quality_oracle_sql("documents", "doc_id", "text")
+
+
+@query("score_quality_linear", oracle=_score_linear_oracle())
+def score_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference over every document: the
+    model's coefficient vector ships as constant-folded broadcast
+    state and scoring is one scan-stage integer projection — the
+    fastText-style learned filter step of a curation pipeline, zero
+    shuffles beyond the per-doc feature aggregation."""
+    from protarrow_spark.operators.scoring import linear_quality_scores
+
+    return linear_quality_scores(table(spark, sf_dir, "documents"), "doc_id", "text")

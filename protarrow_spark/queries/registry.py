@@ -62,7 +62,6 @@ GRADED_FIRST = [
     "conv_encode_fixture",
     # multimodal binary columns
     "mm_image_features",
-    "mm_resize_nearest",
     "mm_audio_windows",
     # dedup family
     "dedup_exact",
@@ -86,9 +85,10 @@ GRADED_FIRST = [
     # similarity search
     "ann_cosine_topk",
     "ann_ivf_topk",
-    # sketches
+    # sketches (KMV, count-min, HyperLogLog)
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
     # embedding dimensionality reduction (sparse JL transform)
     "embed_random_projection",
     # core TPC-H shapes
@@ -96,8 +96,7 @@ GRADED_FIRST = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    # aggregation variants
-    "agg_rollup_flags",
+    # aggregation variants (rollup family stays pytest-gated)
     "agg_grouping_sets",
     "agg_percentile_disc",
     # join variants
@@ -110,12 +109,14 @@ GRADED_FIRST = [
     "window_sessionize",
     # data layout
     "layout_zorder_lineitem",
-    # sort / set / pivot / scalar / sampling
+    # model-scoring inference + iterative exact graph algorithm
+    "score_quality_linear",
+    "graph_pagerank",
+    # sort / set / pivot / scalar (hash sampling stays pytest-gated)
     "sort_topk_lineitems",
     "set_union_priority_keys",
     "pivot_event_matrix",
     "scalar_json_extract",
-    "sample_hash_lineitem",
     # structured streaming (oracle-gated + one stateful rows-only)
     "stream_window_counts",
     "stream_session_windows",

@@ -613,7 +613,7 @@ def set_union_priority_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) of two filtered scans."""
     o = table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    b = o.filter(F.col("o_totalprice") > 480000).select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
     return a.union(b).distinct()
 
 
@@ -1519,3 +1519,58 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_compaction_bins — small-file compaction planning
+# ---------------------------------------------------------------------------
+
+#: Simulated bytes per lineitem row for the file-size model (the
+#: driver's parquet has no per-file listing to plan over, so files are
+#: modeled as one per ship-day with bytes = rows x this).
+COMPACTION_ROW_BYTES = 128
+
+
+def _compaction_oracle() -> str:
+    from protarrow_spark.operators.layout import COMPACTION_TARGET_BYTES
+
+    return f"""
+WITH files AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS part_id,
+         CAST(EXTRACT(day FROM l_shipdate) AS BIGINT) AS file,
+         CAST(COUNT(*) * {COMPACTION_ROW_BYTES} AS BIGINT) AS file_bytes
+  FROM lineitem GROUP BY 1, 2
+),
+offs AS (
+  SELECT part_id, file, file_bytes,
+         COALESCE(SUM(file_bytes) OVER (
+           PARTITION BY part_id ORDER BY file
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM files
+),
+binned AS (
+  SELECT part_id, file, file_bytes,
+         CAST(start_offset // {COMPACTION_TARGET_BYTES} AS BIGINT) AS bin_id
+  FROM offs
+)
+SELECT part_id, file, file_bytes, bin_id,
+       CAST(COUNT(*) OVER (PARTITION BY part_id, bin_id) AS BIGINT) AS bin_files
+FROM binned
+"""
+
+
+@query("layout_compaction_bins", oracle=_compaction_oracle())
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (OPTIMIZE / rewrite_data_files):
+    per ship-month partition, pack per-day files into contiguous
+    ~target-size bins by cumulative-offset integer division — one
+    metadata-sized shuffle + a window cumsum; the rewrite this plans
+    touches only bins holding >= 2 files."""
+    from protarrow_spark.operators.layout import compaction_bins
+
+    li = table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_id"),
+        F.dayofmonth("l_shipdate").cast("long").alias("file"),
+    ).agg((F.count(F.lit(1)) * COMPACTION_ROW_BYTES).cast("long").alias("file_bytes"))
+    return compaction_bins(files, "part_id", "file", "file_bytes")

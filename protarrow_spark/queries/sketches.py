@@ -128,3 +128,17 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersect"
         ),
     )
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=sketches.hll_distinct_oracle_sql("events", "event_type", "user_id"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (p=8, m=256) with a
+    fully portable register layout: md5-derived register index + rho,
+    MAX-mergeable state (256 small ints per group regardless of input
+    size — the sketch KMV can't give when per-group state must stay
+    constant), and an exact-integer harmonic denominator so the
+    estimate is bit-identical on any engine."""
+    return sketches.hll_distinct(table(spark, sf_dir, "events"), "event_type", "user_id")

@@ -251,9 +251,13 @@ def test_bpe_pair_counts_single_exchange_topk(spark, sf_dir) -> None:
 
 def test_random_projection_zero_shuffle_zero_python(spark, sf_dir) -> None:
     # quantization + sparse JL projection are scan-stage integer
-    # arithmetic: any Exchange or Python eval operator is a regression
+    # arithmetic: any hash/range Exchange or Python eval operator is a
+    # regression. The one allowed Exchange is spread()'s round-robin
+    # repartition of an under-parallel local scan (a no-op at scale,
+    # where the parquet scan already has thousands of splits).
     plan = _plan(spark, sf_dir, "embed_random_projection")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
     assert "Python" not in plan
 
 

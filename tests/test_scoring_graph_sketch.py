@@ -1,0 +1,152 @@
+"""Unit tests for the round-4 operator families: HyperLogLog distinct
+sketch, fixed-point PageRank, linear quality-classifier scoring, and
+compaction bin planning. Value parity with the DuckDB oracles is
+covered by tests/test_oracle_parity.py; these pin the algebraic
+properties the oracles can't express (mergeability, convergence, bin
+invariants, error bounds).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from protarrow_spark.operators.graph import PAGERANK_SCALE, pagerank
+from protarrow_spark.operators.layout import compaction_bins
+from protarrow_spark.operators.scoring import linear_quality_scores
+from protarrow_spark.operators.sketches import HLL_M, hll_distinct, hll_registers
+from protarrow_spark.sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir) -> None:
+    """The operator ships the RAW estimate plus the zero-register count;
+    the standard small-range linear-counting correction (which needs
+    libm ln() and is therefore left out of the engine-portable columns)
+    is the caller's policy — applied here exactly as HLL prescribes."""
+    import math
+
+    ev = table(spark, sf_dir, "events")
+    est = {
+        r["event_type"]: (r["est_distinct"], r["n_zero_registers"])
+        for r in hll_distinct(ev, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, (raw, zeros) in est.items():
+        e = raw
+        if raw <= 2.5 * HLL_M and zeros > 0:
+            e = HLL_M * math.log(HLL_M / zeros)
+        # p=8 gives ~1.04/sqrt(256) = 6.5% typical error; allow ~4 sigma.
+        assert abs(e - exact[k]) / exact[k] < 0.30, (k, e, exact[k])
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir) -> None:
+    """Sketch of a union == register-wise MAX of the parts' sketches —
+    the mergeability that lets per-day/per-source sketches roll up."""
+    ev = table(spark, sf_dir, "events").withColumn("g", F.lit("all"))
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = {
+        (r["register"]): r["r"] for r in hll_registers(ev, "g", "user_id").collect()
+    }
+    ra = {r["register"]: r["r"] for r in hll_registers(half_a, "g", "user_id").collect()}
+    rb = {r["register"]: r["r"] for r in hll_registers(half_b, "g", "user_id").collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == whole
+
+
+def test_hll_state_is_bounded(spark, sf_dir) -> None:
+    regs = hll_registers(table(spark, sf_dir, "events"), "event_type", "user_id")
+    per_group = regs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= HLL_M for r in per_group)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def toy_edges(spark):
+    # 1 -> 2, 2 -> 1, 3 -> 1 : node 1 must outrank 2, 2 outrank 3.
+    return spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], ["src", "dst"]
+    )
+
+
+def test_pagerank_ordering_and_base(spark, toy_edges) -> None:
+    ranks = {r["node"]: r["rank"] for r in pagerank(toy_edges, "src", "dst").collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] > ranks[2] > ranks[3]
+    # A node with no in-edges holds exactly the base mass 0.15.
+    assert ranks[3] == (15 * PAGERANK_SCALE) // 100
+
+
+def test_pagerank_deterministic_across_partitionings(spark, toy_edges) -> None:
+    a = sorted(pagerank(toy_edges, "src", "dst").collect())
+    b = sorted(pagerank(toy_edges.repartition(7), "src", "dst").collect())
+    assert a == b
+
+
+def test_pagerank_mass_bounded(spark, toy_edges) -> None:
+    """Integer truncation only ever LOSES mass: total rank <= n * SCALE."""
+    total = (
+        pagerank(toy_edges, "src", "dst").agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    )
+    assert 0 < total <= 3 * PAGERANK_SCALE
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_linear_scores_consistent(spark, sf_dir) -> None:
+    docs = table(spark, sf_dir, "documents")
+    out = linear_quality_scores(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["ttr_m"] <= 1000
+        assert 0 <= r["len_m"] <= 1000
+        assert 0 <= r["stop_m"] <= 1000
+        assert r["keep"] == (r["z_score"] > 0)
+
+
+# ---------------------------------------------------------------------------
+# Compaction bins
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_bins_invariants(spark) -> None:
+    target = 1000
+    files = spark.createDataFrame(
+        [("p1", i, 300) for i in range(10)] + [("p2", 1, 5000), ("p2", 2, 10)],
+        ["part", "f", "b"],
+    )
+    out = compaction_bins(files, "part", "f", "b", target_bytes=target).collect()
+    by_part: dict = {}
+    for r in out:
+        by_part.setdefault(r["part_id"], []).append(r)
+    # p1: 10 x 300 bytes -> offsets 0..2700; bin = offset // 1000:
+    # files 0-3 (offsets 0,300,600,900) -> bin 0, 4-6 -> bin 1, ...
+    p1 = sorted(by_part["p1"], key=lambda r: r["file"])
+    assert [r["bin_id"] for r in p1] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # bin_files counts agree with the actual bin membership
+    from collections import Counter
+
+    c = Counter((r["part_id"], r["bin_id"]) for r in out)
+    assert all(c[(r["part_id"], r["bin_id"])] == r["bin_files"] for r in out)
+    # an oversize file occupies its own bin; the next file starts a new one
+    p2 = {r["file"]: r["bin_id"] for r in by_part["p2"]}
+    assert p2[1] == 0 and p2[2] == 5
