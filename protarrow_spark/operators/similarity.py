@@ -564,39 +564,58 @@ def int8_topk(
     side moves 4x fewer bytes.
 
     Scale: identical topology to the exact brute-force path — the
-    (small) quantized query set broadcasts, the corpus never shuffles.
-    The quantized corpus is MATERIALIZED before the pair join
-    (localCheckpoint here; a written int8 index table in production —
-    quantize once, search many). Without the barrier Catalyst's
-    project-collapsing inlines the whole quantization expression into
-    the per-pair scoring loop, recomputing it for every candidate
-    pair (~14x slower measured at sf0.1).
+    (small) quantized query set rides along as driver-collected
+    closure state (the IVF-centroid pattern) and the corpus never
+    shuffles. Scoring is ONE int64 BLAS matmul per Arrow batch
+    against the (n_queries x dim) query matrix instead of an
+    interpreted per-pair fold — bit-identical results because every
+    integer dot product and squared norm is exact in ANY accumulation
+    order (values stay far inside 2^53), and the final
+    ``dot / (q_norm * c_norm)`` is the same two IEEE ops either way.
     """
     qz = quantize_int8(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("q").alias("q_vec"),
         F.col("qnorm").alias("q_norm"),
     )
+    # Small query set -> driver, like IVF centroids: nothing corpus-
+    # sized is collected, and executors get the query matrix via
+    # closure serialization (a broadcast variable at real fan-out).
+    qrows = qz.collect()
+    Q = np.array([list(r["q_vec"]) for r in qrows], dtype=np.int64)
+    qn = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["query_id"] for r in qrows])
+
     from protarrow_spark.sources.tables import spread
 
-    cz = (
-        quantize_int8(spread(corpus), id_col, vec_col)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("q").alias("c_vec"),
-            F.col("qnorm").alias("c_norm"),
-        )
-        .localCheckpoint(eager=True)
+    cz = quantize_int8(spread(corpus), id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("c_vec"),
+        F.col("qnorm").alias("c_norm"),
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: (a * b).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        (idot / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_q8"),
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            C = np.stack([np.asarray(x, dtype=np.int64) for x in b["c_vec"].values])
+            cn = b["c_norm"].to_numpy(dtype=np.float64)
+            nids = b["neighbor_id"].to_numpy()
+            # int64 matmul: exact (|dot| <= 127^2 * dim << 2^53).
+            dots = (C @ Q.T).astype(np.float64)  # n x n_queries
+            cos = dots / (qn[None, :] * cn[:, None])
+            n, m = cos.shape
+            nn = np.repeat(nids, m)
+            qq = np.tile(qids, n)
+            flat = cos.ravel()
+            keep = nn != qq
+            yield pd.DataFrame(
+                {"query_id": qq[keep], "neighbor_id": nn[keep], "cosine_q8": flat[keep]}
+            )
+
+    scored = cz.mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, cosine_q8 double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q8"), F.asc("neighbor_id"))
     return (

