@@ -75,6 +75,13 @@ HEADLINE = [
     "window_funnel_stages",
     "agg_cohort_retention",
     "join_fuzzy_blocked",
+    "sketch_hll_distinct",
+    "graph_pagerank",
+    "score_quality_linear",
+    "layout_compaction_bins",
+    "mm_phash_dedup",
+    "agg_mode_exact",
+    "join_scd2_asof",
 ]
 
 

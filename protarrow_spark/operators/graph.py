@@ -136,12 +136,21 @@ def pagerank(
 
     Output: node, rank (bigint, fixed-point 1e-12).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # Materialize the deduped edge list ONCE: every iteration joins it
+    # (twice, counting deg), and without the barrier Catalyst re-plans
+    # the source scan + distinct per reference — at 100 TB the edge
+    # list is a written table, which this stands in for.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     base = F.lit((1 - 0) * PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)  # 15
     ranks = nodes.select("node", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))

@@ -364,3 +364,76 @@ def scene_cuts(
         is_cut.alias("is_cut"),
         F.sum(is_cut.cast("long")).over(cum).alias("scene_id"),
     )
+
+
+#: aHash grid: the perceptual hash reads this many leading pixels
+#: (a real codec would resize to an 8x8 luma grid first; the stub
+#: reads the first 64 payload bytes, zero-padded — same shape, no
+#: codec dependency).
+PHASH_CELLS = 64
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ahash", T.StringType(), True),
+    ]
+)
+
+
+def image_phash(
+    df: DataFrame, id_col: str, blob_col: str, cells: int = PHASH_CELLS
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: threshold each of
+    ``cells`` grid values at the (floor) mean, emit the bit string.
+    Near-duplicate images — re-encodes, minor edits — land on the
+    same or near-identical hash; identical hashes group without any
+    pairwise comparison. Same Arrow-batched ``mapInPandas`` plumbing
+    as the other stub-codec operators (a real decoder producing an
+    8x8 luma grid slots into the inner function); the hash is a
+    64-char '0'/'1' string, sidestepping signed-64-bit overflow and
+    portable to any engine.
+
+    Non-image blobs emit a null hash (total operator).
+
+    Scale: narrow map, zero shuffles; downstream grouping is one
+    hash-groupBy on a uniformly distributed key — exactly the exact-
+    dedup shape, never all-pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes = []
+            for raw in batch["blob"]:
+                data = bytes(raw)
+                if not data.startswith(FAKE_IMAGE_MAGIC):
+                    hashes.append(None)
+                    continue
+                px = np.frombuffer(data, dtype=np.uint8, offset=len(FAKE_IMAGE_MAGIC))
+                v = np.zeros(cells, dtype=np.int64)
+                n = min(cells, len(px))
+                v[:n] = px[:n]
+                mean_floor = int(v.sum()) // cells
+                hashes.append("".join("1" if x > mean_floor else "0" for x in v))
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "ahash": hashes})
+
+    return src.mapInPandas(extract, PHASH_SCHEMA)
+
+
+def phash_duplicate_groups(
+    df: DataFrame, id_col: str, blob_col: str, cells: int = PHASH_CELLS
+) -> DataFrame:
+    """Images sharing an identical perceptual hash: one row per hash
+    with the canonical (minimum) id and the group size — the image-
+    column counterpart of text exact dedup (hamming-k probing over
+    hash chunks reuses the SimHash banding pattern unchanged)."""
+    hashed = image_phash(df, id_col, blob_col, cells).filter(
+        F.col("ahash").isNotNull()
+    )
+    return hashed.groupBy("ahash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )

@@ -257,3 +257,39 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: narrow frame explode; one shuffle on the video id for the
     lag/cumsum window."""
     return multimodal.scene_cuts(_blobs(spark, sf_dir), "doc_id", "blob")
+
+
+_PH_CELLS = multimodal.PHASH_CELLS
+
+
+@query(
+    "mm_phash_dedup",
+    oracle=f"""
+WITH {_BLOB_CTE},
+imgs AS (
+  SELECT doc_id, ph FROM payloads WHERE is_img
+),
+cells AS (
+  SELECT doc_id,
+         [CASE WHEN i <= len(ph) // 2 THEN {_byteval('ph', 'i')} ELSE 0 END
+          FOR i IN range(1, {_PH_CELLS} + 1)] AS v
+  FROM imgs
+),
+hashed AS (
+  SELECT doc_id,
+         array_to_string(
+           [CASE WHEN x > list_sum(v) // {_PH_CELLS} THEN '1' ELSE '0' END
+            FOR x IN v], '') AS ahash
+  FROM cells
+)
+SELECT ahash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_images
+FROM hashed GROUP BY ahash
+""",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup: stub-codec Pandas-UDF
+    hashing (threshold-at-mean bit string over the leading pixel
+    grid), then one hash-groupBy — image near-dup collapse with the
+    exact-dedup plan shape, never pairwise; the oracle recomputes
+    every hash byte-exactly from the hex rendering."""
+    return multimodal.phash_duplicate_groups(_blobs(spark, sf_dir), "doc_id", "blob")

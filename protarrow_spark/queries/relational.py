@@ -1574,3 +1574,115 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("l_shipdate").cast("long").alias("file"),
     ).agg((F.count(F.lit(1)) * COMPACTION_ROW_BYTES).cast("long").alias("file_bytes"))
     return compaction_bins(files, "part_id", "file", "file_bytes")
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders
+FROM ranked WHERE rn = 1
+""",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value, smallest-value tie
+    break): counts groupBy + a WindowGroupLimit-pruned rank — the
+    deterministic version of the MODE() aggregate (whose tie behavior
+    is engine-private). Two uniform shuffles; the window's rank<=1
+    filter prunes map-side, so only one candidate row per (group,
+    partition) reaches the final exchange."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_scd2_asof",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+ch AS (
+  SELECT c_custkey, 'MACHINERY' AS c_mktsegment,
+         TIMESTAMP '2024-06-01 00:00:00' AS change_ts
+  FROM customer WHERE c_custkey % 101 = 0
+),
+hist AS (
+  SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+         CASE WHEN d.valid_to IS NULL AND ch.change_ts IS NOT NULL
+              THEN ch.change_ts ELSE d.valid_to END AS valid_to
+  FROM dim d LEFT JOIN ch ON d.c_custkey = ch.c_custkey
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, change_ts, CAST(NULL AS TIMESTAMP) FROM ch
+)
+SELECT o.o_orderkey, o.o_custkey, h.c_mktsegment AS segment_at_order,
+       epoch_us(h.valid_from) AS version_from_us
+FROM orders o JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND h.valid_from <= o.o_orderdate
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+""",
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: join each order to the SCD2
+    customer version valid AT its order date (the temporal-join read
+    side of table_scd2_history — what every fact-vs-versioned-dim
+    query in a warehouse runs).
+
+    Scale: equi-join on the customer key with the validity-range
+    residual filter — fan-out is bounded by versions-per-key (<= 2
+    here, small always), so this is a plain hash join co-partitioned
+    on the key, never a range explosion; at 100 TB both sides
+    hash-partition on c_custkey and AQE picks broadcast while the
+    history is small."""
+    from protarrow_spark.operators.merge import scd2_apply
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    ch = cust.filter(F.col("c_custkey") % 101 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("change_ts"),
+    )
+    hist = scd2_apply(dim, ch, "c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    od = epoch_micros("o_orderdate")
+    cond = (
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (epoch_micros("valid_from") <= od)
+        & (F.col("valid_to").isNull() | (od < epoch_micros("valid_to")))
+    )
+    return o.join(hist, cond).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_mktsegment").alias("segment_at_order"),
+        epoch_micros("valid_from").alias("version_from_us"),
+    )
