@@ -575,6 +575,17 @@ def hll_registers(
     so partial aggregation (map-side combine) applies and per-group
     state is <= 256 small integers regardless of input size.
     """
+    reg, rho = hll_register_cols(value_col)
+    return (
+        df.select(F.col(group_col), reg.alias("register"), rho.alias("rho"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_register_cols(value_col: str) -> tuple[Column, Column]:
+    """The (register, rho) expressions for one value — shared by the
+    batch groupBy build and the streaming stateful MAX aggregation."""
     digest = F.md5(F.col(value_col).cast("string"))
     reg = F.conv(F.substring(digest, 1, 2), 16, 10).cast("int")
     tail = F.substring(digest, 3, HLL_TAIL_HEX)
@@ -582,10 +593,7 @@ def hll_registers(
     nz_hex = F.lit(HLL_TAIL_HEX) - F.length(stripped)
     first = F.substring(stripped, 1, 1)
     nib_lz = F.coalesce(
-        *[
-            F.when(first == d, F.lit(lz))
-            for d, lz in _NIBBLE_LZ.items()
-        ],
+        *[F.when(first == d, F.lit(lz)) for d, lz in _NIBBLE_LZ.items()],
         F.lit(0),
     )
     rho = (
@@ -593,10 +601,25 @@ def hll_registers(
         .otherwise(nz_hex * 4 + nib_lz + 1)
         .cast("long")
     )
-    return (
-        df.select(F.col(group_col), reg.alias("register"), rho.alias("rho"))
-        .groupBy(group_col, "register")
-        .agg(F.max("rho").alias("r"))
+    return reg, rho
+
+
+def hll_finalize(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Register table (group..., register, r) -> per-group estimate,
+    identical arithmetic to :func:`hll_distinct` (exact-integer
+    harmonic denominator, one double division)."""
+    shift = HLL_TAIL_BITS + 1
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, cast({shift} - r as int))")).alias("present_sum"),
+    )
+    n_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    total = (F.col("present_sum") + n_zero * F.lit(1 << shift)).cast("long")
+    return per_group.select(
+        *group_cols,
+        n_zero.alias("n_zero_registers"),
+        total.alias("hll_sum"),
+        (F.lit(HLL_NUMERATOR) / total.cast("double")).alias("est_distinct"),
     )
 
 
@@ -616,20 +639,7 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     the zero-register count is exposed so a caller can apply any
     correction policy downstream.
     """
-    shift = HLL_TAIL_BITS + 1  # max rho; 2^(shift - r) stays integral
-    regs = hll_registers(df, group_col, value_col)
-    per_group = regs.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr(f"shiftleft(1L, cast({shift} - r as int))")).alias("present_sum"),
-    )
-    n_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
-    total = (F.col("present_sum") + n_zero * F.lit(1 << shift)).cast("long")
-    return per_group.select(
-        F.col(group_col),
-        n_zero.alias("n_zero_registers"),
-        total.alias("hll_sum"),
-        (F.lit(HLL_NUMERATOR) / total.cast("double")).alias("est_distinct"),
-    )
+    return hll_finalize(hll_registers(df, group_col, value_col), [group_col])
 
 
 def hll_distinct_oracle_sql(table: str, group_col: str, value_col: str) -> str:

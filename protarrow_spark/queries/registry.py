@@ -117,8 +117,11 @@ GRADED_FIRST = [
     "set_union_priority_keys",
     "pivot_event_matrix",
     "scalar_json_extract",
-    # structured streaming (oracle-gated + one stateful rows-only)
-    "stream_window_counts",
+    # structured streaming (oracle-gated + one stateful rows-only;
+    # the hll sketch query subsumes the watermarked tumbling-window
+    # shape and adds sketch-state streaming — plain window counts
+    # stay pytest-gated)
+    "stream_hll_sketch",
     "stream_session_windows",
     "stream_interval_join",
     "stream_stateful_user_totals",

@@ -353,3 +353,83 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("mem_stream_dedup_keys")
+
+
+def _stream_hll_oracle() -> str:
+    from protarrow_spark.operators.sketches import (
+        HLL_M,
+        HLL_NUMERATOR,
+        HLL_TAIL_HEX,
+        _NIBBLE_LZ,
+    )
+
+    shift = 4 * HLL_TAIL_HEX + 1
+    nib_case = " ".join(f"WHEN '{d}' THEN {lz}" for d, lz in _NIBBLE_LZ.items())
+    return f"""
+WITH hashed AS (
+  SELECT date_trunc('hour', ts) AS win_start,
+         md5(CAST(user_id AS VARCHAR)) AS dg
+  FROM events
+),
+rhos AS (
+  SELECT win_start,
+         CAST('0x' || substr(dg, 1, 2) AS BIGINT) AS register,
+         CASE WHEN length(regexp_replace(substr(dg, 3, {HLL_TAIL_HEX}), '^0+', '')) = 0
+              THEN {shift}
+              ELSE ({HLL_TAIL_HEX} - length(regexp_replace(substr(dg, 3, {HLL_TAIL_HEX}), '^0+', ''))) * 4
+                   + (CASE substr(regexp_replace(substr(dg, 3, {HLL_TAIL_HEX}), '^0+', ''), 1, 1)
+                      {nib_case} ELSE 0 END)
+                   + 1
+         END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT win_start, register, MAX(rho) AS r FROM rhos GROUP BY win_start, register
+),
+per_group AS (
+  SELECT win_start, COUNT(*) AS n_present,
+         SUM(CAST(2.0 ** ({shift} - r) AS BIGINT)) AS present_sum
+  FROM regs GROUP BY win_start
+),
+totals AS (
+  SELECT win_start,
+         CAST({HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+         CAST(present_sum + ({HLL_M} - n_present) * CAST(2.0 ** {shift} AS BIGINT) AS BIGINT) AS hll_sum
+  FROM per_group
+)
+SELECT win_start, n_zero_registers, hll_sum,
+       {HLL_NUMERATOR!r} / CAST(hll_sum AS DOUBLE) AS est_distinct
+FROM totals
+"""
+
+
+@query("stream_hll_sketch", oracle=_stream_hll_oracle())
+def stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: per-hour distinct-user estimates where
+    the STREAMING STATE IS THE SKETCH — the stateful aggregation keys
+    on (hour window, register) and folds with MAX(rho), so in-flight
+    state per window is <= 256 small integers no matter how many
+    events arrive (a streaming COUNT(DISTINCT) would need unbounded
+    per-window key sets). The finalize readout (exact-integer harmonic
+    denominator, one double division) runs as a batch query over the
+    completed register table; the oracle recomputes windows, registers,
+    and estimates bit-for-bit.
+
+    Scale: the shuffle keys on (window, register) — 256-way uniform
+    within each window by construction; the watermark evicts window
+    state; sketches from different streams/partitions merge by the
+    same MAX, so the operator composes with cross-day rollups.
+    """
+    from protarrow_spark.operators.sketches import hll_finalize, hll_register_cols
+
+    ev = _stream_events(spark, sf_dir)
+    reg, rho = hll_register_cols("user_id")
+    regs = (
+        ev.withWatermark("ts", "2 hours")
+        .select(F.window("ts", "1 hour").alias("win"), reg.alias("register"), rho.alias("rho"))
+        .groupBy("win", "register")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("win.start").alias("win_start"), "register", "r")
+    )
+    state = _run_to_memory(regs, "mem_stream_hll_sketch")
+    return hll_finalize(state, ["win_start"])
