@@ -293,3 +293,48 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup plan shape, never pairwise; the oracle recomputes
     every hash byte-exactly from the hex rendering."""
     return multimodal.phash_duplicate_groups(_blobs(spark, sf_dir), "doc_id", "blob")
+
+
+@query(
+    "mm_frame_dedup",
+    oracle=f"""
+WITH {_BLOB_CTE},
+framed AS (
+  SELECT doc_id, ph,
+         CAST(ceil(len(ph) / {multimodal.FRAME_BYTES * 2.0}) AS INT) AS n_frames
+  FROM payloads
+),
+frames AS (
+  SELECT doc_id,
+         md5(substr(ph, i * {multimodal.FRAME_BYTES * 2} + 1,
+                    {multimodal.FRAME_BYTES * 2})) AS frame_md5
+  FROM framed, unnest(range(0, n_frames)) AS t(i)
+)
+SELECT frame_md5,
+       MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM frames
+GROUP BY frame_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection: every sampled frame's
+    content digest (stride 1 — all frames) hash-groups across the
+    corpus; digests seen in >= 2 distinct videos are shared segments
+    (intros, ads, reposts — what video-corpus dedup actually hunts).
+    Exact-dedup plan shape on a uniform 128-bit key: one shuffle,
+    never pairwise."""
+    frames = multimodal.frame_sample(
+        _blobs(spark, sf_dir), "doc_id", "blob", every=1
+    )
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1686,3 +1686,37 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment_at_order"),
         epoch_micros("valid_from").alias("version_from_us"),
     )
+
+
+@query(
+    "sql_revenue_by_nation",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point, exercised end-to-end: tables register as
+    temp views (sources/tables.py register_views) and the query is
+    SQL TEXT through spark.sql — same Catalyst plan as the DataFrame
+    surface (pushed filters, decimal-exact sums, AQE join choice), so
+    the engine's two public query APIs stay verified-equivalent."""
+    from protarrow_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
