@@ -82,6 +82,9 @@ HEADLINE = [
     "mm_phash_dedup",
     "agg_mode_exact",
     "join_scd2_asof",
+    "mm_frame_dedup",
+    "sql_revenue_by_nation",
+    "text_bpe_train",
 ]
 
 

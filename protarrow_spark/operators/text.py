@@ -321,3 +321,121 @@ def repetition_stats(
         (F.col("top_c").cast("double") / F.col("n_ngrams")).alias("top_ngram_frac"),
         (dup_frac < F.lit(max_dup_frac)).alias("keep"),
     )
+
+
+#: BPE training: number of merge rules to learn in the declarative
+#: unrolled loop (a production trainer runs tens of thousands of
+#: steps with the same per-step dataflow).
+BPE_TRAIN_STEPS = 3
+
+
+def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEPS):
+    """Learn ``steps`` BPE merge rules from the corpus — the tokenizer-
+    TRAINING loop (Sennrich 2016) expressed declaratively: each step
+    counts adjacent-symbol pairs over the distinct-word vocabulary
+    (weighted by word frequency, overlapping occurrences counted, as
+    the textbook trainer does), picks the most frequent pair
+    (lexicographic tie-break), and rewrites every word by the GREEDY
+    non-overlapping left-to-right merge — implemented as a fold over
+    the symbol array (``F.aggregate`` with a (out, skip) accumulator),
+    so the rewrite is textbook-exact ('aaaa' -> 'aa aa') and runs in
+    the scan stage with no extra shuffle. The DuckDB oracle computes
+    the identical greedy merge via a gaps-and-islands window
+    formulation (odd-ranked flags within runs of consecutive matches
+    merge); both are exact string/integer logic, so every rule and
+    count matches bit-for-bit.
+
+    Scale: the state between steps is the VOCABULARY (distinct symbol
+    strings x counts — millions of rows at 100 TB, not corpus-sized);
+    each step is one explode + partial-aggregated groupBy over it for
+    pair counts, a 1-row TakeOrdered for the winner, a broadcast of
+    that single rule into the fold rewrite, and a re-aggregation of
+    the vocabulary (words collapsing to the same symbol string merge
+    their counts). Steps are driver-unrolled into one Catalyst plan
+    (localCheckpoint the vocabulary past ~10 steps, as
+    connected_components does).
+
+    Output: step (int), pair ('x y'), merged ('xy'), pair_count.
+    """
+    import pyspark.sql.functions as F
+
+    from protarrow_spark.sources.tables import spread
+
+    toks = spread(df.select(F.col(text_col))).select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sym"),
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merges = None
+    for step_no in range(1, steps + 1):
+        arr = F.split(F.col("sym"), " ")
+        n = F.size(arr)
+        pairs = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        counted = (
+            words.select(F.col("cnt"), F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = counted.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1)
+        rule = top.select(
+            F.lit(step_no).alias("step"),
+            "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            "pair_count",
+        )
+        merges = rule if merges is None else merges.unionByName(rule)
+
+        joined = words.crossJoin(
+            F.broadcast(
+                top.select(
+                    F.split(F.col("pair"), " ")[0].alias("__pa"),
+                    F.split(F.col("pair"), " ")[1].alias("__pb"),
+                )
+            )
+        )
+        pa, pb = F.col("__pa"), F.col("__pb")
+        merged_sym = F.concat(pa, pb)
+        zero = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        )
+
+        def fold_step(acc, i):
+            cur = F.element_at(arr, i)
+            nxt = F.try_element_at(arr, i + 1)
+            do_merge = (~acc.skip) & (cur == pa) & nxt.isNotNull() & (nxt == pb)
+            out_merge = F.struct(
+                F.concat(acc.out, F.array(merged_sym)).alias("out"),
+                F.lit(True).alias("skip"),
+            )
+            out_keep = F.struct(
+                F.concat(acc.out, F.array(cur)).alias("out"),
+                F.lit(False).alias("skip"),
+            )
+            out_skip = F.struct(acc.out.alias("out"), F.lit(False).alias("skip"))
+            return F.when(acc.skip, out_skip).when(do_merge, out_merge).otherwise(out_keep)
+
+        new_sym = F.aggregate(
+            F.sequence(F.lit(1), n),
+            zero,
+            fold_step,
+            lambda acc: F.concat_ws(" ", acc.out),
+        )
+        words = (
+            joined.select(F.col("cnt"), new_sym.alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return merges

@@ -1699,3 +1699,96 @@ def score_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from protarrow_spark.operators.scoring import linear_quality_scores
 
     return linear_quality_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train — BPE tokenizer training (iterative merge learning)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train_oracle(steps: int = 3) -> str:
+    """Unrolled BPE-training oracle: per step, overlapping pair counts
+    pick the winner; the rewrite is the GREEDY non-overlapping merge
+    via gaps-and-islands windows (odd-ranked flags within runs of
+    consecutive matches merge, the following position is consumed) —
+    value-identical to the Spark fold."""
+    ctes = [
+        """toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)""",
+        """vocab AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)""",
+        r"""words0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, SUM(cnt) AS cnt
+  FROM vocab GROUP BY 1
+)""",
+    ]
+    for k in range(1, steps + 1):
+        prev = f"words{k - 1}"
+        ctes.append(
+            f"""pairs{k} AS (
+  SELECT s.cnt, s.arr[i] || ' ' || s.arr[i + 1] AS pair
+  FROM (SELECT cnt, string_split(sym, ' ') AS arr FROM {prev}) s,
+       unnest(range(1, len(s.arr))) AS t(i)
+),
+top{k} AS (
+  SELECT pair, SUM(cnt) AS pair_count FROM pairs{k}
+  GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
+),
+pos{k} AS (
+  SELECT s.sym, s.cnt, i AS p, s.arr[i] AS cur,
+         CASE WHEN i < len(s.arr) THEN s.arr[i + 1] END AS nxt
+  FROM (SELECT sym, cnt, string_split(sym, ' ') AS arr FROM {prev}) s,
+       unnest(range(1, len(s.arr) + 1)) AS t(i)
+),
+flag{k} AS (
+  SELECT sym, cnt, p, cur,
+         COALESCE(cur = (SELECT string_split(pair, ' ')[1] FROM top{k})
+                  AND nxt = (SELECT string_split(pair, ' ')[2] FROM top{k}),
+                  FALSE) AS f
+  FROM pos{k}
+),
+isl{k} AS (
+  SELECT sym, cnt, p, cur, f,
+         CASE WHEN f THEN p - ROW_NUMBER() OVER (PARTITION BY sym, f ORDER BY p) END AS isl
+  FROM flag{k}
+),
+rk{k} AS (
+  SELECT sym, cnt, p, cur, f,
+         CASE WHEN f THEN ROW_NUMBER() OVER (PARTITION BY sym, isl ORDER BY p) END AS rn
+  FROM isl{k}
+),
+dec{k} AS (
+  SELECT sym, cnt, p, cur,
+         COALESCE(f AND rn % 2 = 1, FALSE) AS m,
+         COALESCE(LAG(COALESCE(f AND rn % 2 = 1, FALSE))
+                  OVER (PARTITION BY sym ORDER BY p), FALSE) AS consumed
+  FROM rk{k}
+),
+words{k} AS (
+  SELECT new_sym AS sym, SUM(cnt) AS cnt FROM (
+    SELECT sym, cnt,
+           string_agg(CASE WHEN m THEN (SELECT replace(pair, ' ', '') FROM top{k})
+                           WHEN consumed THEN NULL
+                           ELSE cur END, ' ' ORDER BY p) AS new_sym
+    FROM dec{k} GROUP BY sym, cnt
+  ) GROUP BY new_sym
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM top{k}"
+        for k in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (3 unrolled merge-learning steps) over
+    the corpus vocabulary — each step counts adjacent symbol pairs
+    weighted by word frequency, picks the winner deterministically,
+    and rewrites the vocabulary for the next step; the learned rule
+    list is the oracle-pinned output (operators/text.py
+    bpe_train_merges for the scale notes and the documented
+    delimiter-sharing merge semantics)."""
+    from protarrow_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(table(spark, sf_dir, "documents"), "doc_id", "text")

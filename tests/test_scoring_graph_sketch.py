@@ -150,3 +150,57 @@ def test_compaction_bins_invariants(spark) -> None:
     # an oversize file occupies its own bin; the next file starts a new one
     p2 = {r["file"]: r["bin_id"] for r in by_part["p2"]}
     assert p2[1] == 0 and p2[2] == 5
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_learns_expected_rules(spark) -> None:
+    from protarrow_spark.operators.text import bpe_train_merges
+
+    # 'ab' dominates: 3x in 'abab' words + 2x 'abc' = 8 occurrences.
+    docs = spark.createDataFrame(
+        [
+            (1, "abab abab abc"),
+            (2, "abab abc cc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rules = {r["step"]: r for r in bpe_train_merges(docs, "doc_id", "text").collect()}
+    assert rules[1]["pair"] == "a b" and rules[1]["merged"] == "ab"
+    # 3 'abab' words contribute 2 'a b' pairs each + 2x 'abc' = 8.
+    assert rules[1]["pair_count"] == 8
+    # step 2: vocabulary is now {'ab ab', 'ab c', 'c c'}; 'ab ab' (x3)
+    # beats 'ab c' (x2) and 'c c' (x1).
+    assert rules[2]["pair"] == "ab ab" and rules[2]["merged"] == "abab"
+    assert rules[2]["pair_count"] == 3
+    # step 3: remaining pairs: 'ab c' x2, 'c c' x1.
+    assert rules[3]["pair"] == "ab c" and rules[3]["pair_count"] == 2
+
+
+def test_bpe_train_deterministic_across_partitionings(spark) -> None:
+    from protarrow_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i % 3 + 1)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    a = sorted(bpe_train_merges(docs, "doc_id", "text").collect())
+    b = sorted(bpe_train_merges(docs.repartition(7), "doc_id", "text").collect())
+    assert a == b
+
+
+def test_bpe_greedy_merge_on_runs(spark) -> None:
+    """The rewrite is textbook greedy: 'aaaa' -> 'aa aa', 'aaa' -> 'aa a'
+    (NOT the delimiter-sharing replace() approximation)."""
+    from protarrow_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaa")], ["doc_id", "text"])
+    rules = {r["step"]: r for r in bpe_train_merges(docs, "doc_id", "text").collect()}
+    # step1: 'a a' pairs: aaaa has 3 (overlapping), aaa has 2 -> 2*3+2 = 8
+    assert rules[1]["pair"] == "a a" and rules[1]["pair_count"] == 8
+    # greedy rewrite: aaaa -> 'aa aa', aaa -> 'aa a'
+    # step2 pairs: 'aa aa' x2, 'aa a' x1 -> top 'aa aa'
+    assert rules[2]["pair"] == "aa aa" and rules[2]["pair_count"] == 2
