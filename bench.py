@@ -85,6 +85,9 @@ HEADLINE = [
     "mm_frame_dedup",
     "sql_revenue_by_nation",
     "text_bpe_train",
+    "pairgen_contrastive_negatives",
+    "order_curriculum_interleave",
+    "mm_audio_fingerprint_match",
 ]
 
 

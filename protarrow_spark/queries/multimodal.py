@@ -338,3 +338,113 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+#: Audio fingerprint: top-k energy windows per doc form the landmarks;
+#: landmark pairs (bucketed energies + window gap) are the hash keys.
+AFP_TOP_WINDOWS = 5
+AFP_ENERGY_BUCKET = 1024
+
+
+_AUDIO_WINDOWS_CTE = f"""
+ablobs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN '{_AMAGIC}' || hex(encode(text))
+              ELSE hex(encode(text)) END AS blob_hex
+  FROM documents
+),
+aud AS (
+  SELECT doc_id, substr(blob_hex, 9) AS ph
+  FROM ablobs WHERE substr(blob_hex, 1, 8) = '{_AMAGIC}'
+),
+samples AS (
+  SELECT doc_id,
+         (i - 1) // {_AWIN} AS win_idx,
+         {_byteval('ph', 'i')} AS v
+  FROM aud, LATERAL unnest(range(1, len(ph) // 2 + 1)) AS t(i)
+),
+wins AS (
+  SELECT doc_id, win_idx, SUM((v - 128) * (v - 128)) AS energy_sum
+  FROM samples GROUP BY doc_id, win_idx
+)
+"""
+
+
+@query(
+    "mm_audio_fingerprint_match",
+    oracle=f"""
+WITH {_AUDIO_WINDOWS_CTE},
+peaks AS (
+  SELECT doc_id, win_idx, energy_sum,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY energy_sum DESC, win_idx) AS rk
+  FROM wins
+),
+landmarks AS (SELECT doc_id, win_idx, energy_sum FROM peaks WHERE rk <= {AFP_TOP_WINDOWS}),
+fp AS (
+  SELECT a.doc_id,
+         md5(CAST(a.energy_sum // {AFP_ENERGY_BUCKET} AS VARCHAR) || '|' ||
+             CAST(b.energy_sum // {AFP_ENERGY_BUCKET} AS VARCHAR) || '|' ||
+             CAST(b.win_idx - a.win_idx AS VARCHAR)) AS fp_hash
+  FROM landmarks a JOIN landmarks b
+    ON a.doc_id = b.doc_id AND a.win_idx < b.win_idx
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared_landmarks
+FROM fp x JOIN fp y ON x.fp_hash = y.fp_hash AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+""",
+)
+def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint matching (Shazam-style landmark pairs): per
+    audio blob, the top-{AFP} energy windows are landmarks; each
+    ordered landmark pair hashes (bucketed energy, bucketed energy,
+    window gap) into a fingerprint key, and blobs sharing keys are
+    candidate duplicated/overlapping recordings.
+
+    Scale: landmark extraction is the audio-window pipeline + a
+    WindowGroupLimit top-k per doc (map-side pruned); per-doc pair
+    fan-out is bounded at k*(k-1)/2 = 10 rows; matching is one
+    equi-join on a uniform 128-bit key — the inverted-index shape,
+    never all-pairs over blobs.
+    """
+    wins = multimodal.audio_window_features(
+        _audio_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("energy_sum"), "win_idx")
+    marks = (
+        wins.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= AFP_TOP_WINDOWS)
+        .select("doc_id", "win_idx", "energy_sum")
+    )
+    a = marks.select(
+        F.col("doc_id"), F.col("win_idx").alias("wa"), F.col("energy_sum").alias("ea")
+    )
+    b = marks.select(
+        F.col("doc_id"), F.col("win_idx").alias("wb"), F.col("energy_sum").alias("eb")
+    )
+    fp = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.expr(f"ea div {AFP_ENERGY_BUCKET}"),
+                    F.expr(f"eb div {AFP_ENERGY_BUCKET}"),
+                    (F.col("wb") - F.col("wa")).cast("string"),
+                )
+            ).alias("fp_hash"),
+        )
+    )
+    x = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    y = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        x.join(y, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_landmarks"))
+    )

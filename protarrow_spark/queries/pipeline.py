@@ -1792,3 +1792,113 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from protarrow_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# pairgen_contrastive_negatives — deterministic training-pair generation
+# ---------------------------------------------------------------------------
+
+#: Negatives per anchor document.
+NEG_PER_ANCHOR = 2
+
+
+@query(
+    "pairgen_contrastive_negatives",
+    oracle=f"""
+WITH ring AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5('ring|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM ring)
+SELECT a.doc_id AS anchor_id,
+       b.doc_id AS negative_id,
+       CAST(k AS BIGINT) AS neg_rank
+FROM ring a
+CROSS JOIN n
+JOIN (SELECT unnest(range(1, {NEG_PER_ANCHOR} + 1)) AS k) ks ON TRUE
+JOIN ring b ON b.pos = ((a.pos - 1 + k) % n.n_docs) + 1
+WHERE b.doc_id <> a.doc_id
+""",
+)
+def pairgen_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair generation for contrastive training:
+    documents are placed on an md5-shuffled ring and each anchor takes
+    the next k ring neighbors as negatives — reproducible across runs,
+    partitionings, and engines (no RNG state to ship), uniformly mixed
+    by the hash, and join-free on the anchor side.
+
+    Scale: one window over the ring order (a single md5-keyed sort —
+    at 100 TB use repartitionByRange on the hash then local ranks) and
+    k equi-joins on ring position; never all-pairs, output exactly
+    n*k rows.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy(F.md5(F.concat(F.lit("ring|"), F.col("doc_id").cast("string"))), "doc_id")
+    ring = docs.select("doc_id", F.row_number().over(w).alias("pos"))
+    n_docs = ring.count()
+    ks = spark.range(1, NEG_PER_ANCHOR + 1).select(F.col("id").alias("k"))
+    probes = ring.crossJoin(F.broadcast(ks)).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("k").alias("neg_rank"),
+        (((F.col("pos") - 1 + F.col("k")) % n_docs) + 1).alias("neg_pos"),
+    )
+    negs = ring.select(F.col("doc_id").alias("negative_id"), F.col("pos").alias("neg_pos"))
+    return (
+        probes.join(negs, "neg_pos")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "negative_id", F.col("neg_rank").cast("long").alias("neg_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_curriculum_interleave — source-balanced training order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_curriculum_interleave",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_in_source, source, doc_id) AS BIGINT)
+         AS train_order
+FROM scored
+""",
+)
+def order_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with source balance: rank documents within
+    each source (here by length as the difficulty proxy — descending,
+    deterministic tie-break), then interleave sources round-robin by
+    rank so every training window sees the same source mix — the
+    deterministic version of the shuffled-shards curriculum every
+    large pretraining run builds.
+
+    Scale: one window per source partition (uniform, source-keyed
+    shuffle) + the global order. The global ROW_NUMBER is a single
+    total order — at 100 TB the train_order key is written via
+    repartitionByRange(rank_in_source, source) + per-partition offsets
+    (the pack_sequences pattern); the semantics here pin what that
+    layout must produce.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ws = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    scored = docs.select(
+        "doc_id", "source", F.row_number().over(ws).alias("rank_in_source")
+    )
+    wg = Window.orderBy("rank_in_source", "source", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("rank_in_source").cast("long").alias("rank_in_source"),
+        F.row_number().over(wg).cast("long").alias("train_order"),
+    )

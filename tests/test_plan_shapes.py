@@ -170,6 +170,10 @@ BNLJ_BY_DESIGN = {
     "window_funnel_stages",
     # one-row bloom words-array broadcast (the filter as a broadcast var)
     "join_bloom_prefilter",
+    # one-row merge-rule broadcast into the greedy-fold rewrite (x3 steps)
+    "text_bpe_train",
+    # k-row (k=2) negatives-per-anchor fan-out broadcast
+    "pairgen_contrastive_negatives",
 }
 
 
