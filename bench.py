@@ -88,6 +88,8 @@ HEADLINE = [
     "pairgen_contrastive_negatives",
     "order_curriculum_interleave",
     "mm_audio_fingerprint_match",
+    "dq_rule_violations",
+    "dedup_ngram_containment",
 ]
 
 

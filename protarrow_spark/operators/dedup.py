@@ -160,6 +160,7 @@ def _jaccard_dense_blocked(
     threshold: float,
     max_df: int,
     block_size: int,
+    mode: str = "jaccard",
 ) -> DataFrame:
     """Dense-vocab Jaccard: blocked all-pairs intersection counting.
 
@@ -210,9 +211,15 @@ def _jaccard_dense_blocked(
 
     id_type = grams.schema[id_col].dataType.simpleString()
 
+    out_cols = (
+        ["doc_a", "doc_b", "n_common", "jaccard"]
+        if mode == "jaccard"
+        else ["doc_a", "doc_b", "n_common", "containment_a", "containment_b"]
+    )
+
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = int(key[0]), int(key[1])
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "n_common": [], "jaccard": []})
+        empty = pd.DataFrame({c: [] for c in out_cols})
 
         def dense(sub: pd.DataFrame) -> tuple:
             sub = sub.sort_values(id_col).reset_index(drop=True)
@@ -246,16 +253,33 @@ def _jaccard_dense_blocked(
             ids_a = np.where(swap, r_ids, l_ids)
             ids_b = np.where(swap, l_ids, r_ids)
             common = c[ii, jj]
-            na, nb = ng_l[ii], ng_r[jj]
+            # set sizes must follow the canonical (doc_a, doc_b) order —
+            # the symmetric Jaccard denominator hides a swap bug, the
+            # per-side containment denominators do not
+            na = np.where(swap, ng_r[jj], ng_l[ii])
+            nb = np.where(swap, ng_l[ii], ng_r[jj])
         common = common.astype(np.int64)
-        jac = common / (na + nb - common)
-        keep = jac >= threshold
+        if mode == "jaccard":
+            jac = common / (na + nb - common)
+            keep = jac >= threshold
+            return pd.DataFrame(
+                {
+                    "doc_a": ids_a[keep],
+                    "doc_b": ids_b[keep],
+                    "n_common": common[keep],
+                    "jaccard": jac[keep],
+                }
+            )
+        ca = common / na
+        cb = common / nb
+        keep = (ca >= threshold) | (cb >= threshold)
         return pd.DataFrame(
             {
                 "doc_a": ids_a[keep],
                 "doc_b": ids_b[keep],
                 "n_common": common[keep],
-                "jaccard": jac[keep],
+                "containment_a": ca[keep],
+                "containment_b": cb[keep],
             }
         )
 
@@ -266,13 +290,17 @@ def _jaccard_dense_blocked(
     # exempt from AQE coalescing and the groupBy reuses it (no second
     # shuffle).
     parallelism = grams.sparkSession.sparkContext.defaultParallelism
+    if mode == "jaccard":
+        schema = f"doc_a {id_type}, doc_b {id_type}, n_common bigint, jaccard double"
+    else:
+        schema = (
+            f"doc_a {id_type}, doc_b {id_type}, n_common bigint, "
+            "containment_a double, containment_b double"
+        )
     return (
         pairs.repartition(parallelism, "gi", "gj")
         .groupBy("gi", "gj")
-        .applyInPandas(
-            block_pair,
-            f"doc_a {id_type}, doc_b {id_type}, n_common bigint, jaccard double",
-        )
+        .applyInPandas(block_pair, schema)
     )
 
 
@@ -690,4 +718,74 @@ def span_dedup(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_spans"),
         F.concat_ws(" ", F.transform(kept, lambda p: p.span_text)).alias("clean_text"),
+    )
+
+
+#: Containment threshold: flag when the smaller document's shingles
+#: are mostly inside the bigger one (subset / quotation detection).
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    n: int = NGRAM_N,
+    max_df: int = MAX_SHINGLE_DF,
+    dense_vocab_cap: int | None = None,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram CONTAINMENT:
+    C(A in B) = |A ∩ B| / |A|. Catches wholesale inclusion — quotes,
+    concatenations, page-plus-boilerplate — where Jaccard stays low
+    because the union is dominated by the larger document. A pair is
+    emitted when EITHER direction's containment reaches ``threshold``.
+
+    Scale: identical adaptive topology to :func:`ngram_jaccard_pairs`
+    — sparse inverted-index self-join by default, and the SAME blocked
+    dense-matmul cogroup when the caller asserts a vocab-dense corpus
+    (``dense_vocab_cap``); only the scoring differs (divide by each
+    side's own set size instead of the union — note the dense path
+    swaps sizes with the canonical id order, which symmetric Jaccard
+    never notices).
+
+    Output: doc_a, doc_b, n_common, containment_a (of doc_a's set),
+    containment_b, both double.
+    """
+    grams = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    if dense_vocab_cap:
+        probe = vocab.limit(dense_vocab_cap + 1).collect()
+        if len(probe) <= dense_vocab_cap:
+            return _jaccard_dense_blocked(
+                grams, sizes, probe, id_col, threshold, max_df, block_size,
+                mode="containment",
+            )
+    rare = grams.join(vocab.filter(F.col("df_g") <= max_df).select("g"), "g")
+    a = rare.select(F.col(id_col).alias("doc_a"), "g")
+    b = rare.select(F.col(id_col).alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("n_b"))
+    ca = F.col("n_common") / F.col("n_a")
+    cb = F.col("n_common") / F.col("n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .filter(
+            (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+        )
+        .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
     )

@@ -62,7 +62,9 @@ GRADED_FIRST = [
     "conv_encode_fixture",
     # multimodal binary columns
     "mm_image_features",
-    "mm_audio_windows",
+    # audio: the fingerprint-match query subsumes the windowed-feature
+    # pipeline (same pandas-UDF decode) and adds the landmark join
+    "mm_audio_fingerprint_match",
     # dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -1720,3 +1720,66 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "dq_rule_violations",
+    oracle="""
+SELECT 'orders_totalprice_positive' AS rule, COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations, COUNT(*) AS n_checked FROM orders
+UNION ALL
+SELECT 'orders_status_domain', COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')), COUNT(*) FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range', COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1), COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'lineitem_qty_positive', COUNT(*) FILTER (WHERE l_quantity <= 0), COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'lineitem_orderkey_fk', COUNT(*) FILTER (WHERE o_orderkey IS NULL), COUNT(*)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'events_ts_not_null', COUNT(*) FILTER (WHERE ts IS NULL), COUNT(*) FROM events
+""",
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation checking (Great-Expectations / dbt-test
+    shape): a rule set of domain, range, not-null, and referential-
+    integrity assertions evaluates in ONE pass per table — each rule is
+    a conditional-count aggregate, so adding rules adds expressions,
+    not jobs; the FK check is a left join keyed on the (uniform) order
+    key whose probe side is the same lineitem scan.
+
+    Scale: per-table scans aggregate map-side to 1 row each; the FK
+    rule is the only shuffle/broadcast (AQE picks broadcast while
+    orders' key projection fits). Violation counts, not violating
+    rows, cross the wire — the rows themselves are a follow-up
+    filtered scan using the same predicate expressions.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    def check(df, rule, cond):
+        return df.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.when(cond, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    fk = li.join(
+        o.select(F.col("o_orderkey")), li.l_orderkey == F.col("o_orderkey"), "left"
+    )
+    checks = [
+        check(o, "orders_totalprice_positive", F.col("o_totalprice") <= 0),
+        check(o, "orders_status_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        check(
+            li,
+            "lineitem_discount_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        check(li, "lineitem_qty_positive", F.col("l_quantity") <= 0),
+        check(fk, "lineitem_orderkey_fk", F.col("o_orderkey").isNull()),
+        check(ev, "events_ts_not_null", F.col("ts").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
