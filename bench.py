@@ -90,6 +90,8 @@ HEADLINE = [
     "mm_audio_fingerprint_match",
     "dq_rule_violations",
     "dedup_ngram_containment",
+    "table_purge_users",
+    "cluster_kmeans_int8_exact",
 ]
 
 

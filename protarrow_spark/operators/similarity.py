@@ -623,3 +623,77 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_q8")
     )
+
+
+#: Exact-parity k-means defaults.
+KMEANS8_K = 4
+KMEANS8_ITER = 2
+
+
+def kmeans_int8_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = KMEANS8_K,
+    iterations: int = KMEANS8_ITER,
+) -> DataFrame:
+    """Lloyd's k-means over int8-QUANTIZED vectors in EXACT integer
+    arithmetic — squared distances, argmin assignment (centroid-id tie
+    break), and integer-mean centroid updates are all order-invariant
+    integers, so a single-threaded SQL oracle reproduces every
+    assignment bit-for-bit (float k-means is accumulation-order-
+    dependent, which is why ``kmeans_lloyd`` takes the rows-only gate).
+
+    Per round: centroids (k x dim ints — sketch-sized state) collect
+    to the driver and ride into a vectorized Arrow-batch argmin
+    (numpy int64; the corpus never shuffles for assignment), then one
+    (cluster, dim)-keyed partial-sum shuffle computes the integer-mean
+    update — identical topology to the float path at any scale.
+
+    Output: (id, cluster) after ``iterations`` rounds.
+    """
+    qz = quantize_int8(corpus, id_col, vec_col).select(
+        F.col(id_col), F.col("q")
+    )
+    from protarrow_spark.sources.tables import spread
+
+    qz = spread(qz).localCheckpoint(eager=True)
+    dim = len(qz.select("q").first()["q"])
+
+    init = (
+        qz.orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = {i: list(r["q"]) for i, r in enumerate(init)}
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    assign = None
+    for it in range(iterations):
+        C = np.array([cents[i] for i in sorted(cents)], dtype=np.int64)
+        cids = np.array(sorted(cents), dtype=np.int64)
+
+        def assign_fn(batches, C=C, cids=cids):
+            for b in batches:
+                if b.empty:
+                    continue
+                V = np.stack([np.asarray(x, dtype=np.int64) for x in b["q"].values])
+                d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+                pick = cids[np.argmin(d, axis=1)]  # first min = smallest cid
+                yield pd.DataFrame({id_col: b[id_col], "cluster": pick})
+
+        assign = qz.mapInPandas(assign_fn, f"{id_col} {id_type}, cluster long")
+        if it == iterations - 1:
+            break
+        upd = (
+            qz.join(assign, id_col)
+            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(v) div count(1)").alias("cv"))
+            .collect()
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in upd:
+            new_cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["pos"])] = int(r["cv"])
+        cents = new_cents
+    return assign

@@ -1953,3 +1953,80 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matmul path (86.8s -> ~1s at sf0.1 vs the sparse join)
         dense_vocab_cap=4096,
     ).withColumn("n_common", F.col("n_common").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# cluster_kmeans_int8_exact — value-exact integer k-means
+# ---------------------------------------------------------------------------
+
+KM8_K = 4
+KM8_ITER = 2
+KM8_DIM = 64
+
+
+def _kmeans8_oracle() -> str:
+    k, dim, iters = KM8_K, KM8_DIM, KM8_ITER
+    ctes = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
+        """s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+  FROM v
+)""",
+        """q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS q
+  FROM s
+)""",
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM q8 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
+)""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"""d{it} AS (
+  SELECT v.vec_id, c.cid,
+         list_sum([ (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]) for i in range(1, {dim} + 1) ]) AS dist
+  FROM q8 v, {prev} c
+),
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""cm{it} AS (
+  SELECT a.cid, i AS pos,
+         CAST(trunc(CAST(SUM(v.q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM q8 v JOIN a{it} a USING (vec_id), unnest(range(1, {dim} + 1)) AS t(i)
+  GROUP BY a.cid, i
+),
+cent{it} AS (
+  SELECT cid, list(cv ORDER BY pos) AS c FROM cm{it} GROUP BY cid
+)"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{iters}"
+    )
+
+
+@query("cluster_kmeans_int8_exact", oracle=_kmeans8_oracle())
+def cluster_kmeans_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 rounds) over int8-quantized vectors in
+    EXACT integer arithmetic — the VALUE-exact counterpart to the
+    rows-only float `cluster_kmeans_embeddings`: integer distances,
+    argmin with centroid-id tie break, and truncated integer-mean
+    updates are order-invariant, so every assignment hash-matches the
+    unrolled SQL oracle (operators/similarity.py kmeans_int8_exact
+    for the per-round scale topology)."""
+    return similarity.kmeans_int8_exact(
+        table(spark, sf_dir, "embeddings"), k=KM8_K, iterations=KM8_ITER
+    )

@@ -71,7 +71,11 @@ GRADED_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
     "dedup_embedding_lsh_banded",
-    "dedup_cluster_assign",
+    # cluster collapse: graph_pagerank (below) covers the iterative
+    # graph family with a value-exact oracle; connected components
+    # stays pytest-gated, and the clustering slot goes to the
+    # value-exact integer k-means
+    "cluster_kmeans_int8_exact",
     # text analysis / training-data prep
     "text_quality",
     "text_repetition_filter",

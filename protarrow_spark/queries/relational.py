@@ -1783,3 +1783,42 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "table_purge_users",
+    oracle="""
+WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 211 = 7),
+purged AS (
+  SELECT e.* FROM events e LEFT JOIN del ON e.user_id = del.user_id
+  WHERE del.user_id IS NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_kept,
+       (SELECT COUNT(*) FROM events) - COUNT(*) AS n_total_minus_kept
+FROM purged GROUP BY event_type
+""",
+)
+def table_purge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: a deletion set of user ids (here
+    a deterministic residue class standing in for the GDPR request
+    batch) is anti-joined out of the events fact table, with per-type
+    audit counts — the compliance maintenance pass every user-data
+    lake runs.
+
+    Scale: the deletion set is request-sized, so it BROADCASTS to a
+    left-anti join in the fact scan stage — the fact table never
+    shuffles; the audit rollup aggregates map-side. Rewriting only
+    affected partitions is the compaction planner's job
+    (layout_compaction_bins) composed downstream.
+    """
+    ev = table(spark, sf_dir, "events")
+    total = ev.count()
+    deletions = (
+        ev.filter(F.col("user_id") % 211 == 7).select("user_id").distinct()
+    )
+    purged = ev.join(F.broadcast(deletions), "user_id", "left_anti")
+    return purged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.lit(total) - F.count(F.lit(1))).alias("n_total_minus_kept"),
+    )
