@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_ngram_containment",
     "table_purge_users",
     "cluster_kmeans_int8_exact",
+    "ann_lsh_banded_topk",
 ]
 
 

@@ -697,3 +697,68 @@ def kmeans_int8_exact(
             new_cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["pos"])] = int(r["cv"])
         cents = new_cents
     return assign
+
+
+def cosine_topk_lsh_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = LSH_N_PLANES,
+    n_bands: int = LSH_N_BANDS,
+    seed: str = LSH_SEED,
+) -> DataFrame:
+    """ANN top-k via banded random-hyperplane LSH — the indexed
+    upgrade of the single sign-bucket probe (`cosine_topk_lsh`):
+    candidates are corpus vectors sharing ANY of the query's
+    ``n_bands`` band keys (multi-band probing trades ~n_bands x probe
+    volume for near-exhaustive recall at high cosine; ~98.5% at 0.95
+    with the 4x4 default), then exact cosine ranks them.
+
+    Plan shape: one matmul-batch projection computes band keys for
+    both sides; the (small) query band set broadcasts to an equi-join
+    on (band_idx, band_key) — the corpus never shuffles; candidate
+    (query, neighbor) ids dedupe, vectors join back (AQE broadcasts
+    the sparse candidate list against the scans), and the exact
+    cosine is the JVM left-to-right fold — bit-identical to the SQL
+    oracle's list_dot_product.
+    """
+    planes = rademacher_planes(n_planes, _dim(corpus, vec_col), seed)
+    keys = band_keys_udf(planes, n_bands)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(keys(F.col(vec_col))).alias("band_idx", "band_key"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(keys(F.col(vec_col))).alias("band_idx", "band_key"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band_idx", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -2030,3 +2030,66 @@ def cluster_kmeans_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_int8_exact(
         table(spark, sf_dir, "embeddings"), k=KM8_K, iterations=KM8_ITER
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_banded_topk — banded hyperplane LSH ANN (the indexed path)
+# ---------------------------------------------------------------------------
+
+
+def _ann_banded_oracle(dim: int = 64) -> str:
+    planes = similarity.rademacher_planes(similarity.LSH_N_PLANES, dim)
+    width = similarity.LSH_N_PLANES // similarity.LSH_N_BANDS
+    band_exprs = []
+    for bi in range(similarity.LSH_N_BANDS):
+        bits = " + ".join(
+            "CASE WHEN list_dot_product(e, ["
+            + ", ".join(str(x) for x in planes[bi * width + j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(width)
+        )
+        band_exprs.append(f"({bits}) AS band_{bi}")
+    band_union = "\nUNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band_idx, band_{bi} AS band_key FROM sig"
+        for bi in range(similarity.LSH_N_BANDS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {", ".join(band_exprs)} FROM v),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+  WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(vq.e, vc.e)
+           / (sqrt(list_dot_product(vq.e, vq.e)) * sqrt(list_dot_product(vc.e, vc.e)))
+           AS cosine
+  FROM cand
+  JOIN v vq ON vq.vec_id = cand.query_id
+  JOIN v vc ON vc.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+@query("ann_lsh_banded_topk", oracle=_ann_banded_oracle())
+def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via the banded hyperplane LSH index — multi-band
+    probing (the indexed upgrade of the single sign-bucket
+    `ann_lsh_bucketed_topk`): query band keys broadcast to an
+    equi-join, the corpus never shuffles, exact cosine ranks the
+    candidate set; the oracle reproduces the identical planes and
+    candidates, checking implementation exactness."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.cosine_topk_lsh_banded(emb, qs, k=TOPK_NEIGHBORS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
