@@ -1822,3 +1822,32 @@ def table_purge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         (F.lit(total) - F.count(F.lit(1))).alias("n_total_minus_kept"),
     )
+
+
+@query(
+    "window_percent_rank_price",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WHERE o_totalprice > 450000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST / NTILE over one shared window — the
+    remaining classical ranking functions, all exact rationals of
+    integer ranks ((rank-1)/(n-1), cume/n), so cross-engine parity is
+    exact. One shuffle on the partition key; the selective price
+    filter is pushed to the scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
