@@ -1851,3 +1851,108 @@ def window_percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(19,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n)
+         / (n - 1) AS var_samp,
+       sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n)
+         / (n - 1)) AS stddev_samp
+FROM s
+""",
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev per group with ENGINE-EXACT parity:
+    the built-in VAR_SAMP streams float updates whose result depends
+    on accumulation order (and differs between Welford and naive
+    implementations across engines); here the two sufficient
+    statistics accumulate as exact decimals (order-invariant), and
+    variance is a fixed 5-op double epilogue — bit-identical anywhere.
+    Same single partial-aggregated shuffle as the built-in."""
+    ev = table(spark, sf_dir, "events")
+    # (18,6): the squared product is decimal(37,12) — exact within the
+    # 38-digit cap on BOTH engines (a (27,6)^2 product would trigger
+    # engine-specific precision-loss rounding).
+    d = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("sx"),
+        F.sum(d * d).alias("sxx"),
+    )
+    # decimal -> double through a string: both engines parse decimal
+    # text correctly rounded, where a direct wide-decimal cast is
+    # double-rounded by some engines (observed 1-ulp drift).
+    sx = F.col("sx").cast("string").cast("double")
+    sxx = F.col("sxx").cast("string").cast("double")
+    n = F.col("n")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return s.select("event_type", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp"))
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n)
+         / (n - 1) AS covar_samp,
+       ((CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n) / (n - 1))
+         / (sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n) / (n - 1))
+            * sqrt((CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n) / (n - 1)))
+         AS corr
+FROM s
+""",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation per group from the five
+    exact-decimal sufficient statistics — order-invariant accumulation,
+    fixed double epilogue (same expression tree both engines), one
+    partial-aggregated shuffle; the built-in CORR's streaming float
+    state is engine-private and unverifiable."""
+    li = table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,6)")
+    dy = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("string").cast("double")
+    sy = F.col("sy").cast("string").cast("double")
+    sxx = F.col("sxx").cast("string").cast("double")
+    syy = F.col("syy").cast("string").cast("double")
+    sxy = F.col("sxy").cast("string").cast("double")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = cov / (
+        F.sqrt((sxx - sx * sx / n) / (n - 1)) * F.sqrt((syy - sy * sy / n) / (n - 1))
+    )
+    return s.select("l_returnflag", "n", cov.alias("covar_samp"), corr.alias("corr"))
