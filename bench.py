@@ -93,6 +93,10 @@ HEADLINE = [
     "table_purge_users",
     "cluster_kmeans_int8_exact",
     "ann_lsh_banded_topk",
+    "window_percent_rank_price",
+    "agg_variance_exact",
+    "agg_corr_exact",
+    "agg_linreg_exact",
 ]
 
 

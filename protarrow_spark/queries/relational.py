@@ -1956,3 +1956,55 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((sxx - sx * sx / n) / (n - 1)) * F.sqrt((syy - sy * sy / n) / (n - 1))
     )
     return s.select("l_returnflag", "n", cov.alias("covar_samp"), corr.alias("corr"))
+
+
+@query(
+    "agg_linreg_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+  FROM s
+)
+SELECT l_returnflag, n,
+       (dxy - dx * dy / n) / (dxx - dx * dx / n) AS slope,
+       dy / n - ((dxy - dx * dy / n) / (dxx - dx * dx / n)) * (dx / n) AS intercept
+FROM d
+""",
+)
+def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (price ~ quantity): slope and intercept from
+    the same exact-decimal sufficient statistics as agg_corr_exact —
+    the REGR_SLOPE/REGR_INTERCEPT aggregates with cross-engine-exact
+    results (one partial-aggregated shuffle; fixed double epilogue
+    via the correctly-rounded VARCHAR route)."""
+    li = table(spark, sf_dir, "lineitem")
+    dxq = F.col("l_quantity").cast("decimal(18,6)")
+    dyq = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dxq).alias("sx"),
+        F.sum(dyq).alias("sy"),
+        F.sum(dxq * dxq).alias("sxx"),
+        F.sum(dxq * dyq).alias("sxy"),
+    )
+    n = F.col("n")
+    dx = F.col("sx").cast("string").cast("double")
+    dy = F.col("sy").cast("string").cast("double")
+    dxx = F.col("sxx").cast("string").cast("double")
+    dxy = F.col("sxy").cast("string").cast("double")
+    slope = (dxy - dx * dy / n) / (dxx - dx * dx / n)
+    intercept = dy / n - slope * (dx / n)
+    return s.select("l_returnflag", "n", slope.alias("slope"), intercept.alias("intercept"))
