@@ -97,6 +97,7 @@ HEADLINE = [
     "agg_variance_exact",
     "agg_corr_exact",
     "agg_linreg_exact",
+    "report_vocab_gini",
 ]
 
 

@@ -2093,3 +2093,70 @@ def ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     out = similarity.cosine_topk_lsh_banded(emb, qs, k=TOPK_NEIGHBORS)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# report_vocab_gini — vocabulary-concentration (Gini) per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "report_vocab_gini",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, tok) AS rk
+  FROM tf
+),
+s AS (
+  SELECT source,
+         COUNT(*) AS v,
+         SUM(c) AS total,
+         SUM(CAST(rk AS BIGINT) * c) AS weighted
+  FROM ranked GROUP BY source
+)
+SELECT source, CAST(v AS BIGINT) AS vocab_size, CAST(total AS BIGINT) AS n_tokens,
+       (2.0 * weighted) / (v * CAST(total AS DOUBLE)) - (v + 1.0) / v AS gini
+FROM s
+""",
+)
+def report_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source as a Gini coefficient over
+    token frequencies — the corpus-diversity diagnostic (a source
+    whose token mass concentrates in few types is boilerplate-heavy;
+    near-uniform vocabularies signal synthetic/templated text). All
+    sums are exact integers (rank x count) with a fixed 5-op double
+    epilogue, so the coefficient is engine-exact.
+
+    Scale: a word-count groupBy (uniform shuffle), a per-source rank
+    (each source's vocabulary is bounded — Heaps' law — so window
+    partitions stay manageable; a giant single source would
+    range-partition its vocabulary and offset local ranks, the
+    pack_sequences pattern), one final rollup."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs.select("source", "text")).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("c", "tok")
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    s = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("rk").cast("long") * F.col("c")).alias("weighted"),
+    )
+    gini = (F.lit(2.0) * F.col("weighted")) / (
+        F.col("v") * F.col("total").cast("double")
+    ) - (F.col("v") + F.lit(1.0)) / F.col("v")
+    return s.select(
+        "source",
+        F.col("v").cast("long").alias("vocab_size"),
+        F.col("total").cast("long").alias("n_tokens"),
+        gini.alias("gini"),
+    )
