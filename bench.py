@@ -98,6 +98,7 @@ HEADLINE = [
     "agg_corr_exact",
     "agg_linreg_exact",
     "report_vocab_gini",
+    "dedup_lsh_verified",
 ]
 
 

@@ -2160,3 +2160,93 @@ def report_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("n_tokens"),
         gini.alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_verified — LSH candidates + exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+VERIFY_JACCARD_T = 0.5
+
+
+def _lsh_verified_oracle() -> str:
+    k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
+    rpb = k // bands
+    band_selects = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+{_sig_cte(k)},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN dg ga ON ga.doc_id = c.doc_a
+  JOIN dg gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       CAST(i.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_common)
+      >= {VERIFY_JACCARD_T}
+"""
+
+
+@query("dedup_lsh_verified", oracle=_lsh_verified_oracle())
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook three-stage near-dup pipeline composed end to end:
+    MinHash band keys generate candidates (equi-join, never
+    all-pairs), then TRUE n-gram Jaccard verifies each candidate —
+    computed only for the candidate pairs, so the exact set
+    intersection (the step that's quadratic if run corpus-wide) costs
+    candidates x shared shingles. dedup_minhash_lsh reports the
+    signature ESTIMATE; this query reports the verified truth the
+    estimate approximates, with false positives filtered at the real
+    threshold.
+
+    Scale: candidate generation as in dedup_minhash_lsh; verification
+    joins the (distinct doc, shingle) stream to the candidate list on
+    the doc key — shuffles bounded by candidates x doc shingles, with
+    AQE broadcasting the (sparse) candidate list against the shingle
+    stream."""
+    docs = table(spark, sf_dir, "documents")
+    cand = (
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    grams = dedup.doc_shingles(docs, "doc_id", "text", dedup.NGRAM_N)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= VERIFY_JACCARD_T)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
