@@ -99,6 +99,7 @@ HEADLINE = [
     "agg_linreg_exact",
     "report_vocab_gini",
     "dedup_lsh_verified",
+    "embed_feature_hash_chunks",
 ]
 
 

@@ -2250,3 +2250,85 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= VERIFY_JACCARD_T)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_feature_hash_chunks — hashing-trick chunk embeddings (RAG ingest)
+# ---------------------------------------------------------------------------
+
+FH_DIMS = 8
+FH_BUCKET_BITS = 4
+
+
+def _fh_oracle() -> str:
+    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
+    sign = (
+        lambda j: f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
+    )
+    sums = ",\n         ".join(
+        f"SUM({sign(j)}) AS emb_{j}" for j in range(FH_DIMS)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN emb_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(FH_BUCKET_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT t.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
+         array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text
+  FROM t, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
+),
+tok AS (
+  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS tok FROM c
+),
+emb AS (
+  SELECT doc_id, chunk_id,
+         {sums}
+  FROM tok GROUP BY doc_id, chunk_id
+)
+SELECT doc_id, chunk_id,
+       {", ".join(f"CAST(emb_{j} AS BIGINT) AS emb_{j}" for j in range(FH_DIMS))},
+       CAST({bucket} AS BIGINT) AS bucket
+FROM emb
+"""
+
+
+@query("embed_feature_hash_chunks", oracle=_fh_oracle())
+def embed_feature_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest embedding stage via the hashing trick (Weinberger et
+    al. 2009): each chunk gets an {FH_DIMS}-dim INTEGER embedding —
+    dimension j sums md5-derived ±1 signs over the chunk's tokens —
+    plus its sign-bucket index key. No model weights to ship, exact
+    integer sums (order-invariant, value-verifiable), and the output
+    is ANN-index-ready (the bucket IS the coarse index cell).
+
+    Scale: chunking is zero-shuffle scan-stage codegen; the embedding
+    is one partial-aggregated groupBy on (doc, chunk) — the stream
+    stays partitioned like the scan, exactly where a model-based
+    embedder's mapInPandas stage would slot in (this is the
+    deterministic stand-in with the identical dataflow)."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = text.chunk_sliding(spread(docs), "doc_id", "text")
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
+    )
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    def sign(j: int):
+        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
+        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    emb = toks.groupBy("doc_id", "chunk_id").agg(
+        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
+    )
+    bucket = None
+    for j in range(FH_BUCKET_BITS):
+        b = F.when(F.col(f"emb_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = b if bucket is None else bucket + b
+    return emb.select(
+        "doc_id",
+        "chunk_id",
+        *[F.col(f"emb_{j}").cast("long").alias(f"emb_{j}") for j in range(FH_DIMS)],
+        bucket.cast("long").alias("bucket"),
+    )
