@@ -750,6 +750,15 @@ def ngram_containment_pairs(
     swaps sizes with the canonical id order, which symmetric Jaccard
     never notices).
 
+    Recall caveat: ``n_common`` counts RARE shingles only (document
+    frequency <= ``max_df``) while the denominators use full set
+    sizes, so containment is systematically UNDERestimated for pairs
+    whose shared content is high-df boilerplate — exactly the
+    quotation/template case this operator targets. Raise ``max_df``
+    (the hot-key cap trades that recall for bounded join fan-out) when
+    boilerplate-heavy corpora matter; the oracle applies the same
+    pruning, so parity is unaffected either way.
+
     Output: doc_a, doc_b, n_common, containment_a (of doc_a's set),
     containment_b, both double.
     """

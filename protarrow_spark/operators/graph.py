@@ -152,7 +152,7 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    base = F.lit((1 - 0) * PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)  # 15
+    base_num = PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM  # (1 - d) * DEN = 15
     ranks = nodes.select("node", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
     for _ in range(iterations):
         contribs = (
@@ -165,12 +165,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("incoming"))
         )
+        # (NUM * x) div DEN computed as NUM*(x div DEN) + (NUM*(x mod DEN)) div DEN
+        # — algebraically identical for x >= 0 (x = q*DEN + r makes NUM*x div DEN
+        # = NUM*q + (NUM*r) div DEN), but the largest intermediate is NUM*(x div DEN)
+        # instead of NUM*x, so int64 holds up to ~9.2e6 nodes of total rank mass
+        # (x < 2^63 / NUM * DEN) rather than ~1.1e5. Beyond that, lower
+        # PAGERANK_SCALE (every power of 10 buys 10x more nodes).
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
-                F.expr(f"({15} * {PAGERANK_SCALE}L) div {PAGERANK_DAMP_DEN}")
+                F.expr(
+                    f"({base_num} * {PAGERANK_SCALE}L) div {PAGERANK_DAMP_DEN}"
+                )
                 + F.expr(
-                    f"({PAGERANK_DAMP_NUM} * coalesce(incoming, 0L)) div {PAGERANK_DAMP_DEN}"
+                    f"{PAGERANK_DAMP_NUM} * (coalesce(incoming, 0L) div {PAGERANK_DAMP_DEN})"
+                    f" + ({PAGERANK_DAMP_NUM} * pmod(coalesce(incoming, 0L), {PAGERANK_DAMP_DEN}))"
+                    f" div {PAGERANK_DAMP_DEN}"
                 )
             ).cast("long").alias("rank"),
         )

@@ -650,6 +650,13 @@ def kmeans_int8_exact(
     (cluster, dim)-keyed partial-sum shuffle computes the integer-mean
     update — identical topology to the float path at any scale.
 
+    Empty-cluster behavior: a centroid that attracts no points in a
+    round is DROPPED (the update only rebuilds centroids with members),
+    so k can shrink between rounds; the SQL oracle mirrors the same
+    rule, keeping parity exact. Carrying the stale centroid forward is
+    the usual alternative — not done here to keep the update a pure
+    group-by of the assignment.
+
     Output: (id, cluster) after ``iterations`` rounds.
     """
     qz = quantize_int8(corpus, id_col, vec_col).select(

@@ -197,23 +197,41 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "mem_stream_session_windows")
 
 
-@query("stream_stateful_user_totals")  # no oracle: custom stateful op
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT))
+         AS total_micros
+FROM events
+GROUP BY user_id
+""",
+)
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cumulative totals via ``applyInPandasWithState`` run as
-    a streaming job (update mode). Genuinely non-SQL-expressible
-    (arbitrary Python state machine), so registered without an oracle:
-    the driver records the weaker rows-only check — one output row per
-    distinct user for the single-file backlog batch.
+    a streaming job (update mode). The state machine itself is
+    non-SQL-expressible in general, but as registered the backlog is
+    consumed in ONE availableNow micro-batch, so the update-mode output
+    equals the batch group-by — which the oracle pins exactly: values
+    are pre-scaled to exact integer micro-units (decimal(27,6) → long)
+    so the Python-side accumulation is order-independent and
+    hash-matches DuckDB bit-for-bit.
 
     Scale: state is one (n, sum) pair per key; the grouped shuffle is
     the same as a batch groupBy on user_id.
     """
     from protarrow_spark.streaming.stateful import running_totals
 
-    ev = _stream_events(spark, sf_dir)
-    totals = running_totals(ev, "user_id", "value")
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "value_micros",
+        (F.col("value").cast("decimal(27,6)") * 1000000).cast("long"),
+    )
+    totals = running_totals(ev, "user_id", "value_micros", integral=True)
     q = (
-        totals.writeStream.format("memory")
+        totals.select(
+            "user_id", "n_events", F.col("total").alias("total_micros")
+        )
+        .writeStream.format("memory")
         .queryName("mem_stream_stateful_user_totals")
         .outputMode("update")
         .trigger(availableNow=True)

@@ -818,7 +818,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the (part, supp) partial aggregate is high-cardinality
     # hash-table work; a single-row-group local scan would run it on
     # one core (no-op on wide scans at scale).
-    li = spread(table(spark, sf_dir, "lineitem"))
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    # Push the part predicate BELOW the per-part window min: window
+    # partitions are whole partkeys, so semi-joining the filtered key
+    # set into lineitem first is result-identical while shrinking the
+    # supply aggregate and the window input by the filter's
+    # selectivity (~an order of magnitude here). The filtered part
+    # dimension broadcasts (dim-table sized at any SF).
+    pk = part.select(F.col("p_partkey").alias("partkey"))
+    li = spread(table(spark, sf_dir, "lineitem")).join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("partkey"), "semi"
+    )
     supply = (
         li.groupBy(
             F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
@@ -838,7 +848,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("partkey")
     c = c.withColumn("min_cost", F.min("unit_cost").over(w))
-    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
     return (
         c.filter(F.col("unit_cost") == F.col("min_cost"))
         .join(part, F.col("partkey") == part.p_partkey)

@@ -34,27 +34,38 @@ def running_totals(
     df: DataFrame,
     key_col: str,
     value_col: str,
+    integral: bool = False,
 ) -> DataFrame:
     """Per-key cumulative ``(n_events, total)`` maintained in streaming
     state; each micro-batch emits the updated totals for keys seen in
     that batch (output mode: update).
 
+    With ``integral=True`` the value column must be int64 and the
+    running sum is kept as an exact Python/NumPy integer (``total`` is
+    a long) — accumulation-order independent, so the completed output
+    hash-matches a single-threaded SQL oracle. The default float path
+    keeps a double total (pandas pairwise summation; last-ulp order
+    dependence is possible across engines).
+
     On a batch DataFrame Spark runs the same callback with transient
     state — one emission per key — which the equivalence test uses as
     the reference result.
     """
-    out_schema = f"{key_col} long, n_events long, total double"
-    state_schema = "n long, s double"
+    total_t = "long" if integral else "double"
+    out_schema = f"{key_col} long, n_events long, total {total_t}"
+    state_schema = f"n long, s {total_t}"
+    zero: Any = 0 if integral else 0.0
+    conv = int if integral else float
 
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, zero)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf[value_col].sum())
+            s += conv(pdf[value_col].sum())
         state.update((n, s))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "total": [s]}
