@@ -112,6 +112,7 @@ def _target_type(field: Field, config: ProtarrowSparkConfig) -> T.DataType:
         optional=field.optional,
         message=field.message,
         enum=field.enum,
+        oneof=field.oneof,
     )
     return field_to_struct_field(single, config).dataType
 

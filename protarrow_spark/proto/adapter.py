@@ -109,6 +109,7 @@ def adapt_descriptor(
             message = adapt_descriptor(fd.message_type, _memo=memo)
         if kind is Kind.ENUM:
             enum = _adapt_enum(fd.enum_type)
+        oneof = _real_oneof_name(fd)
         fields.append(
             Field(
                 name=fd.name,
@@ -116,14 +117,36 @@ def adapt_descriptor(
                 kind=kind,
                 repeated=repeated,
                 optional=(not repeated)
+                and oneof is None
                 and kind not in (Kind.MESSAGE, Kind.GROUP)
                 and _field_has_presence(fd),
                 message=message,
                 enum=enum,
+                oneof=oneof,
             )
         )
     mt.fields = tuple(fields)
     return mt
+
+
+def _real_oneof_name(fd: Any) -> str | None:
+    """Name of the REAL oneof containing ``fd``, or None. proto3
+    ``optional`` compiles to a synthetic one-member oneof named
+    ``_<field>``; the public ``OneofDescriptor`` exposes that via
+    ``is_synthetic`` (older runtimes: ``containing_oneof`` vs
+    ``real_containing_oneof``) — synthetic groups map to plain
+    ``optional`` in the internal model, real groups carry the oneof
+    name so member-exclusion semantics survive the adaptation."""
+    real = getattr(fd, "real_containing_oneof", _MISSING)
+    if real is not _MISSING:
+        return real.name if real is not None else None
+    oo = getattr(fd, "containing_oneof", None)
+    if oo is None or getattr(oo, "is_synthetic", False):
+        return None
+    return oo.name
+
+
+_MISSING = object()
 
 
 def message_class_to_schema(message_class: Any, config: Any = None):

@@ -147,6 +147,13 @@ def example_message_type() -> MessageType:
             ),
             Field("message_value", nxt(), Kind.MESSAGE, message=NESTED),
             Field("message_values", nxt(), Kind.MESSAGE, repeated=True, message=NESTED),
+            # real oneof group (reference exercises oneofs through its
+            # random generator, tests/random_generator.py:83-90): one
+            # scalar, one message, one enum member — at most one set.
+            Field("payload_text", nxt(), Kind.STRING, oneof="payload"),
+            Field("payload_number", nxt(), Kind.INT64, oneof="payload"),
+            Field("payload_nested", nxt(), Kind.MESSAGE, message=NESTED, oneof="payload"),
+            Field("payload_color", nxt(), Kind.ENUM, enum=COLOR, oneof="payload"),
         ]
     )
     return MessageType("protarrow_spark.test.Example", tuple(fields))

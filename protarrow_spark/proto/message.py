@@ -109,6 +109,12 @@ class Message:
         if value is None:
             self._values.pop(name, None)
             return
+        if field.oneof is not None:
+            # language-guide oneof rule: setting any member clears the
+            # group's other members ("at most one set" invariant).
+            for sib in self._type.fields:
+                if sib.oneof == field.oneof and sib.name != name:
+                    self._values.pop(sib.name, None)
         if field.is_map:
             self._values[name] = dict(value)
         elif field.repeated:
@@ -131,6 +137,19 @@ class Message:
     def ClearField(self, name: str) -> None:  # noqa: N802
         self._field(name)
         self._values.pop(name, None)
+
+    def WhichOneof(self, oneof_name: str) -> str | None:  # noqa: N802
+        """Name of the set member of oneof ``oneof_name``, or None —
+        protobuf API parity (at most one member can be set)."""
+        members = self._type.oneofs.get(oneof_name)
+        if members is None:
+            raise ValueError(
+                f"{self._type.full_name} has no oneof {oneof_name!r}"
+            )
+        for f in members:
+            if f.name in self._values:
+                return f.name
+        return None
 
     def SerializeToString(self) -> bytes:  # noqa: N802
         return serialize(self)

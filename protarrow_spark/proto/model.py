@@ -98,12 +98,24 @@ class Field:
     optional: bool = False
     message: Optional["MessageType"] = None
     enum: Optional[EnumType] = None
+    #: real (non-synthetic) oneof group name this field belongs to, or
+    #: None. Oneof members always have presence, and setting one member
+    #: clears its siblings (public language-guide semantics). proto3
+    #: ``optional`` is modeled via ``optional``, NOT as its synthetic
+    #: oneof, mirroring how ``FieldDescriptor.has_presence`` abstracts
+    #: both (the reference relies on the same abstraction,
+    #: ``proto_to_arrow.py:317-323``).
+    oneof: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.kind is Kind.MESSAGE and self.message is None:
             raise ValueError(f"message field {self.name} needs a message type")
         if self.kind is Kind.ENUM and self.enum is None:
             raise ValueError(f"enum field {self.name} needs an enum type")
+        if self.oneof is not None and self.repeated:
+            raise ValueError(
+                f"oneof member {self.name} cannot be repeated (spec rule)"
+            )
 
     @property
     def is_map(self) -> bool:
@@ -117,10 +129,14 @@ class Field:
     @property
     def has_presence(self) -> bool:
         """Mirrors FieldDescriptor.has_presence: repeated fields never;
-        message fields and optional fields always."""
+        message fields, optional fields, and oneof members always."""
         if self.repeated:
             return False
-        return self.optional or self.kind in (Kind.MESSAGE, Kind.GROUP)
+        return (
+            self.optional
+            or self.oneof is not None
+            or self.kind in (Kind.MESSAGE, Kind.GROUP)
+        )
 
     @property
     def default_value(self):
@@ -164,6 +180,17 @@ class MessageType:
     @property
     def fields_by_number(self) -> dict[int, Field]:
         return {f.number: f for f in self.fields}
+
+    @property
+    def oneofs(self) -> dict[str, tuple[Field, ...]]:
+        """Real oneof groups: name -> member fields in declaration
+        order (derived from field annotations — no separate descriptor
+        object to keep in sync)."""
+        out: dict[str, list[Field]] = {}
+        for f in self.fields:
+            if f.oneof is not None:
+                out.setdefault(f.oneof, []).append(f)
+        return {k: tuple(v) for k, v in out.items()}
 
 
 def map_field(

@@ -92,6 +92,70 @@ def conv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# conv_oneof_roundtrip
+# ---------------------------------------------------------------------------
+
+ONEOF_EVENT_MT = MessageType(
+    "protarrow_spark.events.OneofEvent",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("as_text", 2, Kind.STRING, oneof="payload"),
+        Field("as_number", 3, Kind.INT64, oneof="payload"),
+        Field("as_ts", 4, Kind.MESSAGE, message=TIMESTAMP, oneof="payload"),
+    ),
+)
+
+
+@query(
+    "conv_oneof_roundtrip",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN 'as_text'
+            WHEN event_id % 3 = 1 THEN 'as_number'
+            ELSE 'as_ts' END AS which,
+       CASE WHEN event_id % 3 = 0 THEN event_type END AS as_text,
+       CASE WHEN event_id % 3 = 1 THEN user_id END AS as_number,
+       CASE WHEN event_id % 3 = 2 THEN epoch_us(ts) END AS as_ts_us
+FROM events
+""",
+)
+def conv_oneof_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wire round-trip of a message with a REAL oneof
+    group (string / int64 / Timestamp members): each event routes its
+    payload into exactly one member (event_id mod 3), encodes to wire
+    bytes and parses back on executors. Oneof members are presence
+    (nullable) columns; the "at most one set" invariant means the two
+    unchosen members come back null — which the oracle's CASE columns
+    pin value-exactly, and the serialized form carries only the one
+    set member's tag.
+
+    Scale: same zero-shuffle fused mapInPandas hop as
+    ``conv_roundtrip_events``.
+    """
+    mod = F.col("event_id") % 3
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(mod == 0, F.col("event_type")).alias("as_text"),
+        F.when(mod == 1, F.col("user_id")).alias("as_number"),
+        F.when(mod == 2, F.col("ts").cast("timestamp")).alias("as_ts"),
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < cores:
+        ev = ev.repartition(cores)
+    out = proto_roundtrip(ev, ONEOF_EVENT_MT, ProtarrowSparkConfig())
+    return out.select(
+        "event_id",
+        F.when(F.col("as_text").isNotNull(), F.lit("as_text"))
+        .when(F.col("as_number").isNotNull(), F.lit("as_number"))
+        .otherwise(F.lit("as_ts"))
+        .alias("which"),
+        "as_text",
+        "as_number",
+        F.unix_micros("as_ts").alias("as_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # conv_cast_conform
 # ---------------------------------------------------------------------------
 

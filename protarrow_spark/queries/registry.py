@@ -55,21 +55,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: SURVEY.md §2 row gets driver verification; redundant variants of
 #: already-covered families follow after and stay covered by
 #: tests/test_oracle_parity.py (same compare, run in pytest).
+#: Round-5 rotation: the driver grades the first 50 only, so each
+#: round swaps redundant family variants out for members never
+#: driver-checked before — coverage ACCUMULATES across rounds (the
+#: swapped-out names stay oracle-verified by tests/test_oracle_parity).
+#: Swapped out in r5: dedup_ngram_jaccard, dedup_simhash_hamming,
+#: sketch_kmv_distinct, sketch_hll_distinct, ann_cosine_topk,
+#: ann_ivf_topk, q3_shipping_priority, q6_revenue_forecast,
+#: agg_percentile_disc, window_topk_per_segment,
+#: set_union_priority_keys, scalar_json_extract (all gate-green in
+#: CORRECTNESS_r04).
 GRADED_FIRST = [
-    # conversion surface (reference public API parity)
+    # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
     "conv_cast_conform",
     "conv_encode_fixture",
+    "conv_oneof_roundtrip",
     # multimodal binary columns
     "mm_image_features",
     # audio: the fingerprint-match query subsumes the windowed-feature
     # pipeline (same pandas-UDF decode) and adds the landmark join
     "mm_audio_fingerprint_match",
-    # dedup family
+    # dedup family (r5: the incremental delta-vs-index and the 3-stage
+    # candidates->exact-verify pipelines take the graded slots)
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "dedup_incremental_lsh",
     "dedup_minhash_lsh",
-    "dedup_simhash_hamming",
+    "dedup_lsh_verified",
     "dedup_embedding_lsh_banded",
     # cluster collapse: graph_pagerank (below) covers the iterative
     # graph family with a value-exact oracle; connected components
@@ -90,41 +102,41 @@ GRADED_FIRST = [
     "table_merge_upsert",
     "text_pii_redact",
     "sample_stratified_sources",
-    # similarity search
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    # sketches (KMV, count-min, HyperLogLog)
-    "sketch_kmv_distinct",
+    # similarity search (r5: int8-quantized + multi-band LSH index)
+    "ann_int8_topk",
+    "ann_lsh_banded_topk",
+    # sketches (r5: KMV set algebra + equi-depth histogram quantiles)
+    "sketch_kmv_set_ops",
     "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
+    "sketch_histogram_quantiles",
     # embedding dimensionality reduction (sparse JL transform)
     "embed_random_projection",
-    # core TPC-H shapes
+    # core TPC-H shapes (r5: q2's decorrelated-min + pushdown shape
+    # and the end-to-end corpus pipeline take two slots)
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "q2_min_cost_supplier",
     "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    # aggregation variants (rollup family stays pytest-gated)
+    "pipeline_training_corpus",
+    # aggregation variants (r5: exact OLS regression aggregate)
     "agg_grouping_sets",
-    "agg_percentile_disc",
+    "agg_linreg_exact",
     # join variants
     "join_broadcast_brand_revenue",
     "join_range_bucketed",
     "join_asof_events",
     "join_salted_skew",
-    # window variants
-    "window_topk_per_segment",
+    # window variants (r5: RANGE-frame time window)
+    "window_time_range_sum",
     "window_sessionize",
     # data layout
     "layout_zorder_lineitem",
     # model-scoring inference + iterative exact graph algorithm
     "score_quality_linear",
     "graph_pagerank",
-    # sort / set / pivot / scalar (hash sampling stays pytest-gated)
+    # sort / pivot / table maintenance (r5: SCD2 history build)
     "sort_topk_lineitems",
-    "set_union_priority_keys",
+    "table_scd2_history",
     "pivot_event_matrix",
-    "scalar_json_extract",
     # structured streaming (oracle-gated + one stateful rows-only;
     # the hll sketch query subsumes the watermarked tumbling-window
     # shape and adds sketch-state streaming — plain window counts

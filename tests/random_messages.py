@@ -125,7 +125,19 @@ def random_message(
     """A random message with ~coverage of presence/absence, empty and
     populated repeated fields and maps."""
     msg = Message(mtype)
+    # Oneof groups: independently sampling each member would bias
+    # toward later-declared members (each set clears the previous);
+    # instead pick at most ONE member per group, mirroring the
+    # reference generator (tests/random_generator.py:83-90).
+    oneof_pick: dict[str, str | None] = {
+        group: (rng.choice(members).name if rng.random() < 0.8 else None)
+        for group, members in mtype.oneofs.items()
+    }
     for field in mtype.fields:
+        if field.oneof is not None:
+            if oneof_pick[field.oneof] == field.name and depth < 3:
+                setattr(msg, field.name, _random_value(rng, field, depth))
+            continue
         if field.is_map:
             entry = field.message
             key_f, val_f = entry.fields_by_number[1], entry.fields_by_number[2]

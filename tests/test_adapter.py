@@ -143,3 +143,42 @@ def test_shared_submessage_adapts_once() -> None:
     )
     mt = adapt_descriptor(outer)
     assert mt.fields_by_name["a"].message is mt.fields_by_name["b"].message
+
+
+@dataclasses.dataclass
+class FakeOneof:
+    name: str
+    is_synthetic: bool = False
+
+
+def test_adapt_oneof_real_vs_synthetic() -> None:
+    # modern runtime surface: real_containing_oneof present
+    choice = FakeOneof("choice")
+    d = _example_descriptor()
+    fa = FakeField("as_str", 20, TYPE_STRING, has_presence=True)
+    fb = FakeField("as_int", 21, TYPE_INT64, has_presence=True)
+    fc = FakeField("maybe", 22, TYPE_STRING, has_presence=True)  # proto3 optional
+    fa.real_containing_oneof = choice
+    fb.real_containing_oneof = choice
+    fc.real_containing_oneof = None  # synthetic oneof -> None here
+    d.fields += [fa, fb, fc]
+    mt = adapt_descriptor(d)
+    f = mt.fields_by_name
+    assert f["as_str"].oneof == "choice" and f["as_int"].oneof == "choice"
+    assert f["as_str"].has_presence and not f["as_str"].optional
+    assert f["maybe"].oneof is None and f["maybe"].optional
+    assert set(x.name for x in mt.oneofs["choice"]) == {"as_str", "as_int"}
+
+
+def test_adapt_oneof_older_runtime_fallback() -> None:
+    # older runtime: only containing_oneof (+ is_synthetic flag)
+    d = _example_descriptor()
+    fa = FakeField("as_str", 20, TYPE_STRING, has_presence=True)
+    fb = FakeField("maybe", 21, TYPE_INT64, has_presence=True)
+    fa.containing_oneof = FakeOneof("choice")
+    fb.containing_oneof = FakeOneof("_maybe", is_synthetic=True)
+    d.fields += [fa, fb]
+    mt = adapt_descriptor(d)
+    assert mt.fields_by_name["as_str"].oneof == "choice"
+    assert mt.fields_by_name["maybe"].oneof is None
+    assert mt.fields_by_name["maybe"].optional

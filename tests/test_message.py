@@ -248,3 +248,67 @@ def test_full_example_roundtrip() -> None:
     )
     back = parse(serialize(m), mt)
     assert back == m
+
+
+# ---------------------------------------------------------------------------
+# oneof semantics (public language-guide rules)
+# ---------------------------------------------------------------------------
+
+ONEOF_MT = MessageType(
+    "t.WithOneof",
+    (
+        Field("id", 1, Kind.INT64),
+        Field("s", 2, Kind.STRING, oneof="payload"),
+        Field("n", 3, Kind.INT64, oneof="payload"),
+        Field("m", 4, Kind.MESSAGE, message=fixtures.NESTED, oneof="payload"),
+    ),
+)
+
+
+def test_oneof_set_clears_siblings() -> None:
+    m = Message(ONEOF_MT, id=1, s="text")
+    assert m.WhichOneof("payload") == "s"
+    m.n = 42
+    assert m.WhichOneof("payload") == "n"
+    assert not m.HasField("s")  # oneof members always have presence
+    assert m.s == ""  # cleared member reads its default
+    m.m = Message(fixtures.NESTED, nested_int=7)
+    assert m.WhichOneof("payload") == "m"
+    assert not m.HasField("n")
+
+
+def test_oneof_members_have_presence_even_scalars() -> None:
+    m = Message(ONEOF_MT)
+    assert m.WhichOneof("payload") is None
+    m.n = 0  # default VALUE still counts as set (explicit presence)
+    assert m.WhichOneof("payload") == "n"
+    assert m.HasField("n")
+    # and it serializes despite being the type default
+    assert serialize(m) != b""
+
+
+def test_oneof_wire_last_member_wins() -> None:
+    # concatenating two serializations with different set members must
+    # parse to the LAST one only (merge rule for oneofs)
+    first = serialize(Message(ONEOF_MT, s="gone"))
+    second = serialize(Message(ONEOF_MT, n=9))
+    m = parse(first + second, ONEOF_MT)
+    assert m.WhichOneof("payload") == "n"
+    assert m.n == 9 and not m.HasField("s")
+
+
+def test_oneof_roundtrip_each_member() -> None:
+    for kwargs in ({"s": "x"}, {"n": -5}, {"m": Message(fixtures.NESTED, nested_int=1)}):
+        m = Message(ONEOF_MT, id=3, **kwargs)
+        back = parse(serialize(m), ONEOF_MT)
+        assert back == m
+        assert back.WhichOneof("payload") == next(iter(kwargs))
+
+
+def test_oneof_unknown_group_raises() -> None:
+    import pytest
+
+    with pytest.raises(ValueError):
+        Message(ONEOF_MT).WhichOneof("nope")
+    with pytest.raises(ValueError):
+        Field("bad", 9, Kind.INT64, repeated=True, oneof="g")
