@@ -10,14 +10,17 @@ training-data pipeline needs:
 * :func:`frame_sample` — fixed-size frame extraction with stride
   (the video keyframe-sampling shape). Pure JVM built-ins: sequence +
   explode + substring arithmetic; scales as a narrow map + explode.
-* :func:`decode_image_features` — per-image feature extraction via an
-  Arrow-batched ``mapInPandas`` UDF. **The actual codec is a STUB**:
-  real decoders (PIL / libav) are not installed in this environment,
-  so decoding targets the deterministic FAKE image format below and
-  :func:`decode_real_image` raises ``NotImplementedError``. The
-  Spark-side plumbing — schema, batch shape, vectorized numpy body,
-  partition-local execution — is real and tested; swapping in a real
-  codec changes only the inner function.
+* :func:`decode_image_features` / :func:`audio_window_features` —
+  per-blob feature extraction via Arrow-batched ``mapInPandas`` UDFs.
+  Two REAL dependency-free codecs are built in (both public formats,
+  parsed with ``struct``/numpy only): uncompressed 24-bit BMP
+  (:func:`decode_bmp_gray`) and RIFF/WAVE mono PCM16
+  (:func:`decode_wav_pcm16`), plus the deterministic FAKE formats
+  below for oracle-exact fixtures. Compressed formats (JPEG/PNG,
+  MP3/AAC) need libraries this environment doesn't ship:
+  :func:`decode_real_image` / :func:`decode_real_audio` raise
+  ``NotImplementedError`` for those — swapping in PIL/libav changes
+  only the inner function.
 
 Fake image format (deterministic, codec-free):
 ``b"FIMG"`` magic, then payload bytes interpreted as 8-bit grayscale
@@ -115,12 +118,84 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+BMP_MAGIC = b"BM"
+BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp_gray(pixels) -> bytes:
+    """Grayscale (h, w) uint8 grid -> a GENUINE 24-bit uncompressed
+    Windows BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows padded to 4
+    bytes, B=G=R=pixel). Pure ``struct`` — the public file format, no
+    codec library. Used to build real encoded fixtures that
+    :func:`decode_bmp_gray` must actually parse."""
+    import struct as _struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up storage
+        bgr = np.repeat(row, 3).tobytes()  # B=G=R=gray
+        body += bgr + b"\x00" * (stride - len(bgr))
+    size = BMP_HEADER_BYTES + len(body)
+    header = _struct.pack(
+        "<2sIHHI", BMP_MAGIC, size, 0, 0, BMP_HEADER_BYTES
+    ) + _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp_gray(data: bytes):
+    """Parse a REAL uncompressed 24-bit BMP (the public format: 'BM'
+    magic, little-endian BITMAPINFOHEADER, 4-byte-padded BGR rows,
+    positive height = bottom-up) into ``(width, height, gray)`` with
+    ``gray`` a row-major uint8 (h, w) array via integer BT.601 luma
+    ``(299R + 587G + 114B) // 1000``. Returns None when the blob is
+    not a BMP; raises ``NotImplementedError`` for BMP variants beyond
+    24-bit BI_RGB (palette/RLE/V4+ alpha) — the honest boundary of
+    the dependency-free codec."""
+    import numpy as np
+
+    if len(data) < BMP_HEADER_BYTES or data[:2] != BMP_MAGIC:
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (got {bpp}bpp comp={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    b = rows[..., 0].astype(np.int64)
+    g = rows[..., 1].astype(np.int64)
+    r = rows[..., 2].astype(np.int64)
+    gray = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    return w, h, gray
+
+
 def decode_real_image(blob: bytes) -> dict:
-    """Real-codec decode — STUB. This environment has no image
-    libraries installed; plug PIL/opencv here in production."""
+    """Real-codec dispatch: uncompressed BMP decodes natively
+    (:func:`decode_bmp_gray`); compressed formats (JPEG/PNG/WebP)
+    need an image library this environment doesn't ship — STUB."""
+    decoded = decode_bmp_gray(blob)
+    if decoded is not None:
+        w, h, gray = decoded
+        return {"width": w, "height": h, "gray": gray}
     raise NotImplementedError(
-        "real image codecs are not available in this environment; "
-        "use the FIMG fake format (decode_image_features)"
+        "compressed image codecs (JPEG/PNG/...) are not available in "
+        "this environment; BMP decodes natively, or use the FIMG fake "
+        "format (decode_image_features)"
     )
 
 
@@ -130,12 +205,17 @@ def decode_image_features(
     blob_col: str,
     width: int = FAKE_IMAGE_WIDTH,
 ) -> DataFrame:
-    """Grayscale feature extraction over fake-format images via an
-    Arrow-batched ``mapInPandas`` UDF (the real-codec body would slot
-    into the same plumbing; see :func:`decode_real_image`).
+    """Grayscale feature extraction over image blobs via an
+    Arrow-batched ``mapInPandas`` UDF. Two codecs dispatch by magic
+    bytes: GENUINE uncompressed 24-bit BMP ('BM', parsed by
+    :func:`decode_bmp_gray` — real header/stride/bottom-up handling,
+    integer luma) and the deterministic FIMG fake format. Compressed
+    formats would slot into :func:`decode_real_image`.
 
-    Non-image blobs (no magic) produce null features — they flow
-    through the same schema so the operator is total.
+    Non-image blobs (no known magic) produce null features — they
+    flow through the same schema so the operator is total. For BMPs
+    ``n_pixels`` is the true raster size width*height; for FIMG it is
+    the payload length (ragged last row).
 
     Scale: partition-local, Arrow-batched, numpy-vectorized per blob;
     output is one row per input row (no explosion).
@@ -155,18 +235,27 @@ def decode_image_features(
                 "pixel_sum": [],
                 "pixel_max": [],
             }
+
+            def emit(w, h, n, px):
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["pixel_sum"].append(int(px.sum()) if px.size else 0)
+                out["pixel_max"].append(int(px.max()) if px.size else 0)
+
             for raw in batch["blob"]:
                 data = bytes(raw)
-                if not data.startswith(FAKE_IMAGE_MAGIC):
+                if data.startswith(FAKE_IMAGE_MAGIC):
+                    px = np.frombuffer(
+                        data, dtype=np.uint8, offset=len(FAKE_IMAGE_MAGIC)
+                    )
+                    emit(width, -(-len(px) // width), len(px), px)
+                elif data.startswith(BMP_MAGIC):
+                    w, h, gray = decode_bmp_gray(data)
+                    emit(w, h, w * h, gray)
+                else:
                     for k in ("width", "height", "n_pixels", "pixel_sum", "pixel_max"):
                         out[k].append(None)
-                    continue
-                px = np.frombuffer(data, dtype=np.uint8, offset=len(FAKE_IMAGE_MAGIC))
-                out["width"].append(width)
-                out["height"].append(-(-len(px) // width))  # ceil, ragged last row
-                out["n_pixels"].append(len(px))
-                out["pixel_sum"].append(int(px.sum()) if len(px) else 0)
-                out["pixel_max"].append(int(px.max()) if len(px) else 0)
             yield pd.DataFrame(out)
 
     return src.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
@@ -242,12 +331,76 @@ AUDIO_WINDOW_SCHEMA = T.StructType(
 )
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """int16 sample array -> a GENUINE RIFF/WAVE file (PCM format 1,
+    mono, 16-bit little-endian; 'fmt ' + 'data' chunks). Pure
+    ``struct`` — the public container format, used to build real
+    encoded fixtures that :func:`decode_wav_pcm16` must parse."""
+    import struct as _struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav_pcm16(data: bytes):
+    """Parse a REAL RIFF/WAVE file: walk the chunk list (ids +
+    little-endian sizes, odd sizes padded to even per the spec), read
+    the 'fmt ' chunk, and return the 'data' chunk as an int16 numpy
+    array. Returns None when the blob is not RIFF/WAVE; raises
+    ``NotImplementedError`` for encodings beyond mono PCM16 (float,
+    ADPCM, multi-channel) — the honest boundary of the
+    dependency-free codec."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_ok = False
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono PCM16 WAV supported (format={audio_format} "
+                    f"ch={channels} bits={bits})"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            samples = np.frombuffer(body[: sz - (sz % 2)], dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are padded to even offsets
+    if not fmt_ok or samples is None:
+        return None
+    return samples
+
+
 def decode_real_audio(blob: bytes) -> dict:
-    """Real-codec decode — STUB. No audio libraries (libav/soundfile)
-    in this environment; plug them here in production."""
+    """Real-codec dispatch: RIFF/WAVE mono PCM16 decodes natively
+    (:func:`decode_wav_pcm16`); compressed formats (MP3/AAC/Opus)
+    need an audio library this environment doesn't ship — STUB."""
+    samples = decode_wav_pcm16(blob)
+    if samples is not None:
+        return {"samples": samples, "bits": 16}
     raise NotImplementedError(
-        "real audio codecs are not available in this environment; "
-        "use the FAUD fake format (audio_window_features)"
+        "compressed audio codecs (MP3/AAC/...) are not available in "
+        "this environment; WAV PCM16 decodes natively, or use the "
+        "FAUD fake format (audio_window_features)"
     )
 
 
@@ -257,17 +410,20 @@ def audio_window_features(
     blob_col: str,
     window: int = AUDIO_WINDOW,
 ) -> DataFrame:
-    """Windowed audio features over fake-format (``FAUD`` magic) blobs
-    via an Arrow-batched ``mapInPandas`` UDF — the audio analogue of
-    :func:`decode_image_features` (same plumbing; a real PCM decoder
-    slots into the inner function, see :func:`decode_real_audio`).
+    """Windowed audio features over audio blobs via an Arrow-batched
+    ``mapInPandas`` UDF — the audio analogue of
+    :func:`decode_image_features`. Two codecs dispatch by magic
+    bytes: GENUINE RIFF/WAVE mono PCM16 (parsed by
+    :func:`decode_wav_pcm16` — real chunk walking), and the FAUD fake
+    format (payload as 8-bit unsigned PCM centered at 128).
+    Compressed formats would slot into :func:`decode_real_audio`.
 
-    The payload is read as 8-bit unsigned PCM centered at 128. Per
-    ``window``-sample window (last ragged): sample count, energy
-    (sum of squared deviations — integer-exact, so any SQL engine
-    reproduces it bit-for-bit), and zero crossings (adjacent samples
-    straddling the midline, window-local). Non-audio blobs emit no
-    rows (frame-level operators are per-decoded-unit, like
+    Per ``window``-sample window (last ragged): sample count, energy
+    (sum of squared deviations from the midline — integer-exact, so
+    any SQL engine reproduces it bit-for-bit), and zero crossings
+    (adjacent samples straddling the midline, window-local). The
+    midline is 128 for 8-bit unsigned, 0 for PCM16. Non-audio blobs
+    emit no rows (frame-level operators are per-decoded-unit, like
     :func:`frame_sample`).
 
     Scale: partition-local narrow map; output fans out by
@@ -283,19 +439,27 @@ def audio_window_features(
             ids, wins, ns, es, zs = [], [], [], [], []
             for doc_id, raw in zip(batch["doc_id"], batch["blob"]):
                 data = bytes(raw)
-                if not data.startswith(FAKE_AUDIO_MAGIC):
+                if data.startswith(FAKE_AUDIO_MAGIC):
+                    dev = (
+                        np.frombuffer(
+                            data, dtype=np.uint8, offset=len(FAKE_AUDIO_MAGIC)
+                        ).astype(np.int64)
+                        - 128
+                    )
+                elif data.startswith(WAV_MAGIC):
+                    samples = decode_wav_pcm16(data)
+                    if samples is None:
+                        continue
+                    dev = samples.astype(np.int64)
+                else:
                     continue
-                s = np.frombuffer(
-                    data, dtype=np.uint8, offset=len(FAKE_AUDIO_MAGIC)
-                ).astype(np.int64)
-                for w in range(-(-len(s) // window) if len(s) else 0):
-                    seg = s[w * window : (w + 1) * window]
-                    dev = seg - 128
+                for w in range(-(-len(dev) // window) if len(dev) else 0):
+                    seg = dev[w * window : (w + 1) * window]
                     ids.append(doc_id)
                     wins.append(w)
                     ns.append(len(seg))
-                    es.append(int((dev * dev).sum()))
-                    zs.append(int(((seg[1:] >= 128) != (seg[:-1] >= 128)).sum()))
+                    es.append(int((seg * seg).sum()))
+                    zs.append(int(((seg[1:] >= 0) != (seg[:-1] >= 0)).sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -125,6 +125,149 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(_blobs(spark, sf_dir), "doc_id", "blob")
 
 
+# ---------------------------------------------------------------------------
+# REAL-codec fixtures: genuine BMP / WAV bytes through the same
+# operators. The fixture builder uses the real ENCODERS
+# (operators/multimodal.py encode_bmp_gray / encode_wav_pcm16) so the
+# decoders must actually parse headers, strides, bottom-up rows and
+# RIFF chunk lists; the oracle recomputes expected features straight
+# from documents.text (it knows the deterministic construction), so a
+# decoder that misreads any real-format detail hash-fails.
+# ---------------------------------------------------------------------------
+
+_BMP_W = 16
+
+
+def _bmp_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): even ids become GENUINE 24-bit
+    BMPs (gray pixels = utf-8 bytes of text, 16 wide, zero-padded to
+    whole rows, min height 1); odd ids stay raw text bytes."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    h = max(1, -(-len(data) // _BMP_W))
+                    px = np.zeros(h * _BMP_W, dtype=np.uint8)
+                    px[: len(data)] = np.frombuffer(data, np.uint8)
+                    blobs.append(
+                        multimodal.encode_bmp_gray(px.reshape(h, _BMP_W))
+                    )
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_bmp",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_BMP_W} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_BMP_W} * GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over GENUINE encoded BMP bytes: the fixture
+    writes real 24-bit bottom-up padded-row BMPs, and the operator's
+    native BMP parser must recover width/height/luma exactly (gray
+    pixels make integer BT.601 luma the identity, so the oracle pins
+    every pixel byte-exactly from the source text). Non-BMP rows
+    (odd ids) exercise the null path of the total operator."""
+    return multimodal.decode_image_features(
+        _bmp_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
+def _wav_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): ids ≡ 1 (mod 4) become GENUINE
+    RIFF/WAVE mono PCM16 files (sample_i = (byte_i - 128) * 256);
+    the rest stay raw text bytes (the operator must skip them)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 4 == 1:
+                    samples = (
+                        np.frombuffer(data, np.uint8).astype(np.int64) - 128
+                    ) * 256
+                    blobs.append(multimodal.encode_wav_pcm16(samples))
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_audio_windows_wav",
+    oracle=f"""
+WITH aud AS (
+  SELECT doc_id, hex(encode(text)) AS ph
+  FROM documents WHERE doc_id % 4 = 1
+),
+samples AS (
+  SELECT doc_id,
+         i - 1 AS si,
+         (i - 1) // {multimodal.AUDIO_WINDOW} AS win_idx,
+         ({_byteval('ph', 'i')} - 128) * 256 AS v
+  FROM aud, LATERAL unnest(range(1, len(ph) // 2 + 1)) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, win_idx, v,
+         CASE WHEN si % {multimodal.AUDIO_WINDOW} > 0
+               AND (v >= 0) <> (LAG(v) OVER (PARTITION BY doc_id ORDER BY si) >= 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM samples
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy_sum,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM flagged
+GROUP BY doc_id, win_idx
+""",
+)
+def mm_audio_windows_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over GENUINE RIFF/WAVE PCM16 bytes:
+    the fixture writes real WAV files (fmt + data chunks) and the
+    operator's native chunk-walking parser must recover every int16
+    sample exactly — energy sums are 65536x the 8-bit fixture's, all
+    integer-exact. Non-WAV rows exercise the skip path."""
+    return multimodal.audio_window_features(
+        _wav_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 _RS_W = multimodal.FAKE_IMAGE_WIDTH
 _RS_F = 2
 _RS_NEW_W = -(-_RS_W // _RS_F)

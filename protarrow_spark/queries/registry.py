@@ -71,8 +71,10 @@ GRADED_FIRST = [
     "conv_cast_conform",
     "conv_encode_fixture",
     "conv_oneof_roundtrip",
-    # multimodal binary columns
-    "mm_image_features",
+    # multimodal binary columns (r5: GENUINE 24-bit BMP bytes through
+    # the native dependency-free parser; the fake-format variant stays
+    # pytest-gated)
+    "mm_image_features_bmp",
     # audio: the fingerprint-match query subsumes the windowed-feature
     # pipeline (same pandas-UDF decode) and adds the landmark join
     "mm_audio_fingerprint_match",

@@ -143,3 +143,123 @@ def test_audio_window_features_skips_non_audio(spark):
     assert r["energy_sum"] == 12
     # classes: hi hi lo hi -> crossings at i=2 and i=3
     assert r["zero_crossings"] == 2
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: BMP + WAV golden literals (hand-built from the public
+# format specs, independent of the repo's own encoders)
+# ---------------------------------------------------------------------------
+
+# 2x2 24-bit BMP, bottom-up, rows padded to 4 bytes (2*3=6 -> 8).
+# Pixel grid (top-down, BGR): row0 = [(0,0,255) red, (0,255,0) green]
+#                             row1 = [(255,0,0) blue, (10,10,10) gray]
+_GOLDEN_BMP = (
+    b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    + (54).to_bytes(4, "little")
+    + (40).to_bytes(4, "little")
+    + (2).to_bytes(4, "little") + (2).to_bytes(4, "little", signed=True)
+    + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+    + (2835).to_bytes(4, "little") * 2 + b"\x00" * 8
+    # bottom-up: storage row 0 is the IMAGE'S BOTTOM row (blue, gray)
+    + b"\xff\x00\x00" + b"\x0a\x0a\x0a" + b"\x00\x00"
+    + b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00"
+)
+
+
+def test_decode_golden_bmp_literal() -> None:
+    w, h, gray = multimodal.decode_bmp_gray(_GOLDEN_BMP)
+    assert (w, h) == (2, 2)
+    # BT.601 integer luma: red=(299*255)//1000=76, green=(587*255)//1000=149,
+    # blue=(114*255)//1000=29, gray(10,10,10)=10; top-down row order
+    assert gray.tolist() == [[76, 149], [29, 10]]
+
+
+def test_bmp_encode_decode_inverse_and_unsupported() -> None:
+    import numpy as np
+
+    px = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    blob = multimodal.encode_bmp_gray(px)
+    w, h, gray = multimodal.decode_bmp_gray(blob)
+    assert (w, h) == (8, 5) and (gray == px).all()
+    assert multimodal.decode_bmp_gray(b"nope") is None
+    bad = bytearray(blob)
+    bad[28:30] = (8).to_bytes(2, "little")  # 8bpp palette BMP
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        multimodal.decode_bmp_gray(bytes(bad))
+
+
+# minimal RIFF/WAVE, mono PCM16, 3 samples [1000, -2, 32767]
+_GOLDEN_WAV = (
+    b"RIFF" + (4 + 24 + 8 + 6 + 1).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    + b"data" + (6).to_bytes(4, "little")
+    + (1000).to_bytes(2, "little") + (-2).to_bytes(2, "little", signed=True)
+    + (32767).to_bytes(2, "little")
+)
+
+
+def test_decode_golden_wav_literal() -> None:
+    samples = multimodal.decode_wav_pcm16(_GOLDEN_WAV)
+    assert samples.tolist() == [1000, -2, 32767]
+
+
+def test_wav_encode_decode_inverse_and_unsupported() -> None:
+    samples = [-32768, -1, 0, 1, 32767, 12345]
+    blob = multimodal.encode_wav_pcm16(samples)
+    assert multimodal.decode_wav_pcm16(blob).tolist() == samples
+    assert multimodal.decode_wav_pcm16(b"not audio") is None
+    bad = bytearray(blob)
+    bad[22:24] = (2).to_bytes(2, "little")  # stereo
+    with pytest.raises(NotImplementedError, match="mono PCM16"):
+        multimodal.decode_wav_pcm16(bytes(bad))
+
+
+def test_real_dispatch_decodes_native_formats() -> None:
+    out = multimodal.decode_real_image(_GOLDEN_BMP)
+    assert out["width"] == 2 and out["height"] == 2
+    aud = multimodal.decode_real_audio(_GOLDEN_WAV)
+    assert aud["bits"] == 16 and len(aud["samples"]) == 3
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_real_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_real_audio(b"ID3\x04mp3data")
+
+
+def test_image_features_real_bmp_through_operator(spark) -> None:
+    import numpy as np
+
+    px = np.array([[5, 7], [11, 200]], dtype=np.uint8)
+    df = _blob_df(
+        spark,
+        [(1, multimodal.encode_bmp_gray(px)), (2, b"not an image")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image_features(df, "doc_id", "blob").collect()
+    }
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[1]["n_pixels"] == 4
+    assert out[1]["pixel_sum"] == 223 and out[1]["pixel_max"] == 200
+    assert out[2]["width"] is None
+
+
+def test_audio_windows_real_wav_through_operator(spark) -> None:
+    samples = [100, -100, 0, 50] * 40  # 160 samples -> windows of 64
+    df = _blob_df(
+        spark,
+        [(1, multimodal.encode_wav_pcm16(samples)), (2, b"junk")],
+    )
+    rows = sorted(
+        multimodal.audio_window_features(df, "doc_id", "blob").collect(),
+        key=lambda r: r["win_idx"],
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1]
+    assert [r["n_samples"] for r in rows] == [64, 64, 32]
+    seg = samples[:64]
+    assert rows[0]["energy_sum"] == sum(v * v for v in seg)
+    zc = sum((seg[i] >= 0) != (seg[i - 1] >= 0) for i in range(1, 64))
+    assert rows[0]["zero_crossings"] == zc
