@@ -28,7 +28,10 @@ from protarrow_spark.conversion.decode import (
 )
 from protarrow_spark.conversion.distributed import (
     decode_proto_bytes,
+    decode_proto_column,
     encode_proto_bytes,
+    encode_proto_column,
+    spark_protobuf_available,
 )
 from protarrow_spark.conversion.encode import (
     messages_to_dataframe,
@@ -40,8 +43,11 @@ __all__ = [
     "cast_dataframe",
     "dataframe_to_messages",
     "decode_proto_bytes",
+    "decode_proto_column",
     "encode_proto_bytes",
+    "encode_proto_column",
     "messages_to_dataframe",
     "messages_to_rows",
     "rows_to_messages",
+    "spark_protobuf_available",
 ]

@@ -182,4 +182,73 @@ def recursive_message_type() -> MessageType:
     return rec
 
 
+# ---------------------------------------------------------------------------
+# The reference's four distinct recursion shapes
+# (protos/bench.proto:191-222, exercised with data files by
+# tests/test_conversion_recursive_messages.py:24-120): direct
+# self-reference, a 3-message cycle, repeated self-reference, and
+# map-valued self-reference. Builders return FRESH graphs (the types
+# are mutable and self-referential, so sharing a module-level instance
+# across mutating tests would alias).
+# ---------------------------------------------------------------------------
+
+
+def recursive_self_type() -> MessageType:
+    """A -> A: message field of its own type + a scalar."""
+    rec = MessageType("protarrow_spark.test.RecursiveSelf", ())
+    rec.fields = (
+        Field("next", 1, Kind.MESSAGE, message=rec),
+        Field("depth", 2, Kind.INT32),
+    )
+    return rec
+
+
+def recursive_nested_cycle_types() -> tuple[MessageType, MessageType, MessageType]:
+    """A -> B -> C -> A: recursion through a 3-message cycle (the
+    trace at prune/raise time lists all three)."""
+    l1 = MessageType("protarrow_spark.test.RecursiveNested1", ())
+    l2 = MessageType("protarrow_spark.test.RecursiveNested2", ())
+    l3 = MessageType("protarrow_spark.test.RecursiveNested3", ())
+    l1.fields = (
+        Field("name", 1, Kind.STRING),
+        Field("next", 2, Kind.MESSAGE, message=l2),
+    )
+    l2.fields = (
+        Field("name", 1, Kind.STRING),
+        Field("next", 2, Kind.MESSAGE, message=l3),
+    )
+    l3.fields = (
+        Field("name", 1, Kind.STRING),
+        Field("next", 2, Kind.MESSAGE, message=l1),
+    )
+    return l1, l2, l3
+
+
+def recursive_repeated_type() -> MessageType:
+    """A -> repeated A: recursion through a list field."""
+    rec = MessageType("protarrow_spark.test.RecursiveRepeated", ())
+    rec.fields = (
+        Field("depth", 1, Kind.INT32),
+        Field("children", 2, Kind.MESSAGE, repeated=True, message=rec),
+    )
+    return rec
+
+
+def recursive_map_type() -> MessageType:
+    """A -> map<string, A>: recursion through a map value."""
+    rec = MessageType("protarrow_spark.test.RecursiveMap", ())
+    rec.fields = (
+        Field("name", 1, Kind.STRING),
+        map_field(
+            "children_map",
+            2,
+            Kind.STRING,
+            Kind.MESSAGE,
+            value_message=rec,
+            entry_full_name="protarrow_spark.test.RecursiveMap.ChildrenMapEntry",
+        ),
+    )
+    return rec
+
+
 RECURSIVE = recursive_message_type()

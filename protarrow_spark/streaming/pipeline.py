@@ -48,6 +48,56 @@ def stream_from_proto_parquet(
     return decode_proto_bytes(raw, bytes_col, mtype, config)
 
 
+def stream_wire_from_rate(
+    spark: SparkSession,
+    mtype: MessageType,
+    build,
+    config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
+    rows_per_batch: int = 100,
+) -> DataFrame:
+    """Synthetic Kafka stand-in over the built-in rate source: each
+    tick's monotonically increasing ``value`` becomes a message via
+    ``build(value) -> Message``, SERIALIZES to wire bytes on the
+    executor (the Kafka ``value: binary`` shape), and immediately
+    decodes back through :func:`decode_proto_bytes` — so the full
+    produce-side + consume-side wire codec runs inside a live
+    Structured Streaming job with no broker. On a real cluster the
+    first two stages are the producer and ``readStream.format(
+    "kafka")`` replaces them (reference pattern ``docs/faq.md:20-25``).
+
+    Deterministic: the rate-micro-batch source assigns values
+    0,1,2,... so every micro-batch's content is reproducible — which
+    is what lets a batch oracle pin the streamed output.
+
+    Scale: serialization and decode are narrow Arrow-batched maps; no
+    shuffle enters the plan until the caller aggregates.
+    """
+    import pandas as pd
+
+    from protarrow_spark.proto.message import serialize
+
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select("value")
+    )
+
+    def to_wire(batches):
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "value": batch["value"],
+                    "proto": [
+                        serialize(build(int(v))) for v in batch["value"]
+                    ],
+                }
+            )
+
+    wire = raw.mapInPandas(to_wire, "value long, proto binary")
+    return decode_proto_bytes(wire, "proto", mtype, config, keep_cols=["value"])
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str,
