@@ -121,6 +121,12 @@ def main() -> None:
     spark = get_spark("protarrow-spark-bench", cpus=cpus)
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # Optional subset (comma-separated) for targeted sweeps, e.g. the
+    # sf1 scaling decade over the headliner six.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in wanted if n in queries]
 
     # Warm up the JVM + parquet footer caches with one cheap pass, and
     # the Python-UDF worker pool (spawn + pandas/pyarrow import is a
