@@ -106,6 +106,9 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "sketch_histogram_quantiles",
     "window_time_range_sum",
+    # winnowing joined the headline set after the interpreted-HOF
+    # recompute fix (it was the one operator with superlinear cost)
+    "text_winnow_fingerprint",
 ]
 
 
@@ -164,6 +167,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            print(f"BENCH OK {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # one broken query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)

@@ -691,11 +691,19 @@ def span_dedup(
     rejoined in document order; empty string when everything was
     boilerplate).
     """
-    toks = tokens(F.col(text_col))
+    # Materialize the token array before the per-span transform:
+    # higher-order lambdas evaluate interpreted (no CSE), so an inline
+    # `tokens(text)` subtree re-splits the document once per span
+    # position — O(n^2/span) instead of O(n). Same fix as
+    # text.winnow_fingerprints (where the effect was ~1000x).
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(span))
     spans = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, span)))
-    ex = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    ex = base.select(
         F.col(id_col), F.posexplode(spans).alias("pos", "span_text")
     )
     dup = (

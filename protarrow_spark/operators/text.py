@@ -165,6 +165,15 @@ def winnow_fingerprints(
     Hashes are md5-derived 60-bit ints so an independent SQL engine
     reproduces the identical fingerprint set.
 
+    The hash array MUST be materialized as its own projection before
+    the window-min pass: higher-order functions run interpreted (no
+    whole-stage codegen, no common-subexpression elimination), so an
+    inline ``hashes`` subtree inside the window lambda re-evaluates
+    every md5 once PER WINDOW POSITION — O(n^2) digests per document
+    (observed ~200 ms/doc; the two-step projection is ~1000x faster
+    and value-identical). CollapseProject keeps the stage split
+    because the alias is non-cheap and multiply referenced.
+
     Output: doc_id, n_grams, n_fingerprints, fp_digest (md5 over the
     sorted distinct minima — the document's winnow signature).
     """
@@ -174,15 +183,17 @@ def winnow_fingerprints(
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
     )
-    n = F.size(hashes)
+    hashed = df.select(F.col(id_col), hashes.alias("__wh"))
+    wh = F.col("__wh")
+    n = F.size(wh)
     mins = F.when(
         n >= w,
         F.transform(
-            F.sequence(F.lit(1), n - w + 1), lambda i: F.array_min(F.slice(hashes, i, w))
+            F.sequence(F.lit(1), n - w + 1), lambda i: F.array_min(F.slice(wh, i, w))
         ),
-    ).otherwise(F.array(F.array_min(hashes)))
+    ).otherwise(F.array(F.array_min(wh)))
     fps = F.array_sort(F.array_distinct(mins))
-    return df.select(
+    return hashed.select(
         F.col(id_col),
         n.cast("long").alias("n_grams"),
         F.size(fps).cast("long").alias("n_fingerprints"),
@@ -225,11 +236,17 @@ def chunk_sliding(
     Output: id, chunk_id (0-based), tok_start (1-based), n_chunk_tokens,
     chunk_text.
     """
-    toks = tokens(F.col(text_col))
+    # Token array materialized first — an inline tokens(text) inside
+    # the per-chunk lambda re-splits the document once per chunk
+    # (interpreted HOFs skip CSE; see winnow_fingerprints).
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, window)))
-    ex = df.select(
+    ex = base.select(
         F.col(id_col),
         n.alias("_n"),
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
@@ -397,6 +414,9 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
         )
         merges = rule if merges is None else merges.unionByName(rule)
 
+        # __arr materialized as a column: element_at(split(...), i)
+        # inside the fold would re-split the symbol once per position
+        # (interpreted HOFs skip CSE; see winnow_fingerprints).
         joined = words.crossJoin(
             F.broadcast(
                 top.select(
@@ -404,7 +424,9 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
                     F.split(F.col("pair"), " ")[1].alias("__pb"),
                 )
             )
-        )
+        ).withColumn("__arr", F.split(F.col("sym"), " "))
+        fold_arr = F.col("__arr")
+        fold_n = F.size(fold_arr)
         pa, pb = F.col("__pa"), F.col("__pb")
         merged_sym = F.concat(pa, pb)
         zero = F.struct(
@@ -413,8 +435,8 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
         )
 
         def fold_step(acc, i):
-            cur = F.element_at(arr, i)
-            nxt = F.try_element_at(arr, i + 1)
+            cur = F.element_at(fold_arr, i)
+            nxt = F.try_element_at(fold_arr, i + 1)
             do_merge = (~acc.skip) & (cur == pa) & nxt.isNotNull() & (nxt == pb)
             out_merge = F.struct(
                 F.concat(acc.out, F.array(merged_sym)).alias("out"),
@@ -428,7 +450,7 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
             return F.when(acc.skip, out_skip).when(do_merge, out_merge).otherwise(out_keep)
 
         new_sym = F.aggregate(
-            F.sequence(F.lit(1), n),
+            F.sequence(F.lit(1), fold_n),
             zero,
             fold_step,
             lambda acc: F.concat_ws(" ", acc.out),

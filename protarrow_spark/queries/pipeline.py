@@ -611,8 +611,13 @@ FROM mins
 @query("text_winnow_fingerprint", oracle=_winnow_oracle())
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash window minima) fingerprints per doc —
-    the substring-robust dedup signature; JVM-only expressions."""
-    return text.winnow_fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+    the substring-robust dedup signature; JVM-only expressions.
+    spread: the char-gram hash + window-min pass is the most
+    CPU-dense per-row pipeline in the pack (interpreted HOFs, no
+    codegen) — a single-row-group local scan must not serialize it."""
+    return text.winnow_fingerprints(
+        spread(table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
 
 
 def _cc_oracle() -> str:

@@ -43,8 +43,20 @@ KEYED = {
 }
 FIXED_DIMS = ["region", "nation"]
 #: files per output table — enough splits that a 32-core local scan
-#: parallelizes without a repartition crutch in the queries.
-OUT_FILES = {"lineitem": 16, "orders": 8, "events": 8}
+#: parallelizes without a repartition crutch in the queries. The
+#: text/vector tables need as many splits as the big facts: shingle
+#: explosion and per-vector math make documents/embeddings the
+#: heaviest PER-ROW tables in the pipeline queries (a 4-file layout
+#: capped those stages at 4 cores and looked like a hang at sf1).
+OUT_FILES = {
+    "lineitem": 16,
+    "orders": 8,
+    "events": 8,
+    "documents": 16,
+    "embeddings": 8,
+    "customer": 8,
+    "part": 8,
+}
 
 
 def main() -> int:
