@@ -320,7 +320,7 @@ def serialize(msg: Message) -> bytes:
     """Message -> wire bytes, fields in field-number order (stable)."""
     out = bytearray()
     values = msg._values
-    for field in sorted(msg.type.fields, key=lambda f: f.number):
+    for field in msg.type.fields_number_order:
         if field.name not in values:
             continue
         value = values[field.name]

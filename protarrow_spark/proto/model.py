@@ -169,28 +169,54 @@ class MessageType:
         if isinstance(self.fields, list):
             self.fields = tuple(self.fields)
 
+    def __setattr__(self, name: str, value) -> None:
+        # Reassigning `fields` (recursive types bind them after
+        # construction) invalidates the derived-index caches below —
+        # they are on the per-message hot path of the wire codec and
+        # recomputing the dicts per access dominated profiles.
+        object.__setattr__(self, name, value)
+        if name == "fields":
+            object.__setattr__(self, "_idx_cache", None)
+
+    def _indexes(self) -> tuple:
+        cached = getattr(self, "_idx_cache", None)
+        if cached is None:
+            by_name = {f.name: f for f in self.fields}
+            by_number = {f.number: f for f in self.fields}
+            oo: dict[str, list[Field]] = {}
+            for f in self.fields:
+                if f.oneof is not None:
+                    oo.setdefault(f.oneof, []).append(f)
+            oneofs = {k: tuple(v) for k, v in oo.items()}
+            in_order = tuple(sorted(self.fields, key=lambda f: f.number))
+            cached = (by_name, by_number, oneofs, in_order)
+            object.__setattr__(self, "_idx_cache", cached)
+        return cached
+
     @property
     def name(self) -> str:
         return self.full_name.rsplit(".", 1)[-1]
 
     @property
     def fields_by_name(self) -> dict[str, Field]:
-        return {f.name: f for f in self.fields}
+        return self._indexes()[0]
 
     @property
     def fields_by_number(self) -> dict[int, Field]:
-        return {f.number: f for f in self.fields}
+        return self._indexes()[1]
 
     @property
     def oneofs(self) -> dict[str, tuple[Field, ...]]:
         """Real oneof groups: name -> member fields in declaration
         order (derived from field annotations — no separate descriptor
         object to keep in sync)."""
-        out: dict[str, list[Field]] = {}
-        for f in self.fields:
-            if f.oneof is not None:
-                out.setdefault(f.oneof, []).append(f)
-        return {k: tuple(v) for k, v in out.items()}
+        return self._indexes()[2]
+
+    @property
+    def fields_number_order(self) -> tuple[Field, ...]:
+        """Fields sorted by field number — the wire emission order
+        (cached; serialize runs once per message)."""
+        return self._indexes()[3]
 
 
 def map_field(

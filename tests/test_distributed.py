@@ -17,6 +17,7 @@ from protarrow_spark.conversion import (
     messages_to_dataframe,
 )
 from protarrow_spark.conversion.distributed import proto_roundtrip
+from protarrow_spark.conversion.encode import row_builder
 from protarrow_spark.proto import fixtures
 from protarrow_spark.proto.message import Message, parse, serialize
 from protarrow_spark.proto.model import (
@@ -185,3 +186,154 @@ def test_unified_dispatch_uses_builtin_when_jar_present(spark) -> None:
         message_full_name=EVENT.full_name,
     )
     assert decoded.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Compiled row->wire fast path: bit-identical to the Message path
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_wire_encoder_matches_message_path() -> None:
+    """For every shape x config: row -> compile_row_to_wire bytes must
+    equal serialize(message_builder(row)) byte-for-byte (the fast path
+    skips Message objects but must not change one bit on the wire)."""
+    import itertools
+
+    from protarrow_spark.conversion.decode import message_builder
+    from protarrow_spark.conversion.distributed import compile_row_to_wire
+    from protarrow_spark.conversion.encode import messages_to_rows
+    from protarrow_spark.proto.message import serialize
+    from tests.random_messages import random_messages
+
+    shapes = [fixtures.EXAMPLE, fixtures.NESTED_EXAMPLE]
+    configs = [
+        ProtarrowSparkConfig(),
+        ProtarrowSparkConfig(enum_type="string", uint64_type="long"),
+        ProtarrowSparkConfig(
+            timestamp_type="long_nanos", duration_type="long_nanos",
+            map_as_list=True,
+        ),
+    ]
+    for mtype, cfg in itertools.product(shapes, configs):
+        msgs = random_messages(mtype, 25, seed=42)
+        rows = messages_to_rows(msgs, mtype, cfg)
+        fast = compile_row_to_wire(mtype, cfg)
+        slow_build = message_builder(mtype, cfg)
+        for row in rows:
+            assert fast(row) == serialize(slow_build(row)), (
+                mtype.full_name,
+                cfg,
+            )
+
+
+def test_compiled_wire_encoder_oneof_single_member() -> None:
+    from protarrow_spark.conversion.decode import message_builder
+    from protarrow_spark.conversion.distributed import compile_row_to_wire
+    from protarrow_spark.proto.message import parse, serialize
+    from protarrow_spark.proto.model import Field, Kind
+
+    mt = MessageType(
+        "t.OneofWire",
+        (
+            Field("id", 1, Kind.INT64),
+            Field("a", 2, Kind.STRING, oneof="p"),
+            Field("b", 3, Kind.INT64, oneof="p"),
+        ),
+    )
+    fast = compile_row_to_wire(mt, CFG)
+    build = message_builder(mt, CFG)
+    for row in [(7, "x", None), (7, None, 9), (7, None, None)]:
+        assert fast(row) == serialize(build(row))
+    # invalid double-set row: wire bytes differ (documented), but the
+    # PARSED result is identical (last member wins on both paths)
+    double = (7, "x", 9)
+    assert parse(fast(double), mt) == parse(serialize(build(double)), mt)
+
+
+def test_compiled_wire_decoder_matches_message_path() -> None:
+    """wire -> compile_wire_to_row must equal row_builder(parse(wire))
+    for every shape x config, including wire-level merge semantics."""
+    import itertools
+
+    from protarrow_spark.conversion.distributed import compile_wire_to_row
+    from protarrow_spark.proto.message import serialize
+    from tests.random_messages import random_messages
+
+    shapes = [fixtures.EXAMPLE, fixtures.NESTED_EXAMPLE]
+    configs = [
+        ProtarrowSparkConfig(),
+        ProtarrowSparkConfig(enum_type="string", uint64_type="long"),
+        ProtarrowSparkConfig(
+            timestamp_type="long_nanos", duration_type="long_nanos",
+            map_as_list=True,
+        ),
+    ]
+    for mtype, cfg in itertools.product(shapes, configs):
+        fast = compile_wire_to_row(mtype, cfg)
+        slow = row_builder(mtype, cfg)
+        wires = [serialize(m) for m in random_messages(mtype, 25, seed=7)]
+        for wire in wires:
+            assert fast(wire) == slow(parse(wire, mtype)), (
+                mtype.full_name,
+                cfg,
+            )
+        # concatenated serializations exercise the merge rules
+        # (scalars last-wins, messages merge, repeated/map append)
+        for a, b in zip(wires[:-1], wires[1:]):
+            assert fast(a + b) == slow(parse(a + b, mtype))
+
+
+def test_compiled_wire_decoder_expanded_repeated_and_unknown() -> None:
+    from protarrow_spark.conversion.distributed import compile_wire_to_row
+    from protarrow_spark.proto.message import serialize
+    from protarrow_spark.proto.model import Field, Kind
+
+    mt = MessageType(
+        "t.RepWire",
+        (Field("xs", 1, Kind.INT64, repeated=True), Field("s", 2, Kind.STRING)),
+    )
+    fast = compile_wire_to_row(mt, CFG)
+    # expanded (unpacked) encoding: one varint tag per element — the
+    # decoder must accept it like the Message path does
+    donor = MessageType(
+        "t.Donor",
+        (
+            Field("x", 1, Kind.INT64),
+            Field("s", 2, Kind.STRING),
+            Field("junk", 9, Kind.STRING),  # unknown to RepWire
+        ),
+    )
+    wire = (
+        serialize(Message(donor, x=4, junk="skip me"))
+        + serialize(Message(donor, x=5, s="keep"))
+    )
+    assert fast(wire) == row_builder(mt, CFG)(parse(wire, mt))
+    assert fast(wire) == ([4, 5], "keep")
+
+
+def test_compiled_wire_decoder_oneof_last_wins() -> None:
+    from protarrow_spark.conversion.distributed import (
+        compile_row_to_wire,
+        compile_wire_to_row,
+    )
+    from protarrow_spark.proto.model import Field, Kind
+
+    mt = MessageType(
+        "t.OneofWire2",
+        (
+            Field("id", 1, Kind.INT64),
+            Field("a", 2, Kind.STRING, oneof="p"),
+            Field("b", 3, Kind.INT64, oneof="p"),
+            Field("m", 4, Kind.MESSAGE, message=fixtures.NESTED, oneof="p"),
+        ),
+    )
+    enc = compile_row_to_wire(mt, CFG)
+    dec = compile_wire_to_row(mt, CFG)
+    slow = row_builder(mt, CFG)
+    w_a = enc((1, "x", None, None))
+    w_b = enc((1, None, 9, None))
+    w_m = enc((1, None, None, (3, "n")))
+    for wire in (w_a + w_b, w_b + w_m, w_m + w_a, w_a + w_m + w_b):
+        assert dec(wire) == slow(parse(wire, mt))
+    assert dec(w_a + w_b) == (1, None, 9, None)
+    assert dec(w_m + w_a) == (1, "x", None, None)
