@@ -77,6 +77,7 @@ HEADLINE = [
     "join_fuzzy_blocked",
     "sketch_hll_distinct",
     "graph_pagerank",
+    "graph_triangle_count",
     "score_quality_linear",
     "layout_compaction_bins",
     "mm_phash_dedup",
@@ -85,6 +86,8 @@ HEADLINE = [
     "mm_frame_dedup",
     "sql_revenue_by_nation",
     "text_bpe_train",
+    "text_bpe_encode",
+    "text_bm25_topk",
     "pairgen_contrastive_negatives",
     "order_curriculum_interleave",
     "mm_audio_fingerprint_match",

@@ -103,6 +103,131 @@ def dedup_clusters(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Per-node triangle counts (plus degree) over an undirected
+    graph — the local-clustering / community-density primitive of
+    graph-shaped corpus analysis (co-citation density, link-farm
+    detection, entity-graph quality scoring).
+
+    Algorithm: the degree-ordered node-iterator (compact-forward).
+    Each undirected edge is oriented from the (degree, id)-smaller
+    endpoint to the larger; a triangle {a, b, c} with
+    (a) < (b) < (c) in that total order is found EXACTLY ONCE as the
+    wedge a->b, a->c closed by the edge b->c. The orientation bounds
+    every node's forward degree by O(sqrt(m)) on any graph (a node
+    with forward degree f has f neighbors of degree >= its own, so
+    f^2 <= 2m) — the wedge join fan-out is O(m^1.5) worst case, the
+    best exact bound known, instead of the unbounded d^2 of a naive
+    neighbor self-join on hub nodes.
+
+    Shape: three equi-joins + one groupBy, all hash-partitioned on
+    node/edge keys; nothing graph-sized broadcast or collected, no
+    driver iteration. Counts are exact integers (order-invariant), so
+    a single-threaded SQL oracle reproduces them bit-for-bit.
+
+    Output: node, degree, triangles (both bigint; degree counts
+    distinct undirected neighbors).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    ab, ac = o.alias("ab"), o.alias("ac")
+    wedge = ab.join(
+        ac,
+        (F.col("ab.a") == F.col("ac.a"))
+        & (
+            (F.col("ab.db") < F.col("ac.db"))
+            | ((F.col("ab.db") == F.col("ac.db")) & (F.col("ab.b") < F.col("ac.b")))
+        ),
+    ).select(F.col("ab.a").alias("a"), F.col("ab.b").alias("b"), F.col("ac.b").alias("c"))
+    tri = wedge.join(
+        o.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    counts = tri_nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    return deg.join(counts, "node", "left").select(
+        "node",
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB SQL reproducing ``triangle_counts`` exactly.
+    ``edges_sql`` must select columns (src, dst)."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS db
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT ab.a AS a, ab.b AS b, ac.b AS c
+  FROM o ab
+  JOIN o ac ON ab.a = ac.a
+           AND (ab.db < ac.db OR (ab.db = ac.db AND ab.b < ac.b))
+  JOIN o bc ON bc.a = ab.b AND bc.b = ac.b
+),
+tn AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, COUNT(*) AS triangles FROM tn GROUP BY node)
+SELECT deg.node AS node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles
+FROM deg LEFT JOIN tc ON tc.node = deg.node
+"""
+
+
 #: PageRank fixed-point scale: ranks are integers in units of 1e-12.
 PAGERANK_SCALE = 10**12
 PAGERANK_DAMP_NUM = 85  # damping 0.85 as the rational 85/100

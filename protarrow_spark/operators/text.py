@@ -346,7 +346,65 @@ def repetition_stats(
 BPE_TRAIN_STEPS = 3
 
 
-def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEPS):
+def _greedy_rewrite(frame, top, keep_cols):
+    """Rewrite ``frame.sym`` by the single merge rule in the 1-row
+    ``top`` frame (broadcast): the GREEDY non-overlapping left-to-
+    right merge as a fold over the symbol array (``F.aggregate`` with
+    an (out, skip) accumulator). ``keep_cols`` pass through unchanged.
+
+    __arr is materialized as a column: element_at(split(...), i)
+    inside the fold would re-split the symbol once per position
+    (interpreted HOFs skip CSE; see winnow_fingerprints)."""
+    import pyspark.sql.functions as F
+
+    joined = frame.crossJoin(
+        F.broadcast(
+            top.select(
+                F.split(F.col("pair"), " ")[0].alias("__pa"),
+                F.split(F.col("pair"), " ")[1].alias("__pb"),
+            )
+        )
+    ).withColumn("__arr", F.split(F.col("sym"), " "))
+    fold_arr = F.col("__arr")
+    fold_n = F.size(fold_arr)
+    pa, pb = F.col("__pa"), F.col("__pb")
+    merged_sym = F.concat(pa, pb)
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+
+    def fold_step(acc, i):
+        cur = F.element_at(fold_arr, i)
+        nxt = F.try_element_at(fold_arr, i + 1)
+        do_merge = (~acc.skip) & (cur == pa) & nxt.isNotNull() & (nxt == pb)
+        out_merge = F.struct(
+            F.concat(acc.out, F.array(merged_sym)).alias("out"),
+            F.lit(True).alias("skip"),
+        )
+        out_keep = F.struct(
+            F.concat(acc.out, F.array(cur)).alias("out"),
+            F.lit(False).alias("skip"),
+        )
+        out_skip = F.struct(acc.out.alias("out"), F.lit(False).alias("skip"))
+        return F.when(acc.skip, out_skip).when(do_merge, out_merge).otherwise(out_keep)
+
+    new_sym = F.aggregate(
+        F.sequence(F.lit(1), fold_n),
+        zero,
+        fold_step,
+        lambda acc: F.concat_ws(" ", acc.out),
+    )
+    return joined.select(*[F.col(c) for c in keep_cols], new_sym.alias("sym"))
+
+
+def bpe_train_merges(
+    df,
+    id_col: str,
+    text_col: str,
+    steps: int = BPE_TRAIN_STEPS,
+    with_vocab_map: bool = False,
+):
     """Learn ``steps`` BPE merge rules from the corpus — the tokenizer-
     TRAINING loop (Sennrich 2016) expressed declaratively: each step
     counts adjacent-symbol pairs over the distinct-word vocabulary
@@ -373,6 +431,12 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
     connected_components does).
 
     Output: step (int), pair ('x y'), merged ('xy'), pair_count.
+    With ``with_vocab_map=True``, ALSO carries the distinct-word ->
+    current-symbol-string mapping through every rewrite and returns
+    the pair (merges, vocab_map(w, sym)) — the trained TOKENIZER as a
+    joinable dimension (see text_bpe_encode). The map is
+    vocabulary-sized state, same as the trainer's own; each step adds
+    one more fold pass over it, nothing corpus-sized.
     """
     import pyspark.sql.functions as F
 
@@ -390,6 +454,13 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
         )
         .groupBy("sym")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+    vmap = (
+        toks.select("w")
+        .distinct()
+        .select("w", F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sym"))
+        if with_vocab_map
+        else None
     )
     merges = None
     for step_no in range(1, steps + 1):
@@ -414,50 +485,11 @@ def bpe_train_merges(df, id_col: str, text_col: str, steps: int = BPE_TRAIN_STEP
         )
         merges = rule if merges is None else merges.unionByName(rule)
 
-        # __arr materialized as a column: element_at(split(...), i)
-        # inside the fold would re-split the symbol once per position
-        # (interpreted HOFs skip CSE; see winnow_fingerprints).
-        joined = words.crossJoin(
-            F.broadcast(
-                top.select(
-                    F.split(F.col("pair"), " ")[0].alias("__pa"),
-                    F.split(F.col("pair"), " ")[1].alias("__pb"),
-                )
-            )
-        ).withColumn("__arr", F.split(F.col("sym"), " "))
-        fold_arr = F.col("__arr")
-        fold_n = F.size(fold_arr)
-        pa, pb = F.col("__pa"), F.col("__pb")
-        merged_sym = F.concat(pa, pb)
-        zero = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(False).alias("skip"),
-        )
-
-        def fold_step(acc, i):
-            cur = F.element_at(fold_arr, i)
-            nxt = F.try_element_at(fold_arr, i + 1)
-            do_merge = (~acc.skip) & (cur == pa) & nxt.isNotNull() & (nxt == pb)
-            out_merge = F.struct(
-                F.concat(acc.out, F.array(merged_sym)).alias("out"),
-                F.lit(True).alias("skip"),
-            )
-            out_keep = F.struct(
-                F.concat(acc.out, F.array(cur)).alias("out"),
-                F.lit(False).alias("skip"),
-            )
-            out_skip = F.struct(acc.out.alias("out"), F.lit(False).alias("skip"))
-            return F.when(acc.skip, out_skip).when(do_merge, out_merge).otherwise(out_keep)
-
-        new_sym = F.aggregate(
-            F.sequence(F.lit(1), fold_n),
-            zero,
-            fold_step,
-            lambda acc: F.concat_ws(" ", acc.out),
-        )
         words = (
-            joined.select(F.col("cnt"), new_sym.alias("sym"))
+            _greedy_rewrite(words, top, ["cnt"])
             .groupBy("sym")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    return merges
+        if vmap is not None:
+            vmap = _greedy_rewrite(vmap, top, ["w"])
+    return (merges, vmap) if with_vocab_map else merges

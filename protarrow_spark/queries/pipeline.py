@@ -730,6 +730,113 @@ def text_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_bm25_topk — lexical retrieval ranking (BM25, fixed-point exact)
+# ---------------------------------------------------------------------------
+
+#: Fixed query-term set (broadcastable literal — the "search query").
+BM25_TERMS = ("dup", "vector", "window")
+BM25_TOPK = 10
+#: Fixed-point scales. k1 = 6/5, b = 3/4 are folded into the integer
+#: closed form below; see the docstring for the derivation.
+BM25_TF_SCALE = 10**6
+BM25_IDF_SCALE = 10**4
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl),
+tfm AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tfm GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         ((2 * (s.n_docs - f.df) + 1) * {BM25_IDF_SCALE}) // (2 * f.df + 1)
+         * ((22 * s.total_toks * t.tf * {BM25_TF_SCALE})
+            // (10 * s.total_toks * t.tf + 3 * s.total_toks
+                + 9 * s.n_docs * d.dl)) AS term_score
+  FROM tfm t
+  JOIN dfreq f USING (tok)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(term_score) AS BIGINT) AS score_fp
+FROM scored
+GROUP BY doc_id
+ORDER BY score_fp DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: rank documents for a fixed query-term
+    set — the classic sparse-retrieval side of a RAG / data-curation
+    stack next to the dense ANN family.
+
+    All arithmetic is integer fixed-point so the ranking is bit-exact
+    on any engine/partitioning. With k1 = 6/5, b = 3/4, avgdl = T/N
+    (T = corpus tokens, N = docs), the per-term BM25 tf factor
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplies out to the
+    integer rational 22*T*tf / (10*T*tf + 3*T + 9*N*dl), taken at
+    1e6 fixed point. The idf is the Robertson odds ratio itself,
+    (N - df + 1/2)/(df + 1/2) at 1e4 fixed point, used WITHOUT the
+    log — exact rational instead of libm ln(), monotone in the same
+    quantity (term ORDER is preserved; cross-term mixing weights
+    differ from log-BM25, which matters only when terms have wildly
+    different idf — swap in ln() where bit-exactness isn't needed).
+    int64 headroom: the largest intermediate is 22*T*tf*1e6 — fine
+    through ~1e9-token corpora per partition-independent value; at
+    100 TB move the two div numerators to decimal(38,0) (same plan).
+
+    Scale: term filter is pushed into the token scan (only query-term
+    postings survive), df/tf are partial-aggregated groupBys, doc
+    length joins co-partitioned on doc_id, the 2-scalar stats row and
+    the term-df dimension broadcast; top-k is TakeOrderedAndProject
+    (map-side k rows per partition, no global sort)."""
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tfm = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tfm.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    term_score = F.expr(
+        f"((2 * (n_docs - df) + 1) * {BM25_IDF_SCALE}) div (2 * df + 1)"
+        f" * ((22 * total_toks * tf * {BM25_TF_SCALE}L)"
+        f" div (10 * total_toks * tf + 3 * total_toks + 9 * n_docs * dl))"
+    )
+    return (
+        tfm.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("term_score").cast("long").alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_repetition_filter — Gopher/Dolma-style repetition quality
 # ---------------------------------------------------------------------------
 
@@ -1684,6 +1791,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph_triangle_count — exact per-node triangle counting
+# ---------------------------------------------------------------------------
+
+
+#: Minimum co-occurrence count for a part pair to become an edge.
+#: Support thresholding is how every real co-purchase/co-citation
+#: analysis separates relationships from coincidence — and it is also
+#: what keeps the graph sparse: one random shared order is noise, so
+#: without it edge count grows ~quadratically in order count while the
+#: support-2 graph tracks the RECURRING pair population.
+TRIANGLE_MIN_SUPPORT = 2
+
+
+def _triangle_oracle() -> str:
+    from protarrow_spark.operators.graph import triangle_counts_oracle_sql
+
+    edges = f"""
+SELECT a AS src, b AS dst FROM (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS c
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY a, b
+) WHERE c >= {TRIANGLE_MIN_SUPPORT}
+"""
+    return triangle_counts_oracle_sql(edges)
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph
+    (parts sharing an order are connected) — the local-density
+    primitive for graph-shaped corpus quality work (link-farm /
+    template-cluster detection in a crawl graph, co-citation density).
+
+    Edge generation is a lineitem self-join on l_orderkey: fan-out is
+    bounded by lines-per-order (TPC-H ~4, <= 7), so the pair stream is
+    a small constant times the fact table — never all-pairs — and the
+    support->=2 threshold (see TRIANGLE_MIN_SUPPORT) keeps the edge
+    set the recurring-pair population instead of a noise graph that
+    densifies quadratically with order count. Counting is the
+    degree-ordered node-iterator (operators/graph.py
+    triangle_counts): wedge fan-out bounded O(sqrt m) per node, exact
+    integer output, three equi-joins + one groupBy, nothing
+    graph-sized on the driver."""
+    from protarrow_spark.operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TRIANGLE_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    return triangle_counts(pairs, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
 # score_quality_linear — learned-classifier scoring (fastText-style)
 # ---------------------------------------------------------------------------
 
@@ -1711,12 +1881,14 @@ def score_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_train_oracle(steps: int = 3) -> str:
-    """Unrolled BPE-training oracle: per step, overlapping pair counts
-    pick the winner; the rewrite is the GREEDY non-overlapping merge
-    via gaps-and-islands windows (odd-ranked flags within runs of
-    consecutive matches merge, the following position is consumed) —
-    value-identical to the Spark fold."""
+def _bpe_ctes(steps: int = 3) -> list[str]:
+    """Shared CTE chain for the BPE oracles: per step, overlapping
+    pair counts pick the winner; the rewrite is the GREEDY
+    non-overlapping merge via gaps-and-islands windows (odd-ranked
+    flags within runs of consecutive matches merge, the following
+    position is consumed) — value-identical to the Spark fold. Emits
+    rw{k} (sym -> new_sym per step) and words{k} (re-aggregated
+    vocabulary) for each step."""
     ctes = [
         """toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)""",
         """vocab AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)""",
@@ -1767,22 +1939,59 @@ dec{k} AS (
                   OVER (PARTITION BY sym ORDER BY p), FALSE) AS consumed
   FROM rk{k}
 ),
+rw{k} AS (
+  SELECT sym, cnt,
+         string_agg(CASE WHEN m THEN (SELECT replace(pair, ' ', '') FROM top{k})
+                         WHEN consumed THEN NULL
+                         ELSE cur END, ' ' ORDER BY p) AS new_sym
+  FROM dec{k} GROUP BY sym, cnt
+),
 words{k} AS (
-  SELECT new_sym AS sym, SUM(cnt) AS cnt FROM (
-    SELECT sym, cnt,
-           string_agg(CASE WHEN m THEN (SELECT replace(pair, ' ', '') FROM top{k})
-                           WHEN consumed THEN NULL
-                           ELSE cur END, ' ' ORDER BY p) AS new_sym
-    FROM dec{k} GROUP BY sym, cnt
-  ) GROUP BY new_sym
+  SELECT new_sym AS sym, SUM(cnt) AS cnt FROM rw{k} GROUP BY new_sym
 )"""
         )
+    return ctes
+
+
+def _bpe_train_oracle(steps: int = 3) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
         f"CAST(pair_count AS BIGINT) AS pair_count FROM top{k}"
         for k in range(1, steps + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_ctes(steps)) + "\n" + finals
+
+
+def _bpe_encode_oracle(steps: int = 3) -> str:
+    """Train (same CTE chain as _bpe_train_oracle) THEN encode: chain
+    the per-step sym -> new_sym rewrite maps (rw{k}) into a distinct-
+    word -> final-symbol map and join it to the per-doc token stream."""
+    vm = [
+        r"""vm0 AS (
+  SELECT DISTINCT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym FROM toks
+)"""
+    ]
+    for k in range(1, steps + 1):
+        vm.append(
+            f"""vm{k} AS (
+  SELECT m.w, r.new_sym AS sym FROM vm{k - 1} m JOIN rw{k} r ON r.sym = m.sym
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(steps))
+        + ",\n"
+        + ",\n".join(vm)
+        + f""",
+dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(replace(vm.sym, ' ', ''))) AS BIGINT) AS n_chars,
+       CAST(SUM(len(string_split(vm.sym, ' '))) AS BIGINT) AS n_tokens
+FROM dtoks JOIN vm{steps} vm USING (w)
+GROUP BY doc_id
+"""
+    )
 
 
 @query("text_bpe_train", oracle=_bpe_train_oracle())
@@ -1797,6 +2006,41 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from protarrow_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of the tokenizer
+    loop: train the merge rules (same 3 unrolled steps as
+    text_bpe_train) and ENCODE every document with them, reporting
+    per-doc word/char/token counts under the learned vocabulary (the
+    token-budget accounting every training-data pipeline runs before
+    packing).
+
+    The trained tokenizer is the distinct-word -> final-symbol map
+    carried through the training rewrites (operators/text.py
+    bpe_train_merges with_vocab_map=True) — vocabulary-sized state,
+    joined to the corpus token stream as a dimension (AQE broadcasts
+    it at this scale; at 100 TB it is a plain equi-join on the word,
+    with the token stream's shuffle shared with the per-doc rollup).
+    All counts are exact integers."""
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from protarrow_spark.operators.text import bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents")
+    _, vmap = bpe_train_merges(docs, "doc_id", "text", with_vocab_map=True)
+    dtoks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
+    return (
+        dtoks.join(vmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length(F.replace(F.col("sym"), F.lit(" "), F.lit(""))))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.size(F.split(F.col("sym"), " "))).cast("long").alias("n_tokens"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

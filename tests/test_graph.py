@@ -19,6 +19,26 @@ def test_cc_chain_and_components(spark):
     assert comp[200] == comp[201] == 200
 
 
+def test_triangle_counts_known_graph(spark):
+    """K4 on {0..3} (4 triangles, 3 per node), one pendant node 4, and
+    a disjoint triangle-free path 10-11-12; duplicate/reversed edges
+    and a self-loop must not change counts."""
+    from protarrow_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = (
+        k4
+        + [(b, a) for a, b in k4]  # reversed duplicates
+        + [(3, 4), (10, 11), (11, 12), (7, 7)]  # pendant, path, self-loop
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_counts(df, "src", "dst").collect()}
+    assert got == {
+        0: (3, 3), 1: (3, 3), 2: (3, 3), 3: (4, 3), 4: (1, 0),
+        10: (1, 0), 11: (2, 0), 12: (1, 0),
+    }
+
+
 def test_dedup_clusters_includes_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     edges = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")

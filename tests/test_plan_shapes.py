@@ -172,6 +172,9 @@ BNLJ_BY_DESIGN = {
     "join_bloom_prefilter",
     # one-row merge-rule broadcast into the greedy-fold rewrite (x3 steps)
     "text_bpe_train",
+    # same 1-row rule broadcasts (training chain) + 1-row (N, T) stats row
+    "text_bpe_encode",
+    "text_bm25_topk",
     # k-row (k=2) negatives-per-anchor fan-out broadcast
     "pairgen_contrastive_negatives",
 }

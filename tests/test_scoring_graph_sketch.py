@@ -180,6 +180,21 @@ def test_bpe_train_learns_expected_rules(spark) -> None:
     assert rules[3]["pair"] == "ab c" and rules[3]["pair_count"] == 2
 
 
+def test_bpe_vocab_map_encodes_words(spark) -> None:
+    """with_vocab_map=True returns the word -> final-symbol dimension:
+    after the 3 merges above ('a b'->'ab', 'ab ab'->'abab',
+    'ab c'->'abc'), 'abab'->1 token, 'abc'->1, 'cc'->'c c' stays 2."""
+    from protarrow_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab abc cc")], ["doc_id", "text"]
+    )
+    merges, vmap = bpe_train_merges(docs, "doc_id", "text", with_vocab_map=True)
+    assert merges.count() == 3
+    got = {r["w"]: r["sym"] for r in vmap.collect()}
+    assert got == {"abab": "abab", "abc": "abc", "cc": "c c"}
+
+
 def test_bpe_train_deterministic_across_partitionings(spark) -> None:
     from protarrow_spark.operators.text import bpe_train_merges
 
