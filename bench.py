@@ -56,6 +56,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "ann_int8_topk",
+    "ann_mmr_select",
     "dedup_span_clean",
     "text_chunk_overlap",
     "text_pii_redact",
@@ -79,6 +80,7 @@ HEADLINE = [
     "graph_pagerank",
     "graph_triangle_count",
     "score_quality_linear",
+    "score_unigram_surprisal",
     "layout_compaction_bins",
     "mm_phash_dedup",
     "agg_mode_exact",

@@ -1043,6 +1043,78 @@ FROM ranked WHERE rank <= {TOPK_NEIGHBORS}
 """
 
 
+#: MMR selection size and (fixed) query vector id.
+MMR_K = 5
+MMR_QUERY_ID = 0
+
+
+def _mmr_oracle(k: int = MMR_K, query_id: int = MMR_QUERY_ID) -> str:
+    ctes = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
+        """s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+  FROM v
+)""",
+        """q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS q
+  FROM s
+)""",
+        f"""rel AS (
+  SELECT c.vec_id, c.q, list_inner_product(c.q, qv.q) AS rel
+  FROM q8 c, (SELECT q FROM q8 WHERE vec_id = {query_id}) qv
+  WHERE c.vec_id <> {query_id}
+)""",
+        """s1 AS (
+  SELECT 1 AS sel_order, vec_id, q, rel, 0.0 AS max_sim, rel AS mmr2
+  FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+)""",
+        """sel1 AS (SELECT * FROM s1)""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""m{t} AS (
+  SELECT r.vec_id, MAX(r.rel) AS rel,
+         MAX(list_inner_product(r.q, s.q)) AS max_sim
+  FROM rel r, sel{t - 1} s
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY r.vec_id
+),
+s{t} AS (
+  SELECT {t} AS sel_order, m.vec_id, q8.q, m.rel, m.max_sim,
+         m.rel - m.max_sim AS mmr2
+  FROM m{t} m JOIN q8 USING (vec_id)
+  ORDER BY mmr2 DESC, m.vec_id LIMIT 1
+),
+sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(sel_order AS BIGINT) AS sel_order, vec_id,
+       CAST(rel AS BIGINT) AS rel, CAST(max_sim AS BIGINT) AS max_sim,
+       CAST(mmr2 AS BIGINT) AS mmr2
+FROM sel{k}
+"""
+    )
+
+
+@query("ann_mmr_select", oracle=_mmr_oracle())
+def ann_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k: the re-ranking stage
+    between ANN retrieval and a RAG context window (or diverse
+    exemplar picking) — greedy, redundancy-penalized selection
+    (operators/similarity.py mmr_select_int8; integer dot products +
+    lambda=1/2 folded into the x2-scaled objective, so every greedy
+    choice is value-exact against the unrolled-CTE oracle)."""
+    return similarity.mmr_select_int8(
+        table(spark, sf_dir, "embeddings"), k=MMR_K, query_id=MMR_QUERY_ID
+    )
+
+
 @query("ann_int8_topk", oracle=_int8_oracle())
 def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search over int8-quantized embeddings
@@ -1854,6 +1926,82 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# score_unigram_surprisal — LM-perplexity-style quality scoring, exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "score_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT SUM(tf) AS t_total FROM uni),
+bits AS (
+  SELECT tok, CAST(length(bin(t_total // tf)) - 1 AS BIGINT) AS bits
+  FROM uni CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS avg_millibits
+FROM toks JOIN bits USING (tok)
+GROUP BY doc_id
+""",
+)
+def score_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the model-free core of
+    perplexity-based quality filtering (CCNet-style): a document whose
+    tokens are all corpus-common carries few bits/token (templated,
+    boilerplate), one full of rare tokens carries many (noisy, OCR
+    garbage); curation keeps the middle band.
+
+    Exactness: per-token self-information is the INTEGER bit count
+    floor(log2(T / tf)) = length(bin(T div tf)) - 1 — for a >= b > 0,
+    floor(a/b) >= 2^k iff a/b >= 2^k (2^k is an integer), so the
+    integer-division form equals floor(log2 of the true ratio) with
+    no libm and no float rounding anywhere; both engines' bin() agree
+    on every bigint. Sums of integer bits are order-invariant, so the
+    gate is hash-exact.
+
+    Scale: one partial-aggregated groupBy builds the vocabulary-sized
+    unigram table; the 1-row corpus total and the unigram dimension
+    broadcast back onto the token stream (the stream itself never
+    shuffles for the join — only the per-doc rollup keys on doc_id).
+    """
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    tot = uni.agg(F.sum("tf").alias("t_total"))
+    bits = (
+        uni.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            (F.length(F.bin(F.expr("t_total div tf"))) - 1)
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(bits), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_bits",
+            F.expr("(total_bits * 1000) div n_tokens").cast("long").alias("avg_millibits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # score_quality_linear — learned-classifier scoring (fastText-style)
 # ---------------------------------------------------------------------------
 
@@ -2199,8 +2347,14 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=JACCARD_N,
         # same vocab-dense assertion as dedup_ngram_jaccard: the
         # synthetic corpus is template text, so take the blocked
-        # matmul path (86.8s -> ~1s at sf0.1 vs the sparse join)
+        # matmul path (86.8s -> ~1s at sf0.1 vs the sparse join).
+        # block_size 1024 (not the 2048 default): this query's output
+        # is pair-quadratic on the template corpus (~10M pairs at
+        # sf0.1), so more/smaller block pairs spread the emit cost
+        # across cores instead of straggling on 6 giant cogroups
+        # (measured 5.1s -> 3.1s at sf0.1 on local[32]).
         dense_vocab_cap=4096,
+        block_size=1024,
     ).withColumn("n_common", F.col("n_common").cast("long"))
 
 

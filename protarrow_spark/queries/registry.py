@@ -64,7 +64,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ann_ivf_topk, q3_shipping_priority, q6_revenue_forecast,
 #: agg_percentile_disc, window_topk_per_segment,
 #: set_union_priority_keys, scalar_json_extract (all gate-green in
-#: CORRECTNESS_r04).
+#: CORRECTNESS_r04); late-r5, five MORE r4-green entries rotate out
+#: (dedup_minhash_lsh, sketch_cms_heavy_hitters, pivot_event_matrix,
+#: window_sessionize, score_quality_linear) so the five operators NEW
+#: this round — graph_triangle_count, text_bm25_topk,
+#: text_bpe_encode, ann_mmr_select, score_unigram_surprisal — get
+#: driver verification on their first appearance.
 GRADED_FIRST = [
     # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
@@ -82,7 +87,7 @@ GRADED_FIRST = [
     # candidates->exact-verify pipelines take the graded slots)
     "dedup_exact",
     "dedup_incremental_lsh",
-    "dedup_minhash_lsh",
+    "graph_triangle_count",
     "dedup_lsh_verified",
     "dedup_embedding_lsh_banded",
     # cluster collapse: graph_pagerank (below) covers the iterative
@@ -109,7 +114,7 @@ GRADED_FIRST = [
     "ann_lsh_banded_topk",
     # sketches (r5: KMV set algebra + equi-depth histogram quantiles)
     "sketch_kmv_set_ops",
-    "sketch_cms_heavy_hitters",
+    "text_bm25_topk",
     "sketch_histogram_quantiles",
     # embedding dimensionality reduction (sparse JL transform)
     "embed_random_projection",
@@ -129,16 +134,16 @@ GRADED_FIRST = [
     "join_salted_skew",
     # window variants (r5: RANGE-frame time window)
     "window_time_range_sum",
-    "window_sessionize",
+    "ann_mmr_select",
     # data layout
     "layout_zorder_lineitem",
     # model-scoring inference + iterative exact graph algorithm
-    "score_quality_linear",
+    "score_unigram_surprisal",
     "graph_pagerank",
     # sort / pivot / table maintenance (r5: SCD2 history build)
     "sort_topk_lineitems",
     "table_scd2_history",
-    "pivot_event_matrix",
+    "text_bpe_encode",
     # structured streaming (oracle-gated + one stateful rows-only;
     # the hll sketch query subsumes the watermarked tumbling-window
     # shape and adds sketch-state streaming — plain window counts

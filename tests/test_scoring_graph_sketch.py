@@ -157,6 +157,32 @@ def test_compaction_bins_invariants(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
+def test_mmr_trades_relevance_for_diversity(spark) -> None:
+    """Query = e1 axis. Candidates: two near-duplicates of the query
+    (ids 1, 2), one orthogonal vector (id 3). Pure relevance ranks
+    {1, 2} first, but MMR must pick the orthogonal 3 at step 2: after
+    selecting 1, candidate 2's max_sim wipes out its relevance while
+    3's is 0."""
+    from protarrow_spark.operators.similarity import mmr_select_int8
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # the query vector
+        (1, [1.0, 0.1, 0.0]),   # near-dup pair: more similar to each
+        (2, [1.0, 0.12, 0.0]),  # other than to the query (mmr2 < 0)
+        (3, [0.0, 0.0, 1.0]),   # orthogonal (mmr2 = 0)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["sel_order"]: r
+        for r in mmr_select_int8(df, k=3, query_id=0).collect()
+    }
+    assert got[1]["vec_id"] == 1 and got[1]["max_sim"] == 0
+    assert got[2]["vec_id"] == 3  # diversity beats the near-duplicate
+    assert got[3]["vec_id"] == 2
+    # per-step invariant: mmr2 = rel - max_sim, exact integers
+    assert all(r["mmr2"] == r["rel"] - r["max_sim"] for r in got.values())
+
+
 def test_bpe_train_learns_expected_rules(spark) -> None:
     from protarrow_spark.operators.text import bpe_train_merges
 
