@@ -69,7 +69,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: window_sessionize, score_quality_linear) so the five operators NEW
 #: this round — graph_triangle_count, text_bm25_topk,
 #: text_bpe_encode, ann_mmr_select, score_unigram_surprisal — get
-#: driver verification on their first appearance.
+#: driver verification on their first appearance; stream_session_windows
+#: (r4-green) likewise rotates out for the new stream_cms_topk.
 GRADED_FIRST = [
     # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
@@ -149,7 +150,7 @@ GRADED_FIRST = [
     # shape and adds sketch-state streaming — plain window counts
     # stay pytest-gated)
     "stream_hll_sketch",
-    "stream_session_windows",
+    "stream_cms_topk",
     "stream_interval_join",
     "stream_stateful_user_totals",
 ]

@@ -451,3 +451,148 @@ def stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = _run_to_memory(regs, "mem_stream_hll_sketch")
     return hll_finalize(state, ["win_start"])
+
+
+# ---------------------------------------------------------------------------
+# stream_cms_topk — streaming count-min sketch, per-window heavy hitters
+# ---------------------------------------------------------------------------
+
+STREAM_CMS_TOPN = 5
+
+
+def _stream_cms_oracle() -> str:
+    from protarrow_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_bucket_sql,
+    )
+
+    depth, width, topn = CMS_DEPTH, CMS_WIDTH, STREAM_CMS_TOPN
+    entries = "\nUNION ALL ".join(
+        f"SELECT date_trunc('hour', ts) AS win_start, {j} AS j, "
+        f"{_cms_bucket_sql('user_id', j, width)} AS bucket FROM events"
+        for j in range(depth)
+    )
+    probe_cols = ", ".join(
+        f"{_cms_bucket_sql('key', j, width)} AS b{j}" for j in range(depth)
+    )
+    joins = "\n".join(
+        f"JOIN sketch s{j} ON s{j}.win_start = p.win_start AND s{j}.j = {j}"
+        f" AND s{j}.bucket = p.b{j}"
+        for j in range(depth)
+    )
+    least = ", ".join(f"s{j}.c" for j in range(depth))
+    return f"""
+WITH entries AS ({entries}),
+sketch AS (SELECT win_start, j, bucket, COUNT(*) AS c FROM entries GROUP BY 1, 2, 3),
+candidates AS (
+  SELECT date_trunc('hour', ts) AS win_start, user_id AS key, COUNT(*) AS true_count
+  FROM events GROUP BY 1, 2
+),
+probes AS (SELECT win_start, key, true_count, {probe_cols} FROM candidates),
+est AS (
+  SELECT p.win_start, p.key, LEAST({least}) AS est_count, p.true_count
+  FROM probes p
+  {joins}
+),
+ranked AS (
+  SELECT win_start, key, est_count, true_count,
+         ROW_NUMBER() OVER (PARTITION BY win_start
+                            ORDER BY est_count DESC, key) AS rank
+  FROM est
+)
+SELECT win_start, key, CAST(est_count AS BIGINT) AS est_count,
+       CAST(true_count AS BIGINT) AS true_count, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topn}
+"""
+
+
+@query("stream_cms_topk", oracle=_stream_cms_oracle())
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: per-hour top-5 users by estimated
+    event count, where (as with stream_hll_sketch) the STREAMING
+    STATE IS THE SKETCH — the stateful aggregation keys on
+    (window, hash row, bucket) and folds with SUM, so in-flight state
+    per window is depth x width counters (4 x 256 small integers) no
+    matter how many events arrive; a streaming exact top-k would hold
+    every key. The heavy-hitter readout (min over the key's depth
+    buckets, per-window rank) runs as a batch probe over the completed
+    counter table, carrying the exact count alongside so the
+    over-estimate is measurable — identical semantics to the batch
+    sketch_cms_heavy_hitters (operators/sketches.py cms_heavy_hitters,
+    same md5 bucket family), and the oracle recomputes windows,
+    counters, and estimates bit-for-bit.
+
+    Scale: the shuffle keys on (window, j, bucket) — 1024-way uniform
+    within each window by construction; the watermark evicts window
+    state; counters from different streams merge by the same SUM.
+    """
+    from pyspark.sql import Window
+
+    from protarrow_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+    from protarrow_spark.sources.tables import table
+
+    ev = _stream_events(spark, sf_dir)
+    entries = (
+        ev.withWatermark("ts", "2 hours")
+        .select(
+            F.window("ts", "1 hour").alias("win"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_bucket(F.col("user_id"), j, CMS_WIDTH).alias("bucket"),
+                        )
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .groupBy("win", "e.j", "e.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win.start").alias("win_start"), "j", "bucket", "c")
+    )
+    # Materialize the completed counter table once — the readout
+    # probes it depth times (cms_heavy_hitters pattern).
+    sketch = _run_to_memory(entries, "mem_stream_cms_topk").localCheckpoint(eager=True)
+
+    cand = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("win_start"),
+            F.col("user_id").alias("key"),
+        )
+        .groupBy("win_start", "key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    probes = cand.select(
+        "win_start",
+        "key",
+        "true_count",
+        *[_cms_bucket(F.col("key"), j, CMS_WIDTH).alias(f"b{j}") for j in range(CMS_DEPTH)],
+    )
+    est = probes
+    for j in range(CMS_DEPTH):
+        row_j = sketch.filter(F.col("j") == j).select(
+            F.col("win_start"),
+            F.col("bucket").alias(f"b{j}"),
+            F.col("c").alias(f"c{j}"),
+        )
+        est = est.join(F.broadcast(row_j), ["win_start", f"b{j}"])
+    est_count = F.least(*[F.col(f"c{j}") for j in range(CMS_DEPTH)])
+    ranked = est.select(
+        "win_start", "key", est_count.alias("est_count"), "true_count"
+    )
+    w = Window.partitionBy("win_start").orderBy(F.desc("est_count"), F.asc("key"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= STREAM_CMS_TOPN)
+        .select(
+            "win_start",
+            "key",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("true_count").cast("long").alias("true_count"),
+            "rank",
+        )
+    )
