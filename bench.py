@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh_banded",
     "window_sessionize",
+    "window_gapfill_resample",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
     "text_token_bpe",
@@ -61,6 +62,7 @@ HEADLINE = [
     "text_chunk_overlap",
     "text_pii_redact",
     "sample_stratified_sources",
+    "sample_token_budget_mix",
     "sample_weighted_mix",
     "report_source_quality",
     "pipeline_training_corpus",
@@ -72,6 +74,7 @@ HEADLINE = [
     "text_oov_rate",
     "sketch_kmv_set_ops",
     "table_merge_upsert",
+    "table_incremental_rollup",
     "table_scd2_history",
     "window_funnel_stages",
     "agg_cohort_retention",

@@ -1435,6 +1435,111 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_token_budget_mix — budget-constrained mixture filling
+# ---------------------------------------------------------------------------
+
+#: Premium sources get 3x the per-source token quota.
+BUDGET_PREMIUM = ("src0", "src1", "src2")
+BUDGET_PREMIUM_W = 3
+#: Global budget = total corpus tokens div this.
+BUDGET_DIV = 2
+
+
+def _token_budget_oracle() -> str:
+    prem = ", ".join(f"'{s}'" for s in BUDGET_PREMIUM)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_t FROM documents
+),
+tot AS (SELECT SUM(n_t) AS t_total FROM d),
+srcw AS (
+  SELECT source,
+         CASE WHEN source IN ({prem}) THEN {BUDGET_PREMIUM_W} ELSE 1 END AS w
+  FROM (SELECT DISTINCT source FROM d)
+),
+wsum AS (SELECT SUM(w) AS w_total FROM srcw),
+quota AS (
+  SELECT source, ((t_total // {BUDGET_DIV}) * w) // w_total AS q
+  FROM srcw CROSS JOIN tot CROSS JOIN wsum
+),
+ordered AS (
+  SELECT d.source, d.n_t, quota.q,
+         SUM(d.n_t) OVER (
+           PARTITION BY d.source
+           ORDER BY md5('mix|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS cum
+  FROM d JOIN quota USING (source)
+),
+taken AS (SELECT * FROM ordered WHERE cum - n_t < q)
+SELECT source, CAST(MAX(q) AS BIGINT) AS quota,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_t) AS BIGINT) AS tokens_taken
+FROM taken
+GROUP BY source
+"""
+
+
+@query("sample_token_budget_mix", oracle=_token_budget_oracle())
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET mixture filling: the final step of a data-mixing
+    recipe — a global token budget (half the corpus here) is
+    apportioned across sources by weight (premium tier 3x), and each
+    source fills its quota with a deterministic md5-ordered greedy
+    scan (a doc is taken iff the tokens before it leave quota
+    unfilled, so each source overshoots by at most one document).
+    Complements the RATE (sample_weighted_mix) and per-stratum CAP
+    (sample_stratified_sources) mixers: budgets are what training
+    recipes actually specify ("300B tokens, 30% web, 3x books").
+
+    Scale: two scalar aggregates (corpus tokens, weight total) ride
+    as 1-row broadcasts; the greedy fill is one cumsum window per
+    source (single shuffle on the source key; salt-split giant
+    sources into sub-shards at 100 TB and take quota div n_shards per
+    shard); the per-source rollup reuses the same partitioning.
+
+    Output: source, quota, n_docs, tokens_taken.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_t")
+    )
+    tot = d.agg(F.sum("n_t").alias("t_total"))
+    srcw = d.select("source").distinct().select(
+        "source",
+        F.when(F.col("source").isin(*BUDGET_PREMIUM), F.lit(BUDGET_PREMIUM_W))
+        .otherwise(F.lit(1))
+        .alias("w"),
+    )
+    wsum = srcw.agg(F.sum("w").alias("w_total"))
+    quota = (
+        srcw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            F.expr(f"((t_total div {BUDGET_DIV}) * w) div w_total").alias("q"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ordered = (
+        d.join(F.broadcast(quota), "source")
+        .withColumn("cum", F.sum("n_t").over(w))
+    )
+    return (
+        ordered.filter(F.col("cum") - F.col("n_t") < F.col("q"))
+        .groupBy("source")
+        .agg(
+            F.max("q").cast("long").alias("quota"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_t").cast("long").alias("tokens_taken"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # report_source_quality — dataset-card rollup per source
 # ---------------------------------------------------------------------------
 

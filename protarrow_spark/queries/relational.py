@@ -998,6 +998,108 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Resample bucket width (seconds) — 15-minute grid.
+GAPFILL_STEP_S = 900
+
+
+@query(
+    "window_gapfill_resample",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '{GAPFILL_STEP_S} seconds', ts) AS bucket,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(27,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL '{GAPFILL_STEP_S} seconds')) AS bucket
+    FROM bounds
+  ) g
+),
+j AS (
+  SELECT grid.event_type, grid.bucket, b.n_events, b.v
+  FROM grid LEFT JOIN b USING (event_type, bucket)
+)
+SELECT event_type, bucket,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       n_events IS NULL AS is_gap,
+       CAST(last_value(v IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY bucket) AS DOUBLE)
+         AS carried_value
+FROM j
+""",
+)
+def window_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: events are bucketed
+    onto a regular 15-minute grid per event_type, EMPTY buckets are
+    materialized (the hypertable ``time_bucket_gapfill`` /
+    ``generate_series`` pattern), and the last observed bucket
+    aggregate is carried forward (``locf``) — the alignment step
+    every downstream time-series join/model expects.
+
+    Scale: the dense grid is generated, not stored — a sequence()
+    explode over the (types x 1-row bounds) dimension, never a scan;
+    the observed buckets partial-aggregate map-side before their one
+    shuffle; the forward fill is a per-type running ``last
+    IGNORE NULLS`` window co-partitioned with the grid join. Grid
+    size is types x (span/step) — independent of event volume.
+
+    Output: event_type, bucket, n_events, is_gap, carried_value.
+    """
+    from protarrow_spark.functions.time import epoch_micros
+
+    step_us = GAPFILL_STEP_S * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.withColumn("__eus", epoch_micros(F.col("ts")))
+        .groupBy(
+            "event_type",
+            F.expr(f"(__eus div {step_us}) * {step_us}").alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("v"),
+        )
+    )
+    bounds = b.agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(hi - lo) div {step_us}"))
+            ).alias("i"),
+            "lo",
+        )
+        .select(
+            "event_type", (F.col("lo") + F.col("i") * step_us).alias("bucket_us")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket_us"], "left")
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("bucket_us")).alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last("v", ignorenulls=True).over(w).cast("double").alias("carried_value"),
+        )
+    )
+
+
 @query(
     "window_time_range_sum",
     oracle="""
@@ -1287,6 +1389,55 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return apply_changes(o, ch, "o_orderkey")
+
+
+@query(
+    "table_incremental_rollup",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def table_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer
+    order-count/revenue rollup is maintained by MERGING the stored
+    view with the aggregate of a bounded delta (orders on/after
+    2001-01-01, ~9% here) — mv' = reagg(mv union agg(delta)) — rather
+    than recomputing over the full fact history. COUNT and decimal
+    SUM are self-mergeable partial aggregates, so the merged view is
+    bit-identical to the full recompute the oracle runs.
+
+    Scale: this is the aggregate-state counterpart of
+    table_merge_upsert's row-state CDC. The maintenance cost is
+    O(|view| + |delta|): the base FACTS are scanned only to stand in
+    for the stored view (at 100 TB the view is a written table and
+    the base scan disappears); the merge shuffles view-sized rows
+    (one per customer), never fact-sized, and the delta aggregate is
+    partial-aggregated map-side before it ever moves."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = "2001-01-01"
+    dec = F.col("o_totalprice").cast("decimal(27,4)")
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"), F.sum(dec).alias("revenue")
+        )
+
+    mv = rollup(o.filter(F.col("o_orderdate") < F.lit(split)))  # the "stored" view
+    delta = rollup(o.filter(F.col("o_orderdate") >= F.lit(split)))
+    return (
+        mv.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue").cast("double").alias("revenue"),
+        )
+    )
 
 
 @query(

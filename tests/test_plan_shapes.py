@@ -179,6 +179,11 @@ BNLJ_BY_DESIGN = {
     "ann_mmr_select",
     # 1-row corpus-total broadcast onto the unigram dimension
     "score_unigram_surprisal",
+    # 1-row corpus-total + 1-row weight-total broadcasts into the
+    # source-quota dimension
+    "sample_token_budget_mix",
+    # 1-row (lo, hi) grid-bounds broadcast into the type dimension
+    "window_gapfill_resample",
     # k-row (k=2) negatives-per-anchor fan-out broadcast
     "pairgen_contrastive_negatives",
 }
