@@ -132,6 +132,11 @@ def triangle_counts(
     Output: node, degree, triangles (both bigint; degree counts
     distinct undirected neighbors).
     """
+    # Materialize the canonical edge list ONCE (pagerank's barrier):
+    # deg, the orientation, and the wedge join all reference it, and
+    # without the barrier each reference re-plans the upstream edge
+    # generation — the plan audit showed 252 exchanges for the
+    # co-purchase query before these two checkpoints, 10 after.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -139,6 +144,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -157,7 +163,7 @@ def triangle_counts(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
     ab, ac = o.alias("ab"), o.alias("ac")
     wedge = ab.join(
         ac,
