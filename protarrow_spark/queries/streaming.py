@@ -596,3 +596,92 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_drift_l1 — per-window distribution-drift monitoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_drift_l1",
+    oracle="""
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (SELECT event_type, COUNT(*) AS gc FROM events GROUP BY 1),
+tw AS (SELECT win_start, SUM(c) AS t_w FROM w GROUP BY 1),
+tg AS (SELECT SUM(gc) AS t_g FROM g),
+terms AS (
+  SELECT w.win_start, ABS(w.c * tg.t_g - g.gc * tw.t_w) AS term
+  FROM w
+  JOIN g USING (event_type)
+  JOIN tw USING (win_start)
+  CROSS JOIN tg
+)
+SELECT t.win_start,
+       CAST(tw.t_w AS BIGINT) AS t_w,
+       CAST(SUM(t.term) AS BIGINT) AS l1_num,
+       CAST(SUM(t.term) AS DOUBLE) / (tw.t_w * tg.t_g) AS l1
+FROM terms t JOIN tw USING (win_start) CROSS JOIN tg
+GROUP BY t.win_start, tw.t_w, tg.t_g
+""",
+)
+def stream_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: each hour window's
+    event-type mix is compared against the corpus baseline by L1
+    distance — the alerting primitive of a production data-quality
+    monitor (schema stays valid while the MIX silently shifts: bot
+    floods, a source going dark, an upstream filter change).
+
+    The streaming state is the per-window type histogram (one SUM per
+    (window, type) — bounded by the type cardinality, watermark-
+    evicted). The drift readout is exact INTEGER arithmetic: with
+    window counts c_t (total T_w) and baseline counts g_t (total
+    T_g), L1 = sum_t |c_t*T_g - g_t*T_w| / (T_w*T_g) — the numerator
+    and both totals are order-invariant integers (one final IEEE
+    division), so the gate is hash-exact.
+
+    Scale: the stream shuffles on (window, type) with map-side
+    partials; the baseline is a type-cardinality dimension + 1-row
+    total, both broadcast; nothing window-unbounded is held.
+    """
+    from protarrow_spark.sources.tables import table
+
+    ev = _stream_events(spark, sf_dir)
+    w = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "c")
+    )
+    state = _run_to_memory(w, "mem_stream_drift_l1").localCheckpoint(eager=True)
+
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .localCheckpoint(eager=True)
+    )
+    tg = g.agg(F.sum("gc").alias("t_g"))
+    tw = state.groupBy("win_start").agg(F.sum("c").alias("t_w"))
+    return (
+        state.join(F.broadcast(g), "event_type")
+        .join(tw, "win_start")
+        .crossJoin(F.broadcast(tg))
+        .select(
+            "win_start",
+            "t_w",
+            "t_g",
+            F.abs(F.col("c") * F.col("t_g") - F.col("gc") * F.col("t_w")).alias("term"),
+        )
+        .groupBy("win_start", "t_w", "t_g")
+        .agg(F.sum("term").alias("l1_num"))
+        .select(
+            "win_start",
+            F.col("t_w").cast("long").alias("t_w"),
+            F.col("l1_num").cast("long").alias("l1_num"),
+            (F.col("l1_num").cast("double") / (F.col("t_w") * F.col("t_g"))).alias("l1"),
+        )
+    )
