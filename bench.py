@@ -70,6 +70,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "text_bpe_pair_counts",
     "embed_random_projection",
+    "embed_doc_meanpool",
     "text_novelty_score",
     "text_oov_rate",
     "sketch_kmv_set_ops",
@@ -107,6 +108,7 @@ HEADLINE = [
     "agg_linreg_exact",
     "report_vocab_gini",
     "dedup_lsh_verified",
+    "dedup_lsh_recall_report",
     "embed_feature_hash_chunks",
     "conv_oneof_roundtrip",
     "mm_image_features_bmp",

@@ -176,6 +176,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+#: True-Jaccard threshold used as ground truth for the recall report.
+LSH_RECALL_T = 0.5
+
+
+def _lsh_recall_oracle() -> str:
+    k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
+    rpb = k // bands
+    band_selects = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_toks_cte()},
+{_grams_cte(dedup.NGRAM_N)},
+dgh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g FROM dg
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dgh GROUP BY doc_id),
+rare AS (SELECT g FROM dgh GROUP BY g HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}),
+rdg AS (SELECT dgh.doc_id, dgh.g FROM dgh JOIN rare USING (g)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+        >= {LSH_RECALL_T}
+),
+{_sig_cte(k)},
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS candidate_precision
+"""
+
+
+@query("dedup_lsh_recall_report", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality report for the MinHash-LSH index: exact
+    3-gram Jaccard pairs at threshold 0.5 are the ground truth, LSH
+    band-bucket pairs are the candidates, and the output quantifies
+    their overlap — measured recall and candidate precision instead
+    of the textbook 1-(1-s^r)^b curve. This is the audit every
+    production dedup pipeline should ship next to its index (drift in
+    shingle statistics silently moves the operating point).
+
+    Scale: truth reuses the inverted-index exact pipeline (bounded by
+    the same hot-shingle cap), candidates the band equi-join; the
+    intersection joins two pair lists on their keys; three 1-row
+    count frames combine via broadcast. At 100 TB the truth side is
+    the expensive half — run the report on a hash-sampled stratum
+    (sample_hash_lineitem pattern) and the estimate carries over.
+
+    Output (1 row): n_truth, n_cand, n_hit, recall,
+    candidate_precision.
+    """
+    docs = table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=LSH_RECALL_T, n=dedup.NGRAM_N
+    ).select("doc_a", "doc_b")
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hit").cast("double") / F.col("n_cand")).alias(
+                "candidate_precision"
+            ),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"SUM({e}) AS s{i}" for i, e in enumerate(dedup.simhash_bit_exprs("d"))
@@ -2800,6 +2898,75 @@ SELECT doc_id, chunk_id,
        CAST({bucket} AS BIGINT) AS bucket
 FROM emb
 """
+
+
+def _meanpool_oracle() -> str:
+    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
+    sign = (
+        lambda j: f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
+    )
+    sums = ",\n         ".join(f"SUM({sign(j)}) AS emb_{j}" for j in range(FH_DIMS))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT t.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
+         array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text
+  FROM t, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
+),
+tok AS (
+  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS tok FROM c
+),
+emb AS (
+  SELECT doc_id, chunk_id,
+         {sums}
+  FROM tok GROUP BY doc_id, chunk_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       {", ".join(f"CAST(SUM(emb_{j}) AS BIGINT) AS sum_{j}" for j in range(FH_DIMS))},
+       {", ".join(f"CAST(SUM(emb_{j}) AS DOUBLE) / COUNT(*) AS mean_{j}" for j in range(FH_DIMS))}
+FROM emb
+GROUP BY doc_id
+"""
+
+
+@query("embed_doc_meanpool", oracle=_meanpool_oracle())
+def embed_doc_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level embedding by mean-pooling chunk embeddings — the
+    standard two-tier RAG representation (chunks for retrieval, a
+    pooled doc vector for coarse routing / dedup / clustering).
+    Integer chunk sums pool to integer doc sums (order-invariant; the
+    mean is one IEEE division per dim at the end), so the pooled
+    vectors are value-exact cross-engine — the property a float
+    model's pooled embeddings can never give a distributed gate.
+
+    Scale: a second partial-aggregated groupBy stacked on the chunk
+    embedding stage, keyed on doc_id — the chunk stream arrives
+    already partitioned by (doc, chunk) so AQE plans the rollup
+    without a second full shuffle of token data."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = text.chunk_sliding(spread(docs), "doc_id", "text")
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
+    )
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    def sign(j: int):
+        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
+        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    emb = toks.groupBy("doc_id", "chunk_id").agg(
+        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
+    )
+    return emb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        *[F.sum(f"emb_{j}").cast("long").alias(f"sum_{j}") for j in range(FH_DIMS)],
+        *[
+            (F.sum(f"emb_{j}").cast("double") / F.count(F.lit(1))).alias(f"mean_{j}")
+            for j in range(FH_DIMS)
+        ],
+    )
 
 
 @query("embed_feature_hash_chunks", oracle=_fh_oracle())

@@ -184,6 +184,8 @@ BNLJ_BY_DESIGN = {
     "sample_token_budget_mix",
     # 1-row (lo, hi) grid-bounds broadcast into the type dimension
     "window_gapfill_resample",
+    # three 1-row count frames combined for the report row
+    "dedup_lsh_recall_report",
     # k-row (k=2) negatives-per-anchor fan-out broadcast
     "pairgen_contrastive_negatives",
 }
