@@ -31,9 +31,11 @@ __version__ = "0.2.0"
 from protarrow_spark.config import ProtarrowSparkConfig
 from protarrow_spark.conversion import (
     MessageExtractor,
+    breaking_changes,
     cast_dataframe,
     dataframe_to_messages,
     decode_proto_bytes,
+    diff_contracts,
     encode_proto_bytes,
     messages_to_dataframe,
 )
@@ -47,7 +49,9 @@ __all__ = [
     "MessageExtractor",
     "ProtarrowSparkConfig",
     "adapt_descriptor",
+    "breaking_changes",
     "cast_dataframe",
+    "diff_contracts",
     "dataframe_to_messages",
     "decode_proto_bytes",
     "encode_proto_bytes",

@@ -18,9 +18,20 @@ Schema conformance:
 
 * :func:`cast_dataframe` — conform an arbitrary DataFrame to a proto
   schema with pure Catalyst expressions (reference ``cast_to_proto.py``).
+
+Schema evolution (preflight for the cast):
+
+* :func:`diff_contracts` / :func:`breaking_changes` — structural diff
+  between two contract versions, classified by the public protobuf
+  wire-compatibility rules (conversion/evolve.py).
 """
 
 from protarrow_spark.conversion.cast import cast_dataframe
+from protarrow_spark.conversion.evolve import (
+    SchemaChange,
+    breaking_changes,
+    diff_contracts,
+)
 from protarrow_spark.conversion.decode import (
     MessageExtractor,
     dataframe_to_messages,
@@ -40,6 +51,9 @@ from protarrow_spark.conversion.encode import (
 
 __all__ = [
     "MessageExtractor",
+    "SchemaChange",
+    "breaking_changes",
+    "diff_contracts",
     "cast_dataframe",
     "dataframe_to_messages",
     "decode_proto_bytes",
