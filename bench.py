@@ -66,6 +66,7 @@ HEADLINE = [
     "sample_weighted_mix",
     "report_source_quality",
     "pipeline_training_corpus",
+    "pipeline_rag_ingest",
     "mm_scene_cuts",
     "join_bloom_prefilter",
     "text_bpe_pair_counts",

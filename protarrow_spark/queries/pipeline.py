@@ -2900,6 +2900,101 @@ FROM emb
 """
 
 
+#: Quality floor for RAG ingest (matches text_quality's 'low' cut).
+RAG_QUALITY_MIN = 0.25
+
+
+def _rag_ingest_oracle() -> str:
+    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
+    stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    sign = (
+        lambda j: f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
+    )
+    sums = ",\n         ".join(f"SUM({sign(j)}) AS emb_{j}" for j in range(FH_DIMS))
+    bucket = " + ".join(
+        f"(CASE WHEN emb_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(FH_BUCKET_BITS)
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM q
+  WHERE (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+        * least(1.0, CAST(len(t) AS DOUBLE) / 50.0)
+        * (1.0 - CAST(len(list_filter(t, x -> list_contains([{stop_list}], x))) AS DOUBLE) / len(t))
+        >= {RAG_QUALITY_MIN}
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+c AS (
+  SELECT tk.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
+         array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text
+  FROM tk, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
+),
+tok AS (
+  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS tok FROM c
+),
+emb AS (
+  SELECT doc_id, chunk_id,
+         {sums}
+  FROM tok GROUP BY doc_id, chunk_id
+),
+bk AS (
+  SELECT doc_id, chunk_id, CAST({bucket} AS BIGINT) AS bucket FROM emb
+),
+stats AS (SELECT bucket, COUNT(*) AS n_in_bucket FROM bk GROUP BY bucket)
+SELECT bk.doc_id, bk.chunk_id, bk.bucket,
+       CAST(stats.n_in_bucket AS BIGINT) AS n_in_bucket
+FROM bk JOIN stats USING (bucket)
+"""
+
+
+@query("pipeline_rag_ingest", oracle=_rag_ingest_oracle())
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest as ONE Catalyst plan — the retrieval-side
+    counterpart of pipeline_training_corpus: quality-gate the corpus
+    (scan-stage filter, shared quality_expr so it cannot drift from
+    text_quality), slide-chunk the survivors (zero-shuffle explode),
+    feature-hash each chunk to an integer embedding (one partial-agg
+    groupBy), derive its sign-bucket index key, and annotate every
+    chunk with its index cell's occupancy (the coarse-quantizer load
+    statistic an ANN index build reports).
+
+    Scale: one uniform shuffle on (doc, chunk) for the embedding, one
+    bucket-cardinality aggregate broadcast back — the chunk stream
+    never moves twice; the whole pipeline composes in the scan
+    partitioning an embedding-model mapInPandas stage would reuse.
+
+    Output: doc_id, chunk_id, bucket, n_in_bucket.
+    """
+    docs = table(spark, sf_dir, "documents")
+    kept = spread(docs).filter(text.quality_expr("text") >= RAG_QUALITY_MIN)
+    chunks = text.chunk_sliding(kept, "doc_id", "text")
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
+    )
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    def sign(j: int):
+        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
+        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    emb = toks.groupBy("doc_id", "chunk_id").agg(
+        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
+    )
+    bucket = None
+    for j in range(FH_BUCKET_BITS):
+        b = F.when(F.col(f"emb_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = b if bucket is None else bucket + b
+    bk = emb.select("doc_id", "chunk_id", bucket.cast("long").alias("bucket"))
+    stats = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    return bk.join(F.broadcast(stats), "bucket").select(
+        "doc_id", "chunk_id", "bucket", F.col("n_in_bucket").cast("long").alias("n_in_bucket")
+    )
+
+
 def _meanpool_oracle() -> str:
     w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
     sign = (
