@@ -70,7 +70,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: this round — graph_triangle_count, text_bm25_topk,
 #: text_bpe_encode, ann_mmr_select, score_unigram_surprisal — get
 #: driver verification on their first appearance; stream_session_windows
-#: (r4-green) likewise rotates out for the new stream_cms_topk.
+#: (r4-green) likewise rotates out for the new stream_cms_topk, and
+#: q5_local_supplier_volume / join_broadcast_brand_revenue /
+#: agg_grouping_sets (all r4-green, family-redundant in-window) for
+#: the new window_gapfill_resample / pipeline_rag_ingest /
+#: table_incremental_rollup families.
 GRADED_FIRST = [
     # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
@@ -123,13 +127,13 @@ GRADED_FIRST = [
     # and the end-to-end corpus pipeline take two slots)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
+    "window_gapfill_resample",
     "pipeline_training_corpus",
     # aggregation variants (r5: exact OLS regression aggregate)
-    "agg_grouping_sets",
+    "table_incremental_rollup",
     "agg_linreg_exact",
     # join variants
-    "join_broadcast_brand_revenue",
+    "pipeline_rag_ingest",
     "join_range_bucketed",
     "join_asof_events",
     "join_salted_skew",
