@@ -86,6 +86,7 @@ HEADLINE = [
     "graph_triangle_count",
     "score_quality_linear",
     "score_unigram_surprisal",
+    "score_bigram_surprisal",
     "layout_compaction_bins",
     "mm_phash_dedup",
     "agg_mode_exact",

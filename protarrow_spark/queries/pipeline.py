@@ -2204,6 +2204,86 @@ def score_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "score_bigram_surprisal",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(arr) >= 2
+                THEN [arr[i] || chr(31) || arr[i + 1] for i in range(1, len(arr))]
+                ELSE [] END) AS b
+  FROM t
+),
+cb AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+cp AS (
+  SELECT string_split(b, chr(31))[1] AS w1, SUM(c2) AS c1
+  FROM cb GROUP BY 1
+),
+bits AS (
+  SELECT cb.b, CAST(length(bin(cp.c1 // cb.c2)) - 1 AS BIGINT) AS bits
+  FROM cb JOIN cp ON string_split(cb.b, chr(31))[1] = cp.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS avg_millibits
+FROM bg JOIN bits USING (b)
+GROUP BY doc_id
+""",
+)
+def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal — one rung up the LM-quality ladder from
+    score_unigram_surprisal: per-bigram conditional self-information
+    floor(log2(c(w1)/c(w1,w2))) in exact integer bits (bin-length, no
+    libm), summed per document. Fluent templated text scores low,
+    shuffled or noisy token streams high — the n-gram version of the
+    perplexity filter, still value-exact cross-engine.
+
+    Scale: the bigram stream is one per-doc LEAD window (shuffle on
+    doc_id); the bigram and prefix count dimensions are
+    vocabulary^2-bounded groupBys that broadcast back; the per-doc
+    rollup reuses the doc_id partitioning."""
+    from pyspark.sql import Window
+
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cp = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    bits = (
+        cb.join(F.broadcast(cp), "w1")
+        .select(
+            "w1",
+            "w2",
+            (F.length(F.bin(F.expr("c1 div c2"))) - 1).cast("long").alias("bits"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(bits), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            F.expr("(total_bits * 1000) div n_bigrams").cast("long").alias("avg_millibits"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # score_quality_linear — learned-classifier scoring (fastText-style)
 # ---------------------------------------------------------------------------
