@@ -39,6 +39,36 @@ def test_triangle_counts_known_graph(spark):
     }
 
 
+def test_triangle_counts_match_bruteforce_random_graph(spark):
+    """Degree-ordered node-iterator vs an O(n^3) adjacency-matrix
+    reference on a seeded random graph — exercises orientation ties,
+    hubs, and isolated-from-triangle nodes beyond the fixed fixture."""
+    import hashlib
+
+    import numpy as np
+
+    from protarrow_spark.operators.graph import triangle_counts
+
+    n = 40
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        # deterministic ~30% density via md5 (no RNG in tests)
+        if int(hashlib.md5(f"e|{a}|{b}".encode()).hexdigest()[:4], 16) % 10 < 3
+    ]
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        A[a, b] = A[b, a] = 1
+    tri_per_node = np.diag(A @ A @ A) // 2  # walks of length 3 back to self
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df, "src", "dst").collect()}
+    for node, t in got.items():
+        assert t == tri_per_node[node], node
+    # nodes absent from the edge list simply don't appear
+    assert set(got) == {a for e in edges for a in e}
+
+
 def test_dedup_clusters_includes_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     edges = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")

@@ -183,6 +183,54 @@ def test_mmr_trades_relevance_for_diversity(spark) -> None:
     assert all(r["mmr2"] == r["rel"] - r["max_sim"] for r in got.values())
 
 
+def test_mmr_matches_bruteforce_greedy(spark) -> None:
+    """mmr_select_int8 vs a numpy re-implementation of the identical
+    greedy on deterministic pseudo-random vectors — pins quantization,
+    tie-breaks, and the max-over-selected fold beyond the tiny
+    fixture."""
+    import hashlib
+
+    import numpy as np
+
+    def vec(i):
+        h = hashlib.md5(f"v|{i}".encode()).digest()
+        return [(b - 128) / 64.0 for b in h[:6]]
+
+    n, k, qid = 25, 6, 0
+    rows = [(i, vec(i)) for i in range(n)]
+    # reference: same quantization + greedy
+    Q = {}
+    for i, v in rows:
+        a = np.array(v)
+        s = max(np.abs(a).max(), 0.0) or 1.0
+        Q[i] = np.floor(a / s * 127 + 0.5).astype(np.int64)
+    rel = {i: int(Q[i] @ Q[qid]) for i in range(n) if i != qid}
+    sel, expect = [], []
+    for t in range(1, k + 1):
+        best = None
+        for i in sorted(rel):
+            if i in sel:
+                continue
+            ms = max((int(Q[i] @ Q[j]) for j in sel), default=0)
+            score = rel[i] - ms
+            if best is None or score > best[0]:
+                best = (score, i, ms)
+        sel.append(best[1])
+        expect.append((t, best[1], rel[best[1]], best[2], best[0]))
+
+    from protarrow_spark.operators.similarity import mmr_select_int8
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [
+        (r["sel_order"], r["vec_id"], r["rel"], r["max_sim"], r["mmr2"])
+        for r in sorted(
+            mmr_select_int8(df, k=k, query_id=qid).collect(),
+            key=lambda r: r["sel_order"],
+        )
+    ]
+    assert got == expect
+
+
 def test_bpe_train_learns_expected_rules(spark) -> None:
     from protarrow_spark.operators.text import bpe_train_merges
 
