@@ -89,6 +89,7 @@ HEADLINE = [
     "score_bigram_surprisal",
     "layout_compaction_bins",
     "mm_phash_dedup",
+    "mm_image_features_pgm",
     "agg_mode_exact",
     "join_scd2_asof",
     "mm_frame_dedup",

@@ -184,18 +184,70 @@ def decode_bmp_gray(data: bytes):
     return w, h, gray
 
 
+PGM_MAGIC = b"P5"
+
+
+def encode_pgm_gray(pixels) -> bytes:
+    """Grayscale (h, w) uint8 grid -> a GENUINE binary PGM (netpbm
+    'P5', maxval 255): ASCII header + raw raster, the public format,
+    no codec library. Canonical single-newline header form."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+
+def decode_pgm_gray(data: bytes):
+    """Parse a REAL binary PGM ('P5'): per the public netpbm spec the
+    header is three whitespace-separated tokens (width, height,
+    maxval) after the magic, with '#' comment lines allowed anywhere
+    in the header, followed by ONE whitespace byte and the raw
+    raster. Returns ``(width, height, gray)`` with ``gray`` row-major
+    uint8 (h, w); None when the blob is not a PGM; raises
+    ``NotImplementedError`` for maxval > 255 (16-bit rasters)."""
+    import numpy as np
+
+    if len(data) < 2 or data[:2] != PGM_MAGIC:
+        return None
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            return None
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment runs to end of line
+            while pos < len(data) and data[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte before the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError(f"16-bit PGM (maxval={maxval}) unsupported")
+    gray = np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(h, w)
+    return w, h, gray
+
+
 def decode_real_image(blob: bytes) -> dict:
-    """Real-codec dispatch: uncompressed BMP decodes natively
-    (:func:`decode_bmp_gray`); compressed formats (JPEG/PNG/WebP)
-    need an image library this environment doesn't ship — STUB."""
+    """Real-codec dispatch: uncompressed BMP and binary PGM decode
+    natively (:func:`decode_bmp_gray` / :func:`decode_pgm_gray`);
+    compressed formats (JPEG/PNG/WebP) need an image library this
+    environment doesn't ship — STUB."""
     decoded = decode_bmp_gray(blob)
+    if decoded is None:
+        decoded = decode_pgm_gray(blob)
     if decoded is not None:
         w, h, gray = decoded
         return {"width": w, "height": h, "gray": gray}
     raise NotImplementedError(
         "compressed image codecs (JPEG/PNG/...) are not available in "
-        "this environment; BMP decodes natively, or use the FIMG fake "
-        "format (decode_image_features)"
+        "this environment; BMP and PGM decode natively, or use the "
+        "FIMG fake format (decode_image_features)"
     )
 
 
@@ -206,11 +258,13 @@ def decode_image_features(
     width: int = FAKE_IMAGE_WIDTH,
 ) -> DataFrame:
     """Grayscale feature extraction over image blobs via an
-    Arrow-batched ``mapInPandas`` UDF. Two codecs dispatch by magic
+    Arrow-batched ``mapInPandas`` UDF. Three codecs dispatch by magic
     bytes: GENUINE uncompressed 24-bit BMP ('BM', parsed by
     :func:`decode_bmp_gray` — real header/stride/bottom-up handling,
-    integer luma) and the deterministic FIMG fake format. Compressed
-    formats would slot into :func:`decode_real_image`.
+    integer luma), GENUINE binary PGM ('P5',
+    :func:`decode_pgm_gray` — spec header with comments), and the
+    deterministic FIMG fake format. Compressed formats would slot
+    into :func:`decode_real_image`.
 
     Non-image blobs (no known magic) produce null features — they
     flow through the same schema so the operator is total. For BMPs
@@ -252,6 +306,9 @@ def decode_image_features(
                     emit(width, -(-len(px) // width), len(px), px)
                 elif data.startswith(BMP_MAGIC):
                     w, h, gray = decode_bmp_gray(data)
+                    emit(w, h, w * h, gray)
+                elif data.startswith(PGM_MAGIC):
+                    w, h, gray = decode_pgm_gray(data)
                     emit(w, h, w * h, gray)
                 else:
                     for k in ("width", "height", "n_pixels", "pixel_sum", "pixel_max"):

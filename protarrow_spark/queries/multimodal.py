@@ -202,6 +202,74 @@ def mm_image_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pgm_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): even ids become GENUINE binary
+    PGMs (pixels = utf-8 bytes of text, 16 wide, zero-padded, with a
+    header comment line to exercise spec parsing); odd ids stay raw
+    text bytes."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    h = max(1, -(-len(data) // _BMP_W))
+                    px = np.zeros(h * _BMP_W, dtype=np.uint8)
+                    px[: len(data)] = np.frombuffer(data, np.uint8)
+                    pgm = multimodal.encode_pgm_gray(px.reshape(h, _BMP_W))
+                    # splice a comment into the header: spec parsing,
+                    # not just our own canonical form
+                    pgm = pgm.replace(b"P5\n", b"P5\n# fixture\n", 1)
+                    blobs.append(pgm)
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_pgm",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_BMP_W} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_BMP_W} * GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over GENUINE binary PGM bytes — the third
+    real dependency-free codec (after BMP and WAV): the fixture
+    writes spec-conforming 'P5' files INCLUDING a header comment
+    line, and the operator's netpbm parser must tokenize the header
+    and recover every pixel byte-exactly (grayscale raster is the
+    identity on the source bytes, so the oracle pins pixels from the
+    source text). Non-PGM rows (odd ids) exercise the null path."""
+    return multimodal.decode_image_features(
+        _pgm_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 def _wav_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, blob): ids ≡ 1 (mod 4) become GENUINE
     RIFF/WAVE mono PCM16 files (sample_i = (byte_i - 128) * 256);

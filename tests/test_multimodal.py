@@ -189,6 +189,26 @@ def test_bmp_encode_decode_inverse_and_unsupported() -> None:
         multimodal.decode_bmp_gray(bytes(bad))
 
 
+def test_decode_golden_pgm_literal() -> None:
+    # hand-written spec file: comment line + multi-space separators
+    blob = b"P5\n# two by two\n2 2\n255\n" + bytes([0, 128, 255, 7])
+    w, h, gray = multimodal.decode_pgm_gray(blob)
+    assert (w, h) == (2, 2)
+    assert gray.tolist() == [[0, 128], [255, 7]]
+
+
+def test_pgm_encode_decode_inverse_and_unsupported() -> None:
+    import numpy as np
+
+    px = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    blob = multimodal.encode_pgm_gray(px)
+    w, h, gray = multimodal.decode_pgm_gray(blob)
+    assert (w, h) == (8, 5) and (gray == px).all()
+    assert multimodal.decode_pgm_gray(b"P6\n...") is None  # PPM, not PGM
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_pgm_gray(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
 # minimal RIFF/WAVE, mono PCM16, 3 samples [1000, -2, 32767]
 _GOLDEN_WAV = (
     b"RIFF" + (4 + 24 + 8 + 6 + 1).to_bytes(4, "little") + b"WAVE"
