@@ -63,6 +63,8 @@ HEADLINE = [
     "text_pii_redact",
     "sample_stratified_sources",
     "sample_token_budget_mix",
+    "sample_train_val_test",
+    "report_shard_manifest",
     "sample_weighted_mix",
     "report_source_quality",
     "pipeline_training_corpus",

@@ -1638,6 +1638,145 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# report_shard_manifest — provenance manifest with content digests
+# ---------------------------------------------------------------------------
+
+#: Documents per provenance shard (hash-assigned).
+MANIFEST_SHARDS = 8
+
+
+@query(
+    "report_shard_manifest",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS content_digest,
+         CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % {MANIFEST_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       md5(string_agg(content_digest, '' ORDER BY content_digest)) AS shard_digest
+FROM d
+GROUP BY shard
+""",
+)
+def report_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance manifest for a sharded corpus release: every doc
+    gets a content digest, shards are hash-assigned, and each shard's
+    identity is the digest of its SORTED member digests — a
+    Merkle-leaf root that is partitioning/order-invariant, so two
+    independently-produced copies of the same release verify byte-
+    equal manifests (the reproducibility receipt a dataset card
+    should carry, and the fast path for diffing two releases:
+    unchanged shard digest = skip).
+
+    Scale: one md5 per doc in the scan stage, one uniform shuffle on
+    the shard key, and the per-shard sort is shard-local (array_sort
+    over collected digests — shard size is a knob). Exact strings
+    everywhere; the gate is hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % MANIFEST_SHARDS
+    )
+    d = docs.select(
+        shard.alias("shard"),
+        "source",
+        F.md5(F.col("text")).alias("content_digest"),
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("content_digest")))
+            ).alias("shard_digest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_train_val_test — canonical reproducible 3-way split
+# ---------------------------------------------------------------------------
+
+#: Split thresholds over the 60-bit md5 key space: 80 / 10 / 10.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+
+
+@query(
+    "sample_train_val_test",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_t,
+         CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM d
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_t) AS BIGINT) AS n_tokens
+FROM s
+GROUP BY split, source
+""",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical reproducible train/val/test split (80/10/10): the
+    split is a pure function of the document id's md5 — stable across
+    reruns, partitionings, engines, and corpus growth (a doc never
+    migrates between splits when new data arrives, the property that
+    prevents silent eval contamination). Output is the per-(split,
+    source) doc/token accounting a dataset card reports.
+
+    Scale: split assignment is a scan-stage expression (zero
+    shuffles); only the rollup aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_t"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_t").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # report_source_quality — dataset-card rollup per source
 # ---------------------------------------------------------------------------
 
