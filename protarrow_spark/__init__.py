@@ -31,6 +31,7 @@ __version__ = "0.2.0"
 from protarrow_spark.config import ProtarrowSparkConfig
 from protarrow_spark.conversion import (
     MessageExtractor,
+    SchemaChange,
     breaking_changes,
     cast_dataframe,
     dataframe_to_messages,
@@ -47,6 +48,7 @@ from protarrow_spark.session import get_spark
 __all__ = [
     "Message",
     "MessageExtractor",
+    "SchemaChange",
     "ProtarrowSparkConfig",
     "adapt_descriptor",
     "breaking_changes",

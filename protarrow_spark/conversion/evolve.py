@@ -47,7 +47,7 @@ _COMPAT_GROUPS: tuple[frozenset[Kind], ...] = (
     frozenset({Kind.STRING, Kind.BYTES}),
     frozenset({Kind.FIXED32, Kind.SFIXED32}),
     frozenset({Kind.FIXED64, Kind.SFIXED64}),
-    frozenset({Kind.ENUM, Kind.INT32, Kind.INT64, Kind.UINT32}),
+    frozenset({Kind.ENUM, Kind.INT32, Kind.INT64, Kind.UINT32, Kind.UINT64}),
 )
 
 
@@ -140,7 +140,12 @@ def diff_contracts(
                     breaking=not compat,
                 )
             )
-        elif fo.kind is Kind.MESSAGE and fn.kind is Kind.MESSAGE and not fn.is_map:
+        elif fo.kind is Kind.MESSAGE and fn.kind is Kind.MESSAGE:
+            # Recurse into plain nested messages AND map entry
+            # messages alike — a map's key/value type change is a
+            # per-entry-field kind change (key=1 / value=2), and
+            # skipping it would let a wire-breaking map migration
+            # through the breaking_changes() gate.
             changes.extend(diff_contracts(fo.message, fn.message, path))
         elif fo.kind is Kind.ENUM:
             old_vals = dict(fo.enum.values)

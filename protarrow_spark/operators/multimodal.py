@@ -173,6 +173,8 @@ def decode_bmp_gray(data: bytes):
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
+    if off < 0 or w <= 0 or h == 0 or len(data) - off < stride * h:
+        return None  # 'BM'-prefixed but truncated/degenerate — null path
     raw = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
     rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
@@ -224,11 +226,19 @@ def decode_pgm_gray(data: bytes):
             start = pos
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
-            tokens.append(int(data[start:pos]))
+            tok = data[start:pos]
+            if not tok.isdigit():
+                # 'P5'-prefixed blob that is not actually a PGM (e.g.
+                # text starting with those bytes) — not ours, not an
+                # error: the operator's null path handles it.
+                return None
+            tokens.append(int(tok))
     pos += 1  # the single whitespace byte before the raster
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError(f"16-bit PGM (maxval={maxval}) unsupported")
+    if w <= 0 or h <= 0 or len(data) - pos < w * h:
+        return None  # truncated or degenerate raster
     gray = np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(h, w)
     return w, h, gray
 
@@ -304,12 +314,25 @@ def decode_image_features(
                         data, dtype=np.uint8, offset=len(FAKE_IMAGE_MAGIC)
                     )
                     emit(width, -(-len(px) // width), len(px), px)
-                elif data.startswith(BMP_MAGIC):
-                    w, h, gray = decode_bmp_gray(data)
-                    emit(w, h, w * h, gray)
-                elif data.startswith(PGM_MAGIC):
-                    w, h, gray = decode_pgm_gray(data)
-                    emit(w, h, w * h, gray)
+                elif data.startswith(BMP_MAGIC) or data.startswith(PGM_MAGIC):
+                    # The decoders return None for magic-prefixed
+                    # blobs that are not actually valid files (short
+                    # header, non-numeric tokens, truncated raster) —
+                    # those take the null path like any non-image, so
+                    # one bad blob cannot abort the whole stage.
+                    decoded = (
+                        decode_bmp_gray(data)
+                        if data.startswith(BMP_MAGIC)
+                        else decode_pgm_gray(data)
+                    )
+                    if decoded is None:
+                        for k in (
+                            "width", "height", "n_pixels", "pixel_sum", "pixel_max",
+                        ):
+                            out[k].append(None)
+                    else:
+                        w, h, gray = decoded
+                        emit(w, h, w * h, gray)
                 else:
                     for k in ("width", "height", "n_pixels", "pixel_sum", "pixel_max"):
                         out[k].append(None)

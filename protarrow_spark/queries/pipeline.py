@@ -1677,14 +1677,12 @@ def report_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     over collected digests — shard size is a knob). Exact strings
     everywhere; the gate is hash-exact."""
     docs = table(spark, sf_dir, "documents")
+    from protarrow_spark.operators.sketches import hex_to_long
+
     shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        hex_to_long(
+            F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 15
+        )
         % MANIFEST_SHARDS
     )
     d = docs.select(
@@ -1747,14 +1745,12 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: split assignment is a scan-stage expression (zero
     shuffles); only the rollup aggregates."""
     docs = table(spark, sf_dir, "documents")
+    from protarrow_spark.operators.sketches import hex_to_long
+
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        hex_to_long(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 15
+        )
         % 100
     )
     split = (
@@ -3085,21 +3081,28 @@ FH_DIMS = 8
 FH_BUCKET_BITS = 4
 
 
-def _fh_oracle() -> str:
-    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
-    sign = (
-        lambda j: f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
+def _fh_sign_sql(j: int) -> str:
+    """DuckDB ±1 hash sign for dimension j — the single source for
+    every feature-hash oracle (must stay bit-identical to _fh_embed's
+    Spark expression, the drift-prevention invariant of this
+    module)."""
+    return (
+        f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
         " THEN 1 ELSE -1 END)"
     )
-    sums = ",\n         ".join(
-        f"SUM({sign(j)}) AS emb_{j}" for j in range(FH_DIMS)
+
+
+def _fh_sums_sql() -> str:
+    return ",\n         ".join(
+        f"SUM({_fh_sign_sql(j)}) AS emb_{j}" for j in range(FH_DIMS)
     )
-    bucket = " + ".join(
-        f"(CASE WHEN emb_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(FH_BUCKET_BITS)
-    )
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-c AS (
+
+
+def _fh_chunk_ctes() -> str:
+    """Shared chunk -> token -> per-chunk-embedding CTE chain (source
+    relation must be aliased ``t`` with columns doc_id, toks)."""
+    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
+    return f"""c AS (
   SELECT t.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
          array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text
   FROM t, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
@@ -3109,9 +3112,46 @@ tok AS (
 ),
 emb AS (
   SELECT doc_id, chunk_id,
-         {sums}
+         {_fh_sums_sql()}
   FROM tok GROUP BY doc_id, chunk_id
-)
+)"""
+
+
+def _fh_embed(chunks: DataFrame) -> DataFrame:
+    """Spark side of the feature-hash embedding: (doc_id, chunk_id,
+    chunk_text) -> per-chunk integer embedding columns emb_0..emb_k.
+    One partial-aggregated groupBy; the md5 sign family mirrors
+    :func:`_fh_sign_sql` exactly."""
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
+    )
+
+    def sign(j: int):
+        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
+        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    return toks.groupBy("doc_id", "chunk_id").agg(
+        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
+    )
+
+
+def _fh_bucket_col():
+    bucket = None
+    for j in range(FH_BUCKET_BITS):
+        b = F.when(F.col(f"emb_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = b if bucket is None else bucket + b
+    return bucket.cast("long")
+
+
+def _fh_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN emb_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(FH_BUCKET_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+{_fh_chunk_ctes()}
 SELECT doc_id, chunk_id,
        {", ".join(f"CAST(emb_{j} AS BIGINT) AS emb_{j}" for j in range(FH_DIMS))},
        CAST({bucket} AS BIGINT) AS bucket
@@ -3124,13 +3164,7 @@ RAG_QUALITY_MIN = 0.25
 
 
 def _rag_ingest_oracle() -> str:
-    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
     stop_list = ", ".join(f"'{s}'" for s in text.STOPWORDS)
-    sign = (
-        lambda j: f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
-        " THEN 1 ELSE -1 END)"
-    )
-    sums = ",\n         ".join(f"SUM({sign(j)}) AS emb_{j}" for j in range(FH_DIMS))
     bucket = " + ".join(
         f"(CASE WHEN emb_{j} > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(FH_BUCKET_BITS)
@@ -3146,20 +3180,8 @@ kept AS (
         * (1.0 - CAST(len(list_filter(t, x -> list_contains([{stop_list}], x))) AS DOUBLE) / len(t))
         >= {RAG_QUALITY_MIN}
 ),
-tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
-c AS (
-  SELECT tk.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
-         array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text
-  FROM tk, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
-),
-tok AS (
-  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS tok FROM c
-),
-emb AS (
-  SELECT doc_id, chunk_id,
-         {sums}
-  FROM tok GROUP BY doc_id, chunk_id
-),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+{_fh_chunk_ctes()},
 bk AS (
   SELECT doc_id, chunk_id, CAST({bucket} AS BIGINT) AS bucket FROM emb
 ),
@@ -3190,24 +3212,8 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     kept = spread(docs).filter(text.quality_expr("text") >= RAG_QUALITY_MIN)
-    chunks = text.chunk_sliding(kept, "doc_id", "text")
-    toks = chunks.select(
-        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
-    )
-    from protarrow_spark.operators.sketches import hex_to_long
-
-    def sign(j: int):
-        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
-        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    emb = toks.groupBy("doc_id", "chunk_id").agg(
-        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
-    )
-    bucket = None
-    for j in range(FH_BUCKET_BITS):
-        b = F.when(F.col(f"emb_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = b if bucket is None else bucket + b
-    bk = emb.select("doc_id", "chunk_id", bucket.cast("long").alias("bucket"))
+    emb = _fh_embed(text.chunk_sliding(kept, "doc_id", "text"))
+    bk = emb.select("doc_id", "chunk_id", _fh_bucket_col().alias("bucket"))
     stats = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
     return bk.join(F.broadcast(stats), "bucket").select(
         "doc_id", "chunk_id", "bucket", F.col("n_in_bucket").cast("long").alias("n_in_bucket")
@@ -3215,27 +3221,9 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _meanpool_oracle() -> str:
-    w, st = text.CHUNK_WINDOW, text.CHUNK_STRIDE
-    sign = (
-        lambda j: f"(CASE WHEN CAST('0x' || substr(md5('fh{j}|' || tok), 1, 15) AS BIGINT) % 2 = 1"
-        " THEN 1 ELSE -1 END)"
-    )
-    sums = ",\n         ".join(f"SUM({sign(j)}) AS emb_{j}" for j in range(FH_DIMS))
     return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-c AS (
-  SELECT t.doc_id, CAST(gs.i AS BIGINT) AS chunk_id,
-         array_to_string(toks[CAST(gs.i*{st}+1 AS BIGINT):CAST(gs.i*{st}+{w} AS BIGINT)], ' ') AS chunk_text
-  FROM t, LATERAL unnest(range(0, (len(toks)-1)//{st} + 1)) AS gs(i)
-),
-tok AS (
-  SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS tok FROM c
-),
-emb AS (
-  SELECT doc_id, chunk_id,
-         {sums}
-  FROM tok GROUP BY doc_id, chunk_id
-)
+{_fh_chunk_ctes()}
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        {", ".join(f"CAST(SUM(emb_{j}) AS BIGINT) AS sum_{j}" for j in range(FH_DIMS))},
@@ -3260,19 +3248,7 @@ def embed_doc_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     already partitioned by (doc, chunk) so AQE plans the rollup
     without a second full shuffle of token data."""
     docs = table(spark, sf_dir, "documents")
-    chunks = text.chunk_sliding(spread(docs), "doc_id", "text")
-    toks = chunks.select(
-        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
-    )
-    from protarrow_spark.operators.sketches import hex_to_long
-
-    def sign(j: int):
-        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
-        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    emb = toks.groupBy("doc_id", "chunk_id").agg(
-        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
-    )
+    emb = _fh_embed(text.chunk_sliding(spread(docs), "doc_id", "text"))
     return emb.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         *[F.sum(f"emb_{j}").cast("long").alias(f"sum_{j}") for j in range(FH_DIMS)],
@@ -3298,26 +3274,10 @@ def embed_feature_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedder's mapInPandas stage would slot in (this is the
     deterministic stand-in with the identical dataflow)."""
     docs = table(spark, sf_dir, "documents")
-    chunks = text.chunk_sliding(spread(docs), "doc_id", "text")
-    toks = chunks.select(
-        "doc_id", "chunk_id", F.explode(F.split(F.col("chunk_text"), " ")).alias("tok")
-    )
-    from protarrow_spark.operators.sketches import hex_to_long
-
-    def sign(j: int):
-        h = hex_to_long(F.md5(F.concat(F.lit(f"fh{j}|"), F.col("tok"))), 15)
-        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-
-    emb = toks.groupBy("doc_id", "chunk_id").agg(
-        *[F.sum(sign(j)).alias(f"emb_{j}") for j in range(FH_DIMS)]
-    )
-    bucket = None
-    for j in range(FH_BUCKET_BITS):
-        b = F.when(F.col(f"emb_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = b if bucket is None else bucket + b
+    emb = _fh_embed(text.chunk_sliding(spread(docs), "doc_id", "text"))
     return emb.select(
         "doc_id",
         "chunk_id",
         *[F.col(f"emb_{j}").cast("long").alias(f"emb_{j}") for j in range(FH_DIMS)],
-        bucket.cast("long").alias("bucket"),
+        _fh_bucket_col().alias("bucket"),
     )

@@ -103,6 +103,44 @@ def test_nested_recursion_and_enum_values() -> None:
     assert breaking_changes(old, new) == []
 
 
+def test_map_value_type_change_is_breaking() -> None:
+    """Map fields recurse into their entry message: changing the
+    value kind across wire groups must fail the CI gate (LEN -> I32
+    misparses old bytes)."""
+
+    def map_entry(value_kind):
+        return MessageType(
+            "t.M.AttrsEntry",
+            (Field("key", 1, Kind.STRING), Field("value", 2, value_kind)),
+            map_entry=True,
+        )
+
+    old = _msg(
+        "t.M",
+        Field("attrs", 1, Kind.MESSAGE, repeated=True, message=map_entry(Kind.STRING)),
+    )
+    new = _msg(
+        "t.M",
+        Field("attrs", 1, Kind.MESSAGE, repeated=True, message=map_entry(Kind.FIXED32)),
+    )
+    broken = breaking_changes(old, new)
+    assert [c.path for c in broken] == ["attrs.value"]
+    # wire-compatible value widening stays non-breaking
+    assert breaking_changes(
+        _msg("t.M", Field("attrs", 1, Kind.MESSAGE, repeated=True,
+                          message=map_entry(Kind.INT32))),
+        _msg("t.M", Field("attrs", 1, Kind.MESSAGE, repeated=True,
+                          message=map_entry(Kind.INT64))),
+    ) == []
+
+
+def test_enum_to_uint64_not_breaking() -> None:
+    """The language guide's enum group includes uint64."""
+    old = _msg("t.M", Field("c", 1, Kind.ENUM, enum=COLOR_V1))
+    new = _msg("t.M", Field("c", 1, Kind.UINT64))
+    assert breaking_changes(old, new) == []
+
+
 def test_identical_contracts_diff_empty() -> None:
     m = _msg("t.M", Field("a", 1, Kind.INT64), Field("b", 2, Kind.STRING))
     assert diff_contracts(m, m) == []

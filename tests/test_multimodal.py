@@ -209,6 +209,23 @@ def test_pgm_encode_decode_inverse_and_unsupported() -> None:
         multimodal.decode_pgm_gray(b"P5\n2 2\n65535\n" + b"\x00" * 8)
 
 
+def test_magic_prefixed_garbage_takes_null_path() -> None:
+    """Blobs that merely START with a codec magic must decode to None
+    (the operator's null path), never raise — one bad blob must not
+    abort a whole mapInPandas stage."""
+    # 'P5'-prefixed text, non-numeric header token
+    assert multimodal.decode_pgm_gray(b"P5 is a codename, not a file") is None
+    # truncated raster (header promises 16 pixels, 2 present)
+    assert multimodal.decode_pgm_gray(b"P5\n4 4\n255\n\x00\x01") is None
+    # header runs off the end
+    assert multimodal.decode_pgm_gray(b"P5\n2 2\n255") is None
+    # 'BM'-prefixed but truncated BMP body
+    import numpy as np
+
+    blob = multimodal.encode_bmp_gray(np.zeros((4, 4), dtype=np.uint8))
+    assert multimodal.decode_bmp_gray(blob[: len(blob) - 10]) is None
+
+
 # minimal RIFF/WAVE, mono PCM16, 3 samples [1000, -2, 32767]
 _GOLDEN_WAV = (
     b"RIFF" + (4 + 24 + 8 + 6 + 1).to_bytes(4, "little") + b"WAVE"
