@@ -65,6 +65,7 @@ HEADLINE = [
     "sample_token_budget_mix",
     "sample_train_val_test",
     "report_shard_manifest",
+    "report_key_skew",
     "sample_weighted_mix",
     "report_source_quality",
     "pipeline_training_corpus",

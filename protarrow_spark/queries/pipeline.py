@@ -1638,6 +1638,77 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# report_key_skew — join-key skew diagnostic (salting decision input)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "report_key_skew",
+    oracle="""
+WITH c AS (SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk, COUNT(*) OVER () AS nk
+  FROM c
+)
+SELECT CAST(MAX(nk) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT) AS top1_count,
+       CAST(MAX(CASE WHEN rnk = 1 THEN cnt END) AS DOUBLE) / SUM(cnt) AS top1_share,
+       CAST(MAX(CASE WHEN rnk <= nk // 100 + 1 THEN cnt END) AS BIGINT)
+         AS p99_count,
+       CAST(SUM(cnt) AS DOUBLE) / MAX(nk) AS mean_count,
+       CAST(MAX(CASE WHEN rnk = 1 THEN cnt END) AS DOUBLE)
+         / (CAST(SUM(cnt) AS DOUBLE) / MAX(nk)) AS top1_over_mean
+FROM r
+""",
+)
+def report_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over lineitem.l_partkey — the report
+    a planner (or an engineer choosing between a plain, AQE-skew, or
+    salted join; see join_salted_skew) reads BEFORE shuffling 100 TB
+    on a hot key: distinct keys, top-1 key share, ~p99 per-key count,
+    and top-1-over-mean (the skew factor that decides the salt
+    width). All counts exact integers; two final divisions.
+
+    Scale: one partial-aggregated count per key, then a rank over the
+    KEY dimension (not the fact table) — the single-partition window
+    runs over n_keys rows, and for key spaces too large even for that,
+    the same report runs on a hash-sampled key stratum."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    r = c.select(
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+    )
+    agg = r.groupBy().agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max(F.when(F.col("rnk") == 1, F.col("cnt"))).cast("long").alias("top1_count"),
+        F.max(
+            F.when(F.expr("rnk <= nk div 100 + 1"), F.col("cnt"))
+        ).cast("long").alias("p99_count"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "top1_count",
+        (F.col("top1_count").cast("double") / F.col("n_rows")).alias("top1_share"),
+        "p99_count",
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("mean_count"),
+        (
+            F.col("top1_count").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys"))
+        ).alias("top1_over_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # report_shard_manifest — provenance manifest with content digests
 # ---------------------------------------------------------------------------
 
