@@ -90,6 +90,7 @@ HEADLINE = [
     "score_quality_linear",
     "score_unigram_surprisal",
     "score_bigram_surprisal",
+    "lm_bigram_generate",
     "layout_compaction_bins",
     "mm_phash_dedup",
     "mm_image_features_pgm",

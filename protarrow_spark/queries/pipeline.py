@@ -2490,6 +2490,92 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Number of greedy generation steps after the start token.
+LM_GEN_STEPS = 5
+
+
+def _lm_generate_oracle(steps: int = LM_GEN_STEPS) -> str:
+    ctes = [
+        """t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)""",
+        """bg AS (
+  SELECT unnest(CASE WHEN len(arr) >= 2
+         THEN [struct_pack(w1 := arr[i], w2 := arr[i + 1]) for i in range(1, len(arr))]
+         ELSE [] END) AS p
+  FROM t
+)""",
+        """cb AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM bg GROUP BY 1, 2)""",
+        """uni AS (SELECT w1 AS tok, SUM(c) AS c FROM cb GROUP BY 1)""",
+        """s0 AS (
+  SELECT 0 AS pos, tok, CAST(c AS BIGINT) AS cnt FROM uni
+  ORDER BY c DESC, tok LIMIT 1
+)""",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT {k} AS pos, w2 AS tok, CAST(c AS BIGINT) AS cnt FROM cb
+  WHERE w1 = (SELECT tok FROM s{k - 1})
+  ORDER BY c DESC, w2 LIMIT 1
+)"""
+        )
+    finals = "\nUNION ALL ".join(f"SELECT * FROM s{k}" for k in range(steps + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query("lm_bigram_generate", oracle=_lm_generate_oracle())
+def lm_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy generation from the corpus bigram LM — the engine
+    trains a tokenizer (text_bpe_train), scores text under its LM
+    (score_*_surprisal), and here SAMPLES from it: start at the most
+    frequent bigram-prefix token, then repeatedly take the argmax
+    continuation (deterministic, lexicographic tie-break), all as ONE
+    driver-unrolled Catalyst plan over the bigram count table. Greedy
+    argmax decoding is the temperature-0 special case of LM sampling,
+    and the only one a cross-engine value oracle can pin.
+
+    Scale: the bigram table is vocab^2-bounded state materialized
+    once (the pagerank barrier); each step is one equi-join of a
+    1-row frame against it plus a 1-row TakeOrdered. Output:
+    pos (0..steps), tok, cnt (the count that won the argmax)."""
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("p", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cb = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni = cb.groupBy(F.col("w1").alias("tok")).agg(F.sum("c").alias("c"))
+    cur = (
+        uni.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(1)
+        .select(F.lit(0).alias("pos"), "tok", F.col("c").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    out = cur
+    for k in range(1, LM_GEN_STEPS + 1):
+        cur = (
+            cb.join(F.broadcast(cur.select(F.col("tok").alias("w1"))), "w1")
+            .orderBy(F.desc("c"), F.asc("w2"))
+            .limit(1)
+            .select(
+                F.lit(k).alias("pos"),
+                F.col("w2").alias("tok"),
+                F.col("c").cast("long").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)  # 1 row; truncates the chain
+        )
+        out = out.unionByName(cur)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # score_quality_linear — learned-classifier scoring (fastText-style)
 # ---------------------------------------------------------------------------
