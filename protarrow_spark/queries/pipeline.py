@@ -2410,6 +2410,25 @@ def score_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """Per-doc adjacent-token pairs (doc_id, w1, w2) via one LEAD
+    window — shared by the bigram-LM scorer and generator so the two
+    can never disagree on what a bigram is."""
+    from pyspark.sql import Window
+
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    toks = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+
+
 @query(
     "score_bigram_surprisal",
     oracle="""
@@ -2450,20 +2469,8 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id); the bigram and prefix count dimensions are
     vocabulary^2-bounded groupBys that broadcast back; the per-doc
     rollup reuses the doc_id partitioning."""
-    from pyspark.sql import Window
-
-    from protarrow_spark.functions.text import tokens as ws_tokens
-
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos", "w1")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
-    )
+    bg = _bigram_stream(docs)
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cp = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
     bits = (
@@ -2537,17 +2544,9 @@ def lm_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (the pagerank barrier); each step is one equi-join of a
     1-row frame against it plus a 1-row TakeOrdered. Output:
     pos (0..steps), tok, cnt (the count that won the argmax)."""
-    from protarrow_spark.functions.text import tokens as ws_tokens
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("p", "w1")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
     cb = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
+        _bigram_stream(docs)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
