@@ -485,6 +485,13 @@ def bpe_train_merges(
         )
         merges = rule if merges is None else merges.unionByName(rule)
 
+        # NOTE measured, not assumed: the next step references `words`
+        # twice, so the chain replays ~2^steps times per action — but
+        # the replayed state is the VOCABULARY (tiny), and eager
+        # per-step localCheckpoints (the mmr_select_int8 barrier) were
+        # tried and made the query ~2x SLOWER at sf0.1: the per-step
+        # job overhead exceeds the replay cost. Past ~10 steps the
+        # balance flips — checkpoint there, as the docstring says.
         words = (
             _greedy_rewrite(words, top, ["cnt"])
             .groupBy("sym")
