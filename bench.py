@@ -87,6 +87,7 @@ HEADLINE = [
     "sketch_hll_distinct",
     "graph_pagerank",
     "graph_triangle_count",
+    "mine_association_rules",
     "score_quality_linear",
     "score_unigram_surprisal",
     "score_bigram_surprisal",

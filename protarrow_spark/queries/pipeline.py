@@ -2272,6 +2272,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mine_association_rules — market-basket support/confidence/lift
+# ---------------------------------------------------------------------------
+
+#: Minimum co-occurrence support (same threshold as the triangle graph).
+RULES_MIN_SUPPORT = 2
+RULES_TOPK = 20
+
+
+@query(
+    "mine_association_rules",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey AS it, COUNT(*) AS n_it FROM li GROUP BY 1),
+pair AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n_ab
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {RULES_MIN_SUPPORT}
+),
+rules AS (
+  SELECT p.a AS antecedent, p.b AS consequent,
+         CAST(p.n_ab AS BIGINT) AS n_both,
+         CAST(ia.n_it AS BIGINT) AS n_antecedent,
+         CAST(p.n_ab AS DOUBLE) / ia.n_it AS confidence,
+         CAST(p.n_ab AS DOUBLE) * n.n_orders / (ia.n_it * ib.n_it) AS lift
+  FROM pair p
+  JOIN item ia ON ia.it = p.a
+  JOIN item ib ON ib.it = p.b
+  CROSS JOIN n
+)
+SELECT * FROM rules
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {RULES_TOPK}
+""",
+)
+def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market-basket): for every supported
+    part pair, confidence(a -> b) = n_ab/n_a and
+    lift = n_ab*N/(n_a*n_b), reporting the top rules by lift — the
+    classic co-occurrence analytics family (and, for a training-data
+    platform, the 'these sources/templates travel together' signal).
+    Counts are exact integers from one distinct + two groupBys; the
+    two final divisions are single IEEE ops on exact integers, so
+    ordering and values are engine-identical.
+
+    Scale: the pair stream is the bounded same-order self-join (per-
+    order fan-out <= lines/order), support-thresholded before any
+    scoring; item counts broadcast; top-k is TakeOrderedAndProject.
+    This is apriori's 2-itemset pass — larger itemsets iterate the
+    same join against the surviving frequent set."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("it")).agg(
+        F.count(F.lit(1)).alias("n_it")
+    )
+    pair = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= RULES_MIN_SUPPORT)
+    )
+    rules = (
+        pair.join(F.broadcast(item.select(F.col("it").alias("a"), F.col("n_it").alias("n_a"))), "a")
+        .join(F.broadcast(item.select(F.col("it").alias("b"), F.col("n_it").alias("n_b"))), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_antecedent"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(RULES_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # graph_triangle_count — exact per-node triangle counting
 # ---------------------------------------------------------------------------
 

@@ -186,6 +186,8 @@ BNLJ_BY_DESIGN = {
     "window_gapfill_resample",
     # three 1-row count frames combined for the report row
     "dedup_lsh_recall_report",
+    # 1-row n_orders broadcast into the rule scoring
+    "mine_association_rules",
     # k-row (k=2) negatives-per-anchor fan-out broadcast
     "pairgen_contrastive_negatives",
 }
