@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_embedding_lsh_banded",
     "window_sessionize",
     "window_gapfill_resample",
+    "window_ewma_decay",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
     "text_token_bpe",

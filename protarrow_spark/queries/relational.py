@@ -1002,6 +1002,48 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_STEP_S = 900
 
 
+def _dense_event_grid(spark: SparkSession, sf_dir: str, step_s: int):
+    """(observed buckets, dense grid) for events on a regular grid:
+    ``b`` = per-(event_type, bucket_us) count + decimal value sum for
+    OBSERVED buckets; ``grid`` = every (event_type, bucket_us) cell
+    between the global bounds, generated (sequence explode over the
+    type dimension x a 1-row bounds broadcast), never scanned. Shared
+    by the gap-fill resampler and the EWMA smoother so the two agree
+    on bucketing to the microsecond."""
+    from protarrow_spark.functions.time import epoch_micros
+
+    step_us = step_s * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.withColumn("__eus", epoch_micros(F.col("ts")))
+        .groupBy(
+            "event_type",
+            F.expr(f"(__eus div {step_us}) * {step_us}").alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("v"),
+        )
+    )
+    bounds = b.agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(hi - lo) div {step_us}"))
+            ).alias("i"),
+            "lo",
+        )
+        .select(
+            "event_type", (F.col("lo") + F.col("i") * step_us).alias("bucket_us")
+        )
+    )
+    return b, grid
+
+
 @query(
     "window_gapfill_resample",
     oracle=f"""
@@ -1050,37 +1092,7 @@ def window_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: event_type, bucket, n_events, is_gap, carried_value.
     """
-    from protarrow_spark.functions.time import epoch_micros
-
-    step_us = GAPFILL_STEP_S * 1_000_000
-    ev = table(spark, sf_dir, "events")
-    b = (
-        ev.withColumn("__eus", epoch_micros(F.col("ts")))
-        .groupBy(
-            "event_type",
-            F.expr(f"(__eus div {step_us}) * {step_us}").alias("bucket_us"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,6)")).alias("v"),
-        )
-    )
-    bounds = b.agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(F.lit(0), F.expr(f"(hi - lo) div {step_us}"))
-            ).alias("i"),
-            "lo",
-        )
-        .select(
-            "event_type", (F.col("lo") + F.col("i") * step_us).alias("bucket_us")
-        )
-    )
+    b, grid = _dense_event_grid(spark, sf_dir, GAPFILL_STEP_S)
     from pyspark.sql import Window
 
     w = (
@@ -1097,6 +1109,88 @@ def window_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("is_gap"),
             F.last("v", ignorenulls=True).over(w).cast("double").alias("carried_value"),
         )
+    )
+
+
+#: EWMA truncation depth: weights 1, 1/2, ... 1/2^(K-1) over the
+#: dense grid (half-life = one bucket).
+EWMA_DEPTH = 8
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"COALESCE(LAG(v_micros, {k}) OVER "
+        f"(PARTITION BY event_type ORDER BY bucket), 0) // {1 << k}"
+        for k in range(EWMA_DEPTH)
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '{GAPFILL_STEP_S} seconds', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL '{GAPFILL_STEP_S} seconds')) AS bucket
+    FROM bounds
+  ) g
+),
+dense AS (
+  SELECT grid.event_type, grid.bucket, COALESCE(b.v, 0) AS v_micros
+  FROM grid LEFT JOIN b USING (event_type, bucket)
+)
+SELECT event_type, bucket, CAST(v_micros AS BIGINT) AS v_micros,
+       CAST({terms} AS BIGINT) AS ewma_micros
+FROM dense
+"""
+
+
+@query("window_ewma_decay", oracle=_ewma_oracle())
+def window_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed moving value (half-life = one bucket,
+    truncated at depth 8) per event_type on the dense 15-minute grid
+    — the trend/smoothing primitive of a monitoring pipeline, built
+    ON the gap-filled grid (empty buckets contribute 0, so a burst
+    decays through real time, not through observation count).
+
+    Exactness: bucket sums become integer MICRO-units via an exact
+    decimal multiply; the power-of-2 decay makes every term an
+    integer division (v >> k), so the smoothed series is bit-exact
+    cross-engine — no float accumulation anywhere.
+
+    Scale: shares _dense_event_grid with the resampler (generated
+    grid, 1-row bounds broadcast); the decay is EWMA_DEPTH lag terms
+    over one per-type window — grid-sized work, volume-independent.
+
+    Output: event_type, bucket, v_micros, ewma_micros.
+    """
+    b, grid = _dense_event_grid(spark, sf_dir, GAPFILL_STEP_S)
+    dense = grid.join(b, ["event_type", "bucket_us"], "left").select(
+        "event_type",
+        "bucket_us",
+        F.coalesce((F.col("v") * 1_000_000).cast("long"), F.lit(0)).alias("v_micros"),
+    )
+    ewma = None
+    for k in range(EWMA_DEPTH):
+        # FLOOR division, spelled (x - pmod(x, m)) div m: Spark's
+        # integer `div` truncates toward zero while the oracle's `//`
+        # floors — identical for x >= 0 but divergent on negative
+        # bucket sums, which the value column permits.
+        m = 1 << k
+        lagv = (
+            f"coalesce(lag(v_micros, {k}) over "
+            f"(partition by event_type order by bucket_us), 0L)"
+        )
+        term = F.expr(f"(({lagv}) - pmod({lagv}, {m})) div {m}")
+        ewma = term if ewma is None else ewma + term
+    return dense.select(
+        "event_type",
+        F.timestamp_micros(F.col("bucket_us")).alias("bucket"),
+        "v_micros",
+        ewma.cast("long").alias("ewma_micros"),
     )
 
 

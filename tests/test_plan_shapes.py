@@ -184,6 +184,7 @@ BNLJ_BY_DESIGN = {
     "sample_token_budget_mix",
     # 1-row (lo, hi) grid-bounds broadcast into the type dimension
     "window_gapfill_resample",
+    "window_ewma_decay",
     # three 1-row count frames combined for the report row
     "dedup_lsh_recall_report",
     # 1-row n_orders broadcast into the rule scoring
