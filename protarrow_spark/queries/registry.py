@@ -74,7 +74,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: q5_local_supplier_volume / join_broadcast_brand_revenue /
 #: agg_grouping_sets (all r4-green, family-redundant in-window) for
 #: the new window_gapfill_resample / pipeline_rag_ingest /
-#: table_incremental_rollup families.
+#: table_incremental_rollup families; join_range_bucketed and
+#: text_winnow_fingerprint (r4-green, family-redundant) likewise
+#: rotate out for mine_association_rules and window_ewma_decay.
 GRADED_FIRST = [
     # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
@@ -106,7 +108,7 @@ GRADED_FIRST = [
     # tokenizer family: the BPE TRAINING loop (merge learning) is
     # graded; BPE-ish token counting stays pytest-gated
     "text_bpe_train",
-    "text_winnow_fingerprint",
+    "window_ewma_decay",
     "text_decontaminate",
     "pack_sequences",
     "dedup_span_clean",
@@ -134,7 +136,7 @@ GRADED_FIRST = [
     "agg_linreg_exact",
     # join variants
     "pipeline_rag_ingest",
-    "join_range_bucketed",
+    "mine_association_rules",
     "join_asof_events",
     "join_salted_skew",
     # window variants (r5: RANGE-frame time window)
