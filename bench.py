@@ -107,6 +107,7 @@ HEADLINE = [
     "order_curriculum_interleave",
     "mm_audio_fingerprint_match",
     "dq_rule_violations",
+    "dq_outlier_mad",
     "dedup_ngram_containment",
     "table_purge_users",
     "cluster_kmeans_int8_exact",

@@ -1968,6 +1968,106 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_outlier_mad",
+    oracle="""
+WITH v AS (SELECT event_id, event_type, value FROM events),
+r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_id, v.event_type, v.value, m.med, m.n,
+         ABS(v.value - m.med) AS d
+  FROM v JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, d, med, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT event_type, MAX(med) AS med, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(MAX(m.n) AS BIGINT) AS n,
+       MAX(m.med) AS med,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event_type, the lower MEDIAN and
+    the MAD (median absolute deviation) are computed as EXACT element
+    picks (row_number = (n+1) div 2 with event_id tie-breaks — no
+    engine-private interpolation), and values beyond 3*MAD are
+    counted — the standard distribution-free anomaly gate a numeric
+    DQ suite runs where mean/stddev would be wrecked by the very
+    outliers it hunts.
+
+    Scale: two ranking passes over (event_type)-partitioned windows
+    (same shuffle reused) + one broadcast of the per-type statistics
+    back onto the value stream; the robust statistics themselves are
+    type-cardinality-sized.
+
+    Output: event_type, n, med, mad, n_outliers.
+    """
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def lower_median(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(val_col).alias("__v"),
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1)).over(wn).alias("__n"),
+            )
+            .filter(F.expr("__rn = (__n + 1) div 2"))
+            .select(
+                "event_type",
+                F.col("__n").alias("n"),
+                F.col("__v").alias(out_name),
+            )
+        )
+
+    med = lower_median(v, "value", "med")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = lower_median(dev, "d", "mad").select("event_type", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
     "dq_rule_violations",
     oracle="""
 SELECT 'orders_totalprice_positive' AS rule, COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations, COUNT(*) AS n_checked FROM orders
