@@ -81,6 +81,7 @@ HEADLINE = [
     "sketch_kmv_set_ops",
     "table_merge_upsert",
     "table_incremental_rollup",
+    "table_snapshot_diff",
     "table_scd2_history",
     "window_funnel_stages",
     "agg_cohort_retention",

@@ -1486,6 +1486,96 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 3
+),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 97 = 5 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 97 = 7 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 11
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS k,
+         o.c_custkey IS NULL AS is_added,
+         n.c_custkey IS NULL AS is_removed,
+         COALESCE(o.c_mktsegment <> n.c_mktsegment, FALSE) AS seg_chg,
+         COALESCE(o.c_acctbal <> n.c_acctbal, FALSE) AS bal_chg
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT CASE WHEN is_added THEN 'added'
+            WHEN is_removed THEN 'removed'
+            WHEN seg_chg OR bal_chg THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN seg_chg THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_changed,
+       CAST(SUM(CASE WHEN bal_chg THEN 1 ELSE 0 END) AS BIGINT) AS n_bal_changed
+FROM j
+GROUP BY 1
+""",
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two versions of a dimension (the
+    data-diff / CDC-derivation op: given yesterday's and today's
+    snapshots, derive added / removed / changed / unchanged with
+    per-column change counts — what feeds an SCD2 build or a release
+    report when the upstream gives you full dumps, not a changelog;
+    pairs with report_shard_manifest's digest fast-path, which skips
+    unchanged shards before this row-level diff runs).
+
+    Both snapshots are deterministic residue-class edits of customer,
+    so every classification is value-pinned. Scale: ONE full-outer
+    equi-join on the key (both sides hash-partitioned once) + a
+    4-group rollup; column comparisons are scan-stage codegen.
+    Unlike the bounded-delta CDC appliers (table_merge_upsert), a
+    snapshot diff genuinely must move both snapshots — this is the
+    operator you run when no delta exists."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    m = F.col("c_custkey") % 97
+    old = c.filter(m != 3)
+    new = c.filter(m != 11).select(
+        "c_custkey",
+        "c_name",
+        F.when(m == 5, F.lit("MOVED")).otherwise(F.col("c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.when(m == 7, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer").select(
+        F.col("o.c_custkey").isNull().alias("is_added"),
+        F.col("n.c_custkey").isNull().alias("is_removed"),
+        F.coalesce(
+            F.col("o.c_mktsegment") != F.col("n.c_mktsegment"), F.lit(False)
+        ).alias("seg_chg"),
+        F.coalesce(F.col("o.c_acctbal") != F.col("n.c_acctbal"), F.lit(False)).alias(
+            "bal_chg"
+        ),
+    )
+    status = (
+        F.when(F.col("is_added"), F.lit("added"))
+        .when(F.col("is_removed"), F.lit("removed"))
+        .when(F.col("seg_chg") | F.col("bal_chg"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("seg_chg").cast("long")).cast("long").alias("n_seg_changed"),
+            F.sum(F.col("bal_chg").cast("long")).cast("long").alias("n_bal_changed"),
+        )
+    )
+
+
+@query(
     "table_incremental_rollup",
     oracle="""
 SELECT o_custkey,
