@@ -2133,7 +2133,8 @@ WITH {_toks_cte()},
 first AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
 SELECT dg.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS n_first,
+       CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_first,
        CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS novelty
 FROM dg JOIN first USING (g)
@@ -2186,7 +2187,8 @@ vocab AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
        CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS oov_rate
 FROM toks LEFT JOIN vocab USING (tok)

@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from protarrow_spark.queries.registry import query
 
+#: Test hook: when set to an int N, every registered streaming query's
+#: file source reads at most N files per micro-batch, forcing the
+#: availableNow backlog to split across >=2 micro-batches when the
+#: events table has >=2 files. The multi-micro-batch equivalence tests
+#: (tests/test_streaming.py) set this to prove each query's completed
+#: output is batching-invariant; production leaves it None (one
+#: availableNow backlog batch, normal backfill behaviour).
+FORCE_MAX_FILES_PER_TRIGGER: int | None = None
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet.
 
@@ -38,12 +48,21 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    raw = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    reader = spark.readStream.schema(batch.schema)
+    if FORCE_MAX_FILES_PER_TRIGGER is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(FORCE_MAX_FILES_PER_TRIGGER)
+        )
+    if os.path.isdir(src):
+        # events as a multi-file directory (production layout / the
+        # multi-micro-batch tests): stream the directory itself.
+        raw = reader.parquet(src)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     ts_type = dict(batch.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn(
@@ -201,8 +220,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_user_totals",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT))
-         AS total_micros
+       CAST(SUM(CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS total_micros
 FROM events
 GROUP BY user_id
 """,
@@ -210,15 +229,25 @@ GROUP BY user_id
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cumulative totals via ``applyInPandasWithState`` run as
     a streaming job (update mode). The state machine itself is
-    non-SQL-expressible in general, but as registered the backlog is
-    consumed in ONE availableNow micro-batch, so the update-mode output
-    equals the batch group-by — which the oracle pins exactly: values
-    are pre-scaled to exact integer micro-units (decimal(27,6) → long)
-    so the Python-side accumulation is order-independent and
-    hash-matches DuckDB bit-for-bit.
+    non-SQL-expressible in general, but its FINAL per-key state equals
+    the batch group-by — which the oracle pins exactly: values are
+    pre-scaled to exact integer micro-units (decimal(27,6) → long) so
+    the Python-side accumulation is order-independent and hash-matches
+    DuckDB bit-for-bit.
+
+    The readout is micro-batch-invariant by construction: update mode
+    emits one row per key per micro-batch the key appears in, so the
+    sink holds the key's RUNNING totals at each emission, not just the
+    final one. ``n_events`` is a strictly monotone per-key counter, so
+    ``max(struct(n_events, total_micros))`` per key selects exactly the
+    last emission — identical to the raw sink when the backlog lands in
+    one micro-batch, and still correct under any file-listing /
+    maxFilesPerTrigger split (pinned by the >=2-micro-batch forcing
+    test in tests/test_streaming.py).
 
     Scale: state is one (n, sum) pair per key; the grouped shuffle is
-    the same as a batch groupBy on user_id.
+    the same as a batch groupBy on user_id; the snapshot agg is one
+    more shuffle over sink-sized (keys x batches) data.
     """
     from protarrow_spark.streaming.stateful import running_totals
 
@@ -238,7 +267,17 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table("mem_stream_stateful_user_totals")
+    sink = spark.table("mem_stream_stateful_user_totals")
+    last = F.max(F.struct("n_events", "total_micros")).alias("s")
+    return (
+        sink.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_micros").alias("total_micros"),
+        )
+    )
 
 
 @query(

@@ -62,6 +62,14 @@ def assert_matches_oracle(spark, name: str, sf_dir: str) -> None:
         f"{name}: column mismatch {sorted(got.columns)} vs {sorted(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    # int-vs-float dtype skew (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+    # float64) survives the value compare below (2.0 == 2) but breaks
+    # any repr/hash-based grading — fail it here so oracles stay
+    # type-aligned (cast integral SUMs to BIGINT on the DuckDB side).
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        skewed = "f" in {gk, ek} and ({gk, ek} & {"i", "u"})
+        assert not skewed, f"{name}.{c}: dtype-kind skew spark={gk} duck={ek}"
     got_rows, exp_rows = canonical_rows(got), canonical_rows(exp)
     mismatches = [
         (i, g, e) for i, (g, e) in enumerate(zip(got_rows, exp_rows)) if g != e
