@@ -120,6 +120,7 @@ HEADLINE = [
     "report_vocab_gini",
     "dedup_lsh_verified",
     "dedup_lsh_recall_report",
+    "dedup_lsh_recall_sampled",
     "embed_feature_hash_chunks",
     "conv_oneof_roundtrip",
     "mm_image_features_bmp",
@@ -222,6 +223,23 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
     except OSError as exc:
         print(f"BENCH WARN could not write {out_path}: {exc}", file=sys.stderr)
+        out_path = None
+    # LAST stdout line: a compact self-describing summary that survives
+    # the driver's 2,000-char tail capture (the full line above is
+    # ~4 KB and was truncated to parsed:null in BENCH_r04/r05). Anyone
+    # parsing the tail gets the headline number + where the complete
+    # per-query payload lives.
+    summary = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_file": out_path and os.path.abspath(out_path),
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -180,7 +180,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_RECALL_T = 0.5
 
 
-def _lsh_recall_oracle() -> str:
+#: Sampling modulus for the stratified recall report: documents whose
+#: md5-derived 60-bit key is ≡ 0 (mod LSH_RECALL_SAMPLE_MOD) form the
+#: stratum, and BOTH the truth and candidate sides are computed only on
+#: within-stratum pairs. The decision is a pure function of doc_id
+#: (same stratum on every engine / partitioning), and pair-level
+#: membership is doc-level membership on both endpoints, so the
+#: sampled recall is an unbiased estimate of the full-corpus recall
+#: over ~1/mod² of the pair space at ~1/mod of the truth-side cost.
+LSH_RECALL_SAMPLE_MOD = 2
+
+
+def _doc_stratum_sql(sample_mod: int) -> str:
+    return (
+        "sdocs AS (SELECT * FROM documents WHERE "
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" % {sample_mod} = 0)"
+    )
+
+
+def _lsh_recall_oracle(sample_mod: int | None = None) -> str:
     k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
     rpb = k // bands
     band_selects = "\nUNION ALL ".join(
@@ -190,8 +209,10 @@ def _lsh_recall_oracle() -> str:
         )
         for b in range(bands)
     )
+    stratum = "" if sample_mod is None else _doc_stratum_sql(sample_mod) + ",\n"
+    toks_src = "documents" if sample_mod is None else "sdocs"
     return f"""
-WITH {_toks_cte()},
+WITH {stratum}{_toks_cte(toks_src)},
 {_grams_cte(dedup.NGRAM_N)},
 dgh AS (
   SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g FROM dg
@@ -250,7 +271,42 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (1 row): n_truth, n_cand, n_hit, recall,
     candidate_precision.
     """
+    return lsh_recall_report(spark, sf_dir, sample_mod=None)
+
+
+@query(
+    "dedup_lsh_recall_sampled",
+    oracle=_lsh_recall_oracle(sample_mod=LSH_RECALL_SAMPLE_MOD),
+)
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall report on a deterministic hash-sampled document
+    stratum — the form that runs at 100 TB, where the exact truth side
+    over the full corpus is the expensive half. ``sample_mod=M`` keeps
+    documents whose md5-derived key is ≡ 0 (mod M); both truth and
+    candidates are restricted to within-stratum pairs, so the sampled
+    recall/precision are unbiased estimates of the full-corpus figures
+    (pair inclusion = independent doc-level inclusion on both
+    endpoints) at 1/M of the truth-side cost. The estimate-tracks-full
+    property is pinned by tests/test_dedup.py at sf0.01.
+
+    Scale: the stratum predicate is a scan-level filter (pushed below
+    the shingle explode); everything downstream shrinks by ≥1/M.
+    """
+    return lsh_recall_report(
+        spark, sf_dir, sample_mod=LSH_RECALL_SAMPLE_MOD
+    )
+
+
+def lsh_recall_report(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """Shared body of the full / hash-sampled LSH recall reports."""
     docs = table(spark, sf_dir, "documents")
+    if sample_mod is not None:
+        key = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        docs = docs.filter(key % sample_mod == 0)
     truth = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=LSH_RECALL_T, n=dedup.NGRAM_N
     ).select("doc_a", "doc_b")

@@ -187,6 +187,7 @@ BNLJ_BY_DESIGN = {
     "window_ewma_decay",
     # three 1-row count frames combined for the report row
     "dedup_lsh_recall_report",
+    "dedup_lsh_recall_sampled",
     # 1-row n_orders broadcast into the rule scoring
     "mine_association_rules",
     # k-row (k=2) negatives-per-anchor fan-out broadcast
