@@ -124,6 +124,7 @@ HEADLINE = [
     "embed_feature_hash_chunks",
     "conv_oneof_roundtrip",
     "mm_image_features_bmp",
+    "mm_image_features_jpeg",
     "mm_audio_windows_wav",
     "dedup_incremental_lsh",
     "sketch_histogram_quantiles",

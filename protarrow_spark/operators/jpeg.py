@@ -1,0 +1,464 @@
+"""Dependency-free baseline JPEG (ITU-T T.81) grayscale codec.
+
+JPEG dominates real image corpora, so the multimodal path needs a real
+decoder, not a stub. This module implements the public baseline
+sequential DCT process for single-component (grayscale) images from
+the spec alone — SOI/APPn/DQT/SOF0/DHT/SOS/EOI marker parsing, Huffman
+entropy coding with byte stuffing, DPCM DC / run-length AC coefficient
+coding, zigzag, dequantization, and a separable float IDCT — plus the
+matching encoder so tests push GENUINE entropy-coded bytes through the
+decoder (same pattern as the BMP/PGM/WAV codecs in
+``operators.multimodal``).
+
+Honest boundaries (documented ``NotImplementedError``, not silent
+wrong answers): progressive (SOF2) and other non-baseline frames,
+multi-component (color) scans, 16-bit quantization tables, restart
+intervals, and arithmetic coding. A blob that does not start with the
+SOI marker returns ``None`` (the operator's null path, like the other
+codecs).
+
+Determinism note for oracle-gated queries: baseline JPEG is lossy in
+general, but an 8x8-block-constant image encoded with an all-ones
+quantization table round-trips EXACTLY — such a block has only a DC
+coefficient (an integer, ``8 * (v - 128)``), quantization at step 1 is
+the identity, and the IDCT of a DC-only block is constant — so a SQL
+oracle can pin every decoded pixel from the source data.
+
+Reference parity: the reference repo has no media codecs; this extends
+the engine's multimodal surface (SURVEY.md §2.3) the way a
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+#: First non-stuffed marker = end of entropy-coded data (B.1.1.5).
+_MARKER_RE = re.compile(rb"\xff[^\x00]")
+
+# --- public constant tables from ITU-T T.81 ---------------------------------
+
+#: Zigzag scan order: zigzag index -> raster index (Figure 5 / A.3.6).
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.1 luminance quantization table (quality ~50), raster order.
+QUANT_ANNEX_K = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: All-ones table: quantization is the identity (near-lossless mode;
+#: EXACTLY lossless on 8x8-block-constant rasters — see module doc).
+QUANT_UNITY = [1] * 64
+
+#: Annex K.3 typical luminance Huffman tables: BITS (codes per length
+#: 1..16) and HUFFVAL (symbols in code order).
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_HUFFVAL = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_HUFFVAL = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+JPEG_MAGIC = b"\xff\xd8"  # SOI
+
+_M_SOI, _M_EOI, _M_SOS, _M_DQT, _M_DHT, _M_SOF0, _M_DRI = (
+    0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xC0, 0xDD,
+)
+
+
+def _dct_matrix():
+    """8x8 DCT-II basis A with A[u, x] = c(u)/2 * cos((2x+1)u*pi/16);
+    F = A f A^T, f = A^T F A (T.81 A.3.3)."""
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    a[0, :] = 1 / (2 * np.sqrt(2))
+    return a
+
+
+def _build_codes(bits, huffval):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2 — codes
+    assigned in increasing length order, counting up within a length."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit stream with T.81 byte stuffing (0x00 after 0xFF)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:  # pad with 1s (T.81 F.1.2.3)
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+#: Decode-LUT cache keyed by the table's canonical item tuple — the
+#: standard Annex-K tables repeat across blobs, so each worker builds
+#: their LUTs once, not once per image.
+_LUT_CACHE: dict = {}
+
+
+def _build_lut(table: dict) -> list:
+    """(code, length) -> symbol table to a flat 2^16-entry decode LUT:
+    ``lut[next16bits] = (symbol << 5) | code_length`` (0 = invalid
+    prefix). One list index replaces a bit-by-bit tree walk — the
+    classic fast-Huffman layout; 16 is the spec's max code length."""
+    import numpy as np
+
+    key = tuple(sorted(table.items()))
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for (code, length), sym in table.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        lut[lo:hi] = (sym << 5) | length
+    out = lut.tolist()
+    if len(_LUT_CACHE) > 32:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def _category(v: int) -> int:
+    """Coefficient magnitude category (bit length of |v|)."""
+    return abs(v).bit_length()
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.12 EXTEND: map ``size`` received bits to a signed value."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def encode_jpeg_gray(pixels, quant=None) -> bytes:
+    """Grayscale (h, w) uint8 raster -> a GENUINE baseline JPEG
+    (JFIF APP0, DQT, SOF0 1-component, Annex-K Huffman DHTs, SOS,
+    entropy-coded scan with byte stuffing, EOI). ``quant`` is a 64-entry
+    raster-order quantization table (default :data:`QUANT_ANNEX_K`;
+    pass :data:`QUANT_UNITY` for the near-lossless mode)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    q = np.asarray(quant if quant is not None else QUANT_ANNEX_K, dtype=np.int32)
+    bh, bw = -(-h // 8), -(-w // 8)
+    # Edge replication padding (the common convention; any padding is
+    # spec-legal since the decoder crops to (h, w)).
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    padded -= 128.0
+
+    a = _dct_matrix()
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coefs = a @ blocks @ a.T  # F = A f A^T, broadcast over blocks
+    quantized = np.rint(coefs / q.reshape(8, 8)).astype(np.int64)
+
+    dc_codes = _build_codes(DC_BITS, DC_HUFFVAL)
+    ac_codes = _build_codes(AC_BITS, AC_HUFFVAL)
+    # Vectorized per-block prep: zigzag reorder, DC DPCM differences,
+    # and last-nonzero-AC index across ALL blocks at once; the Python
+    # loop below only walks actual nonzero coefficients.
+    zz = np.asarray(ZIGZAG)
+    flat_all = quantized.reshape(-1, 64)[:, zz]
+    dcs = flat_all[:, 0]
+    diffs = np.empty_like(dcs)
+    diffs[0] = dcs[0]
+    diffs[1:] = dcs[1:] - dcs[:-1]
+    has_ac = (flat_all[:, 1:] != 0).any(axis=1)
+    last_nz = np.where(
+        has_ac, 63 - np.argmax(flat_all[:, :0:-1] != 0, axis=1), 0
+    )
+    writer = _BitWriter()
+    write = writer.write
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+    for bi in range(flat_all.shape[0]):
+        diff = int(diffs[bi])
+        s = _category(diff)
+        code, length = dc_codes[s]
+        write(code, length)
+        if s:
+            write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        end = int(last_nz[bi])
+        run = 0
+        row = flat_all[bi]
+        for i in range(1, end + 1):
+            v = int(row[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                write(zrl_code, zrl_len)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            write(code, length)
+            write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if end < 63:
+            write(eob_code, eob_len)
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits, huffval) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(huffval)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(_M_DQT, bytes([0x00]) + bytes(int(q[ZIGZAG[i]]) for i in range(64)))
+    out += seg(
+        _M_SOF0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(_M_DHT, dht(0x00, DC_BITS, DC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x10, AC_BITS, AC_HUFFVAL))
+    out += seg(_M_SOS, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_gray(data: bytes):
+    """Parse a REAL baseline JPEG into ``(width, height, gray)`` with
+    ``gray`` a row-major uint8 (h, w) array. Returns ``None`` when the
+    blob does not start with SOI (not a JPEG — the operator's null
+    path); raises ``NotImplementedError`` at the codec's honest
+    boundaries (progressive/extended frames, color scans, 16-bit quant
+    tables, restart intervals) and ``ValueError`` on corrupt streams."""
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != JPEG_MAGIC:
+        return None
+    pos = 2
+    quant_tables: dict[int, list[int]] = {}
+    huff_tables: dict[tuple[int, int], dict] = {}
+    frame = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2)
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no length
+            pos += 2
+            continue
+        if marker == _M_EOI:
+            raise ValueError("EOI before SOS")
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        if seg_len < 2 or len(payload) != seg_len - 2:
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
+        pos += 2 + seg_len
+        if marker == _M_DQT:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                zz_table = payload[p + 1 : p + 65]
+                raster = [0] * 64
+                for i in range(64):
+                    raster[ZIGZAG[i]] = zz_table[i]
+                quant_tables[tq] = raster
+                p += 65
+        elif marker == _M_DHT:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                huffval = list(payload[p + 17 : p + 17 + n])
+                codes = _build_codes(bits, huffval)
+                huff_tables[(tc, th)] = {
+                    (c, ln): sym for sym, (c, ln) in codes.items()
+                }
+                p += 17 + n
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0x{marker:02X}); "
+                "only baseline sequential (SOF0) is supported"
+            )
+        elif marker == _M_SOF0:
+            precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component (color) JPEG; grayscale only"
+                )
+            comp_id, sampling, tq = payload[6], payload[7], payload[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled single component")
+            frame = (w, h, comp_id, tq)
+        elif marker == _M_DRI:
+            if struct.unpack(">H", payload[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == _M_SOS:
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = payload[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            td, ta = payload[2] >> 4, payload[2] & 0x0F
+            w, h, _comp_id, tq = frame
+            return _decode_scan(
+                data, pos, w, h,
+                quant_tables[tq],
+                huff_tables[(0, td)],
+                huff_tables[(1, ta)],
+            )
+        # else: APPn/COM/etc — skipped via seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, w, h, quant, dc_table, ac_table):
+    """Entropy-decode the single-component scan and reconstruct.
+
+    Fast path: the scan is un-stuffed ONCE (0xFF 0x00 -> 0xFF; legal
+    because baseline entropy data contains no other 0xFF-started pair
+    when restart intervals are off), then read through 16-bit-window
+    integer peeks against the prefix LUTs — a handful of int ops per
+    coefficient instead of a per-bit method-call walk."""
+    import numpy as np
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    # Entropy data ends at the first marker (0xFF followed by anything
+    # but the stuffed 0x00).
+    m = _MARKER_RE.search(data, pos)
+    end = m.start() if m else len(data)
+    entropy = data[pos:end].replace(b"\xff\x00", b"\xff")
+    buf = entropy + b"\x00\x00\x00\x00"
+    nbits_total = len(entropy) * 8
+    dc_lut = _build_lut(dc_table)
+    ac_lut = _build_lut(ac_table)
+
+    zz = np.asarray(ZIGZAG)
+    coefs = np.zeros((bh * bw, 64), dtype=np.int64)
+    prev_dc = 0
+    bitpos = 0
+    from_bytes = int.from_bytes
+    for bi in range(bh * bw):
+        if bitpos > nbits_total:
+            raise ValueError("entropy stream truncated")
+        byteidx = bitpos >> 3
+        chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
+        ent = dc_lut[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+        if ent == 0:
+            raise ValueError("invalid Huffman code in scan")
+        s = ent >> 5
+        bitpos += ent & 31
+        if s:
+            byteidx = bitpos >> 3
+            chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
+            v = (chunk >> (32 - s - (bitpos & 7))) & ((1 << s) - 1)
+            bitpos += s
+            prev_dc += _extend(v, s)
+        block = coefs[bi]
+        block[0] = prev_dc
+        i = 1
+        while i < 64:
+            byteidx = bitpos >> 3
+            chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
+            ent = ac_lut[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+            if ent == 0:
+                raise ValueError("invalid Huffman code in scan")
+            sym = ent >> 5
+            bitpos += ent & 31
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            i += sym >> 4
+            size = sym & 0x0F
+            if i >= 64:
+                raise ValueError("AC run past block end")
+            byteidx = bitpos >> 3
+            chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
+            v = (chunk >> (32 - size - (bitpos & 7))) & ((1 << size) - 1)
+            bitpos += size
+            block[i] = _extend(v, size)
+            i += 1
+    if bitpos > nbits_total:
+        raise ValueError("entropy stream truncated")
+    q = np.asarray(quant, dtype=np.float64)
+    dez = np.zeros((bh * bw, 64), dtype=np.float64)
+    dez[:, zz] = coefs  # de-zigzag, all blocks at once
+    blocks = (dez * q).reshape(bh, bw, 8, 8)
+    a = _dct_matrix()
+    spatial = a.T @ blocks @ a  # f = A^T F A, broadcast over blocks
+    raster = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    gray = np.clip(np.rint(raster) + 128, 0, 255).astype(np.uint8)
+    return w, h, gray[:h, :w]

@@ -12,15 +12,17 @@ training-data pipeline needs:
   explode + substring arithmetic; scales as a narrow map + explode.
 * :func:`decode_image_features` / :func:`audio_window_features` —
   per-blob feature extraction via Arrow-batched ``mapInPandas`` UDFs.
-  Two REAL dependency-free codecs are built in (both public formats,
-  parsed with ``struct``/numpy only): uncompressed 24-bit BMP
-  (:func:`decode_bmp_gray`) and RIFF/WAVE mono PCM16
-  (:func:`decode_wav_pcm16`), plus the deterministic FAKE formats
-  below for oracle-exact fixtures. Compressed formats (JPEG/PNG,
-  MP3/AAC) need libraries this environment doesn't ship:
-  :func:`decode_real_image` / :func:`decode_real_audio` raise
-  ``NotImplementedError`` for those — swapping in PIL/libav changes
-  only the inner function.
+  Three REAL dependency-free image/audio codecs are built in (all
+  public formats, parsed with ``struct``/numpy only): uncompressed
+  24-bit BMP (:func:`decode_bmp_gray`), RIFF/WAVE mono PCM16
+  (:func:`decode_wav_pcm16`), and baseline JPEG — a full ITU-T T.81
+  sequential-DCT decoder (Huffman entropy decode, dequant, IDCT) in
+  :mod:`protarrow_spark.operators.jpeg` — plus binary PGM and the
+  deterministic FAKE formats below for oracle-exact fixtures.
+  Remaining compressed formats (PNG/WebP, MP3/AAC) need zlib/audio
+  libraries this environment doesn't ship: :func:`decode_real_image`
+  / :func:`decode_real_audio` raise ``NotImplementedError`` for those
+  — swapping in PIL/libav changes only the inner function.
 
 Fake image format (deterministic, codec-free):
 ``b"FIMG"`` magic, then payload bytes interpreted as 8-bit grayscale
@@ -40,6 +42,9 @@ from typing import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import types as T
+
+from protarrow_spark.operators.jpeg import JPEG_MAGIC as _JPEG_MAGIC
+from protarrow_spark.operators.jpeg import decode_jpeg_gray as _decode_jpeg
 
 FAKE_IMAGE_MAGIC = b"FIMG"
 FAKE_IMAGE_MAGIC_HEX = "46494D47"
@@ -244,20 +249,26 @@ def decode_pgm_gray(data: bytes):
 
 
 def decode_real_image(blob: bytes) -> dict:
-    """Real-codec dispatch: uncompressed BMP and binary PGM decode
-    natively (:func:`decode_bmp_gray` / :func:`decode_pgm_gray`);
-    compressed formats (JPEG/PNG/WebP) need an image library this
-    environment doesn't ship — STUB."""
+    """Real-codec dispatch: uncompressed BMP, binary PGM, and baseline
+    JPEG decode natively (:func:`decode_bmp_gray` /
+    :func:`decode_pgm_gray` / :func:`~protarrow_spark.operators.jpeg.
+    decode_jpeg_gray` — the latter a full dependency-free T.81 baseline
+    sequential decoder: Huffman entropy decode, dequant, IDCT);
+    PNG/WebP need a zlib-level codec this path doesn't ship — STUB."""
+    from protarrow_spark.operators.jpeg import decode_jpeg_gray
+
     decoded = decode_bmp_gray(blob)
     if decoded is None:
         decoded = decode_pgm_gray(blob)
+    if decoded is None:
+        decoded = decode_jpeg_gray(blob)
     if decoded is not None:
         w, h, gray = decoded
         return {"width": w, "height": h, "gray": gray}
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG/...) are not available in "
-        "this environment; BMP and PGM decode natively, or use the "
-        "FIMG fake format (decode_image_features)"
+        "PNG/WebP codecs are not available in this environment; BMP, "
+        "PGM, and baseline JPEG decode natively, or use the FIMG fake "
+        "format (decode_image_features)"
     )
 
 
@@ -268,12 +279,14 @@ def decode_image_features(
     width: int = FAKE_IMAGE_WIDTH,
 ) -> DataFrame:
     """Grayscale feature extraction over image blobs via an
-    Arrow-batched ``mapInPandas`` UDF. Three codecs dispatch by magic
+    Arrow-batched ``mapInPandas`` UDF. Four codecs dispatch by magic
     bytes: GENUINE uncompressed 24-bit BMP ('BM', parsed by
     :func:`decode_bmp_gray` — real header/stride/bottom-up handling,
     integer luma), GENUINE binary PGM ('P5',
-    :func:`decode_pgm_gray` — spec header with comments), and the
-    deterministic FIMG fake format. Compressed formats would slot
+    :func:`decode_pgm_gray` — spec header with comments), GENUINE
+    baseline JPEG (SOI 0xFFD8, full T.81 entropy decode + IDCT in
+    :mod:`protarrow_spark.operators.jpeg`), and the deterministic FIMG
+    fake format. Remaining compressed formats (PNG/WebP) would slot
     into :func:`decode_real_image`.
 
     Non-image blobs (no known magic) produce null features — they
@@ -314,17 +327,27 @@ def decode_image_features(
                         data, dtype=np.uint8, offset=len(FAKE_IMAGE_MAGIC)
                     )
                     emit(width, -(-len(px) // width), len(px), px)
-                elif data.startswith(BMP_MAGIC) or data.startswith(PGM_MAGIC):
+                elif (
+                    data.startswith(BMP_MAGIC)
+                    or data.startswith(PGM_MAGIC)
+                    or data.startswith(_JPEG_MAGIC)
+                ):
                     # The decoders return None for magic-prefixed
                     # blobs that are not actually valid files (short
                     # header, non-numeric tokens, truncated raster) —
                     # those take the null path like any non-image, so
-                    # one bad blob cannot abort the whole stage.
-                    decoded = (
-                        decode_bmp_gray(data)
-                        if data.startswith(BMP_MAGIC)
-                        else decode_pgm_gray(data)
-                    )
+                    # one bad blob cannot abort the whole stage. A
+                    # corrupt JPEG scan raises ValueError — treat it
+                    # the same (null row, stage survives).
+                    try:
+                        if data.startswith(BMP_MAGIC):
+                            decoded = decode_bmp_gray(data)
+                        elif data.startswith(PGM_MAGIC):
+                            decoded = decode_pgm_gray(data)
+                        else:
+                            decoded = _decode_jpeg(data)
+                    except ValueError:
+                        decoded = None
                     if decoded is None:
                         for k in (
                             "width", "height", "n_pixels", "pixel_sum", "pixel_max",

@@ -270,6 +270,99 @@ def mm_image_features_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JPEG fixture geometry: 4 blocks wide -> 32-pixel-wide images.
+_JPG_BW = 4
+
+
+def _jpeg_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): even ids become GENUINE baseline
+    JPEGs through the real entropy encoder. Each utf-8 byte of the
+    text fills one constant 8x8 block (grid 4 blocks wide, zero-padded
+    to whole block rows, min 1 row); with the unity quantization table
+    a block-constant raster round-trips EXACTLY (DC-only blocks, unit
+    quant, IDCT of DC is constant — operators/jpeg.py module doc), so
+    the oracle can pin every decoded pixel from the text. Odd ids stay
+    raw text bytes (null path)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import jpeg
+
+    # documents is a single small parquet file; spread the CPU-bound
+    # entropy coding across all cores instead of 1-2 scan partitions.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    bh = max(1, -(-len(data) // _JPG_BW))
+                    grid = np.zeros(bh * _JPG_BW, dtype=np.uint8)
+                    grid[: len(data)] = np.frombuffer(data, np.uint8)
+                    px = np.kron(
+                        grid.reshape(bh, _JPG_BW),
+                        np.ones((8, 8), dtype=np.uint8),
+                    )
+                    blobs.append(
+                        jpeg.encode_jpeg_gray(px, quant=jpeg.QUANT_UNITY)
+                    )
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_jpeg",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_JPG_BW * 8} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(8 * GREATEST(1, CAST(ceil(nb / {_JPG_BW}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_JPG_BW * 64} * GREATEST(1, CAST(ceil(nb / {_JPG_BW}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(64 * coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over GENUINE baseline JPEG bytes — the
+    dominant real-corpus image format, decoded by the dependency-free
+    ITU-T T.81 baseline decoder (marker parse, DHT Huffman entropy
+    decode with byte unstuffing, DPCM DC / run-length AC, dequant,
+    de-zigzag, IDCT, level shift). The fixture's block-constant
+    rasters + unity quant table make the lossy format EXACT here, so
+    the oracle pins every pixel from the source text: any defect in
+    the entropy decoder or IDCT hash-fails. Non-JPEG rows (odd ids)
+    exercise the null path.
+
+    Scale: same Arrow-batched ``mapInPandas`` shape as the other
+    codecs — partition-local, no shuffle, one output row per blob;
+    the per-blob Huffman decode is pure Python (swap in a native
+    decoder for JPEG-heavy corpora; the plumbing stays identical)."""
+    return multimodal.decode_image_features(
+        _jpeg_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 def _wav_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, blob): ids ≡ 1 (mod 4) become GENUINE
     RIFF/WAVE mono PCM16 files (sample_i = (byte_i - 128) * 256);
