@@ -77,88 +77,113 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: table_incremental_rollup families; join_range_bucketed and
 #: text_winnow_fingerprint (r4-green, family-redundant) likewise
 #: rotate out for mine_association_rules and window_ewma_decay.
+#: Round-6 rotation (the largest): 33 of the 50 slots go to queries
+#: NEVER driver-graded in r1-r5 — all hash-parity-green locally via
+#: tests/test_oracle_parity.py, which now also fails on int-vs-float
+#: oracle dtype skew (the r5 grading-hash failure class). Rotated out
+#: (every one gate-green in r4 or r5, family still anchored in-window):
+#: mm_audio_fingerprint_match, dedup_incremental_lsh,
+#: dedup_embedding_lsh_banded, graph_triangle_count, text_quality,
+#: text_repetition_filter, text_decontaminate, text_pii_redact,
+#: text_bpe_encode, text_bm25_topk, pack_sequences, dedup_span_clean,
+#: table_merge_upsert, table_scd2_history, table_incremental_rollup,
+#: sample_stratified_sources, ann_lsh_banded_topk, ann_mmr_select,
+#: sketch_kmv_set_ops, embed_random_projection, q1_pricing_summary,
+#: window_ewma_decay, window_gapfill_resample, window_time_range_sum,
+#: agg_linreg_exact, join_salted_skew, layout_zorder_lineitem,
+#: pipeline_rag_ingest, mine_association_rules, score_unigram_surprisal,
+#: sort_topk_lineitems, stream_cms_topk, stream_interval_join.
 GRADED_FIRST = [
     # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
     "conv_cast_conform",
     "conv_encode_fixture",
     "conv_oneof_roundtrip",
-    # multimodal binary columns (r5: GENUINE 24-bit BMP bytes through
-    # the native dependency-free parser; the fake-format variant stays
-    # pytest-gated)
+    # multimodal real codecs: BMP anchor + the NEW baseline-JPEG
+    # decoder on its first appearance; phash dedup + scene cuts get
+    # their first driver grading (audio fingerprint / PGM / WAV / frame
+    # dedup rotate out, r4/r5-green, same pandas-UDF decode family)
     "mm_image_features_bmp",
-    # audio: the fingerprint-match query subsumes the windowed-feature
-    # pipeline (same pandas-UDF decode) and adds the landmark join
-    "mm_audio_fingerprint_match",
-    # dedup family (r5: the incremental delta-vs-index and the 3-stage
-    # candidates->exact-verify pipelines take the graded slots)
+    "mm_image_features_jpeg",
+    "mm_phash_dedup",
+    "mm_scene_cuts",
+    # dedup: exact + 3-stage verified anchors; the inverted-index
+    # containment variant and the NEW hash-sampled recall audit are
+    # first-time graded (incremental/banded variants rotate out)
     "dedup_exact",
-    "dedup_incremental_lsh",
-    "graph_triangle_count",
     "dedup_lsh_verified",
-    "dedup_embedding_lsh_banded",
-    # cluster collapse: graph_pagerank (below) covers the iterative
-    # graph family with a value-exact oracle; connected components
-    # stays pytest-gated, and the clustering slot goes to the
-    # value-exact integer k-means
-    "cluster_kmeans_int8_exact",
-    # text analysis / training-data prep
-    "text_quality",
-    "text_repetition_filter",
-    # tokenizer family: the BPE TRAINING loop (merge learning) is
-    # graded; BPE-ish token counting stays pytest-gated
-    "text_bpe_train",
-    "window_ewma_decay",
-    "text_decontaminate",
-    "pack_sequences",
-    "dedup_span_clean",
-    # table maintenance (CDC merge; chunking variant stays pytest-gated)
-    "table_merge_upsert",
-    "text_pii_redact",
-    "sample_stratified_sources",
-    # similarity search (r5: int8-quantized + multi-band LSH index)
-    "ann_int8_topk",
-    "ann_lsh_banded_topk",
-    # sketches (r5: KMV set algebra + equi-depth histogram quantiles)
-    "sketch_kmv_set_ops",
-    "text_bm25_topk",
-    "sketch_histogram_quantiles",
-    # embedding dimensionality reduction (sparse JL transform)
-    "embed_random_projection",
-    # core TPC-H shapes (r5: q2's decorrelated-min + pushdown shape
-    # and the end-to-end corpus pipeline take two slots)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "window_gapfill_resample",
-    "pipeline_training_corpus",
-    # aggregation variants (r5: exact OLS regression aggregate)
-    "table_incremental_rollup",
-    "agg_linreg_exact",
-    # join variants
-    "pipeline_rag_ingest",
-    "mine_association_rules",
-    "join_asof_events",
-    "join_salted_skew",
-    # window variants (r5: RANGE-frame time window)
-    "window_time_range_sum",
-    "ann_mmr_select",
-    # data layout
-    "layout_zorder_lineitem",
-    # model-scoring inference + iterative exact graph algorithm
-    "score_unigram_surprisal",
+    "dedup_ngram_containment",
+    "dedup_lsh_recall_sampled",
+    # iterative exact graph + value-exact clustering anchors
     "graph_pagerank",
-    # sort / pivot / table maintenance (r5: SCD2 history build)
-    "sort_topk_lineitems",
-    "table_scd2_history",
-    "text_bpe_encode",
-    # structured streaming (oracle-gated + one stateful rows-only;
-    # the hll sketch query subsumes the watermarked tumbling-window
-    # shape and adds sketch-state streaming — plain window counts
-    # stay pytest-gated)
-    "stream_hll_sketch",
-    "stream_cms_topk",
-    "stream_interval_join",
+    "cluster_kmeans_int8_exact",
+    # text analysis: BPE training anchor + four first-time-graded
+    # members (pair counts, novelty, OOV, chunking); quality/
+    # repetition/decontam/PII/BM25/encode rotate out (r4/r5-green)
+    "text_bpe_train",
+    "text_bpe_pair_counts",
+    "text_novelty_score",
+    "text_oov_rate",
+    "text_chunk_overlap",
+    # table maintenance: snapshot diff + GDPR purge first-time graded
+    # (merge/SCD2/incremental-rollup rotate out, r5-green)
+    "table_snapshot_diff",
+    "table_purge_users",
+    # data-quality rules + MAD outliers, first-time graded
+    "dq_rule_violations",
+    "dq_outlier_mad",
+    # sampling: token-budget mix + train/val/test split, first-time
+    # graded (stratified rotates out, r4/r5-green)
+    "sample_token_budget_mix",
+    "sample_train_val_test",
+    # corpus reporting: vocab Gini + key-skew report, first-time graded
+    "report_vocab_gini",
+    "report_key_skew",
+    # model scoring / LM: greedy bigram generation + bigram surprisal,
+    # first-time graded (unigram surprisal rotates out, r5-green)
+    "lm_bigram_generate",
+    "score_bigram_surprisal",
+    # similarity search + sketch anchors (int8 ANN, equi-depth hist)
+    "ann_int8_topk",
+    "sketch_histogram_quantiles",
+    # embeddings: doc mean-pool + feature-hash chunks, first-time
+    # graded (random projection rotates out, r5-green)
+    "embed_doc_meanpool",
+    "embed_feature_hash_chunks",
+    # TPC-H: q2 (decorrelated-min pushdown anchor) + three shapes
+    # never driver-graded (q9 profit, q12 shipmode counts — r6 dtype
+    # alignment, q18 large orders); q1 rotates out (green since r1,
+    # still the entry() flagship + headline bench)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q12_priority_lines",
+    "q18_large_orders",
+    # windows: funnel stages + percent_rank, first-time graded
+    # (EWMA/gap-fill/RANGE-frame rotate out, r5-green)
+    "window_funnel_stages",
+    "window_percent_rank_price",
+    # aggregations: exact correlation + cohort retention, first-time
+    # graded (linreg rotates out, r5-green)
+    "agg_corr_exact",
+    "agg_cohort_retention",
+    # joins: as-of anchor + SCD2-as-of and bloom-prefilter first-time
+    # graded (salted-skew rotates out, r4/r5-green)
+    "join_asof_events",
+    "join_scd2_asof",
+    "join_bloom_prefilter",
+    # layout: compaction binning first-time graded (z-order rotates
+    # out, r4/r5-green)
+    "layout_compaction_bins",
+    # end-to-end corpus pipeline anchor
+    "pipeline_training_corpus",
+    # structured streaming: the r6-fixed stateful readout MUST be
+    # re-graded; HLL sketch anchor; drift monitor + stream-static
+    # enrich first-time graded (CMS top-k / interval join rotate out,
+    # r5-green)
     "stream_stateful_user_totals",
+    "stream_hll_sketch",
+    "stream_drift_l1",
+    "stream_static_enrich",
 ]
 
 
