@@ -125,6 +125,7 @@ HEADLINE = [
     "conv_oneof_roundtrip",
     "mm_image_features_bmp",
     "mm_image_features_jpeg",
+    "mm_image_features_png",
     "mm_audio_windows_wav",
     "dedup_incremental_lsh",
     "sketch_histogram_quantiles",

@@ -45,6 +45,8 @@ from pyspark.sql import types as T
 
 from protarrow_spark.operators.jpeg import JPEG_MAGIC as _JPEG_MAGIC
 from protarrow_spark.operators.jpeg import decode_jpeg_gray as _decode_jpeg
+from protarrow_spark.operators.png import PNG_MAGIC as _PNG_MAGIC
+from protarrow_spark.operators.png import decode_png_gray as _decode_png
 
 FAKE_IMAGE_MAGIC = b"FIMG"
 FAKE_IMAGE_MAGIC_HEX = "46494D47"
@@ -249,26 +251,28 @@ def decode_pgm_gray(data: bytes):
 
 
 def decode_real_image(blob: bytes) -> dict:
-    """Real-codec dispatch: uncompressed BMP, binary PGM, and baseline
-    JPEG decode natively (:func:`decode_bmp_gray` /
-    :func:`decode_pgm_gray` / :func:`~protarrow_spark.operators.jpeg.
-    decode_jpeg_gray` — the latter a full dependency-free T.81 baseline
-    sequential decoder: Huffman entropy decode, dequant, IDCT);
-    PNG/WebP need a zlib-level codec this path doesn't ship — STUB."""
+    """Real-codec dispatch: uncompressed BMP, binary PGM, PNG
+    (gray/truecolor, stdlib zlib inflate + all five filters), and
+    baseline JPEG (full dependency-free T.81 sequential decoder:
+    Huffman entropy decode, dequant, IDCT) decode natively; WebP/GIF
+    remain stubs."""
     from protarrow_spark.operators.jpeg import decode_jpeg_gray
+    from protarrow_spark.operators.png import decode_png_gray
 
     decoded = decode_bmp_gray(blob)
     if decoded is None:
         decoded = decode_pgm_gray(blob)
+    if decoded is None:
+        decoded = decode_png_gray(blob)
     if decoded is None:
         decoded = decode_jpeg_gray(blob)
     if decoded is not None:
         w, h, gray = decoded
         return {"width": w, "height": h, "gray": gray}
     raise NotImplementedError(
-        "PNG/WebP codecs are not available in this environment; BMP, "
-        "PGM, and baseline JPEG decode natively, or use the FIMG fake "
-        "format (decode_image_features)"
+        "WebP/GIF codecs are not available in this environment; BMP, "
+        "PGM, PNG (gray + truecolor), and baseline JPEG decode "
+        "natively, or use the FIMG fake format (decode_image_features)"
     )
 
 
@@ -331,6 +335,7 @@ def decode_image_features(
                     data.startswith(BMP_MAGIC)
                     or data.startswith(PGM_MAGIC)
                     or data.startswith(_JPEG_MAGIC)
+                    or data.startswith(_PNG_MAGIC)
                 ):
                     # The decoders return None for magic-prefixed
                     # blobs that are not actually valid files (short
@@ -344,6 +349,8 @@ def decode_image_features(
                             decoded = decode_bmp_gray(data)
                         elif data.startswith(PGM_MAGIC):
                             decoded = decode_pgm_gray(data)
+                        elif data.startswith(_PNG_MAGIC):
+                            decoded = _decode_png(data)
                         else:
                             decoded = _decode_jpeg(data)
                     except ValueError:

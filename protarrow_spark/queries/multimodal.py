@@ -319,6 +319,94 @@ def _jpeg_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(build, "doc_id long, blob binary")
 
 
+def _png_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): ids ≡ 0 (mod 4) become GENUINE
+    grayscale PNGs (pixels = utf-8 bytes of text, 16 wide,
+    zero-padded, row filters cycling through all five spec filter
+    types); ids ≡ 2 (mod 4) become GENUINE truecolor PNGs whose
+    channels are (byte, byte, byte) — integer BT.601 luma of equal
+    channels is the identity, so BOTH variants reproduce the text
+    bytes exactly (PNG is lossless). Odd ids stay raw text (null
+    path)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import png
+
+    # spread the CPU-bound filter+deflate work across all cores (the
+    # documents table is a single small parquet file -> 1-2 scan
+    # partitions otherwise)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    h = max(1, -(-len(data) // _BMP_W))
+                    px = np.zeros(h * _BMP_W, dtype=np.uint8)
+                    px[: len(data)] = np.frombuffer(data, np.uint8)
+                    px = px.reshape(h, _BMP_W)
+                    if doc_id % 4 == 0:
+                        blobs.append(png.encode_png(px))
+                    else:
+                        rgb = np.repeat(px[..., None], 3, axis=2)
+                        blobs.append(png.encode_png(rgb, color=True))
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_png",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_BMP_W} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_BMP_W} * GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over GENUINE PNG bytes — the first COMPRESSED
+    lossless format through the real-codec path (stdlib zlib inflate;
+    the chunk framing, CRCs, and all five scanline filters are parsed
+    by the dependency-free decoder in ``operators/png.py``). The
+    fixture alternates grayscale and truecolor variants and cycles
+    every filter type across rows; PNG's losslessness means the oracle
+    pins every pixel from the source text with no construction tricks.
+    Odd ids exercise the null path.
+
+    Scale: same Arrow-batched ``mapInPandas`` shape as the other
+    codecs — partition-local, no shuffle, one output row per blob;
+    inflate + vectorized unfiltering are numpy/zlib-C throughout
+    except the Average/Paeth rows."""
+    return multimodal.decode_image_features(
+        _png_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 @query(
     "mm_image_features_jpeg",
     oracle=f"""

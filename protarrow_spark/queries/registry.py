@@ -99,13 +99,13 @@ GRADED_FIRST = [
     "conv_cast_conform",
     "conv_encode_fixture",
     "conv_oneof_roundtrip",
-    # multimodal real codecs: BMP anchor + the NEW baseline-JPEG
-    # decoder on its first appearance; phash dedup + scene cuts get
-    # their first driver grading (audio fingerprint / PGM / WAV / frame
-    # dedup rotate out, r4/r5-green, same pandas-UDF decode family)
+    # multimodal real codecs: BMP anchor + the NEW baseline-JPEG and
+    # PNG decoders on their first appearance; scene cuts gets its
+    # first driver grading (audio fingerprint / PGM / WAV / phash /
+    # frame dedup rotate out or wait, same pandas-UDF decode family)
     "mm_image_features_bmp",
     "mm_image_features_jpeg",
-    "mm_phash_dedup",
+    "mm_image_features_png",
     "mm_scene_cuts",
     # dedup: exact + 3-stage verified anchors; the inverted-index
     # containment variant and the NEW hash-sampled recall audit are

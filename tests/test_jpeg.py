@@ -175,5 +175,5 @@ def test_decode_real_image_dispatches_jpeg():
     out = decode_real_image(encode_jpeg_gray(GOLDEN_PIXELS, quant=QUANT_UNITY))
     assert out["width"] == 16 and out["height"] == 16
     assert np.array_equal(out["gray"], GOLDEN_PIXELS)
-    with pytest.raises(NotImplementedError):  # PNG still a stub
-        decode_real_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):  # WebP still a stub
+        decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 64)
