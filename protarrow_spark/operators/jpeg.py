@@ -116,10 +116,16 @@ def _dct_matrix():
 
 def _build_codes(bits, huffval):
     """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 C.2 — codes
-    assigned in increasing length order, counting up within a length."""
+    assigned in increasing length order, counting up within a length.
+    Raises ValueError on a malformed table (BITS describing more codes
+    than HUFFVAL supplies, or than length-N prefixes exist)."""
+    if sum(bits) > len(huffval):
+        raise ValueError("DHT BITS describe more codes than HUFFVAL holds")
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("DHT BITS overflow the prefix space")
             codes[huffval[k]] = (code, length)
             code += 1
             k += 1
@@ -326,6 +332,8 @@ def decode_jpeg_gray(data: bytes):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quantization tables")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT table")
                 zz_table = payload[p + 1 : p + 65]
                 raster = [0] * 64
                 for i in range(64):
@@ -335,6 +343,8 @@ def decode_jpeg_gray(data: bytes):
         elif marker == _M_DHT:
             p = 0
             while p < len(payload):
+                if p + 17 > len(payload):
+                    raise ValueError("truncated DHT table")
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
@@ -351,6 +361,8 @@ def decode_jpeg_gray(data: bytes):
                 "only baseline sequential (SOF0) is supported"
             )
         elif marker == _M_SOF0:
+            if len(payload) < 9:
+                raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
@@ -363,16 +375,26 @@ def decode_jpeg_gray(data: bytes):
                 raise NotImplementedError("subsampled single component")
             frame = (w, h, comp_id, tq)
         elif marker == _M_DRI:
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             if struct.unpack(">H", payload[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")
         elif marker == _M_SOS:
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if len(payload) < 6:
+                raise ValueError("truncated SOS segment")
             ns = payload[0]
             if ns != 1:
                 raise NotImplementedError("multi-component scan")
             td, ta = payload[2] >> 4, payload[2] & 0x0F
             w, h, _comp_id, tq = frame
+            if tq not in quant_tables:
+                raise ValueError(f"SOF references undefined DQT table {tq}")
+            if (0, td) not in huff_tables or (1, ta) not in huff_tables:
+                raise ValueError(
+                    f"SOS references undefined DHT table (dc={td}, ac={ta})"
+                )
             return _decode_scan(
                 data, pos, w, h,
                 quant_tables[tq],

@@ -122,7 +122,7 @@ def decode_png_gray(data: bytes):
         length = struct.unpack(">I", data[pos : pos + 4])[0]
         ctype = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        if len(payload) != length or pos + 12 + length > len(data):
             raise ValueError(f"truncated {ctype!r} chunk")
         crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:

@@ -1,0 +1,96 @@
+"""Total-function fuzz contract for every real-format decoder.
+
+At corpus scale a decode UDF sees arbitrary bytes — scraped files,
+truncated downloads, bit rot. The operator contract is that a decoder
+either returns a value, returns None (not this format), or raises
+ValueError / NotImplementedError (both handled by the null path in
+decode_image_features); ANY other exception (IndexError, struct.error,
+zlib.error, OverflowError, infinite loop) would kill the whole Spark
+stage. These hypothesis tests pin that contract over random garbage,
+magic-prefixed garbage, truncations, and bit flips of valid files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from protarrow_spark.operators.jpeg import (
+    QUANT_UNITY,
+    encode_jpeg_gray,
+    decode_jpeg_gray,
+)
+from protarrow_spark.operators.multimodal import (
+    decode_bmp_gray,
+    decode_pgm_gray,
+    decode_wav_pcm16,
+    encode_bmp_gray,
+    encode_pgm_gray,
+    encode_wav_pcm16,
+)
+from protarrow_spark.operators.png import decode_png_gray, encode_png
+
+_IMG = (np.arange(256, dtype=np.uint8).reshape(16, 16) * 7 % 256).astype(np.uint8)
+VALID = {
+    "jpeg": encode_jpeg_gray(_IMG, quant=QUANT_UNITY),
+    "png": encode_png(_IMG),
+    "bmp": encode_bmp_gray(_IMG),
+    "pgm": encode_pgm_gray(_IMG),
+    "wav": encode_wav_pcm16((_IMG.astype(np.int16).flatten() - 128) * 256),
+}
+DECODERS = {
+    "jpeg": decode_jpeg_gray,
+    "png": decode_png_gray,
+    "bmp": decode_bmp_gray,
+    "pgm": decode_pgm_gray,
+    "wav": decode_wav_pcm16,
+}
+MAGICS = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"RIFF", b""]
+
+
+def _assert_total(data: bytes) -> None:
+    for name, dec in DECODERS.items():
+        try:
+            dec(data)
+        except (ValueError, NotImplementedError):
+            pass  # the contract's error channel — operator null path
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prefix=st.sampled_from(MAGICS),
+    body=st.binary(min_size=0, max_size=400),
+)
+def test_decoders_total_on_magic_prefixed_garbage(prefix, body):
+    _assert_total(prefix + body)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(VALID)),
+    cut=st.integers(min_value=0, max_value=1000),
+)
+def test_decoders_total_on_truncations(fmt, cut):
+    blob = VALID[fmt]
+    _assert_total(blob[: cut % (len(blob) + 1)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(VALID)),
+    pos=st.integers(min_value=0, max_value=10**9),
+    mask=st.integers(min_value=1, max_value=255),
+)
+def test_decoders_total_on_bit_flips(fmt, pos, mask):
+    blob = bytearray(VALID[fmt])
+    blob[pos % len(blob)] ^= mask
+    _assert_total(bytes(blob))
+
+
+@pytest.mark.parametrize("fmt", sorted(VALID))
+def test_valid_blobs_still_decode(fmt):
+    """The fuzz fixtures themselves are genuine decodable files."""
+    out = DECODERS[fmt](VALID[fmt])
+    assert out is not None
