@@ -126,6 +126,7 @@ HEADLINE = [
     "mm_image_features_bmp",
     "mm_image_features_jpeg",
     "mm_image_features_png",
+    "mm_image_features_gif",
     "mm_audio_windows_wav",
     "dedup_incremental_lsh",
     "sketch_histogram_quantiles",

@@ -45,6 +45,8 @@ from pyspark.sql import types as T
 
 from protarrow_spark.operators.jpeg import JPEG_MAGIC as _JPEG_MAGIC
 from protarrow_spark.operators.jpeg import decode_jpeg_gray as _decode_jpeg
+from protarrow_spark.operators.gif import GIF_MAGICS as _GIF_MAGICS
+from protarrow_spark.operators.gif import decode_gif_gray as _decode_gif
 from protarrow_spark.operators.png import PNG_MAGIC as _PNG_MAGIC
 from protarrow_spark.operators.png import decode_png_gray as _decode_png
 
@@ -256,6 +258,7 @@ def decode_real_image(blob: bytes) -> dict:
     baseline JPEG (full dependency-free T.81 sequential decoder:
     Huffman entropy decode, dequant, IDCT) decode natively; WebP/GIF
     remain stubs."""
+    from protarrow_spark.operators.gif import decode_gif_gray
     from protarrow_spark.operators.jpeg import decode_jpeg_gray
     from protarrow_spark.operators.png import decode_png_gray
 
@@ -265,13 +268,15 @@ def decode_real_image(blob: bytes) -> dict:
     if decoded is None:
         decoded = decode_png_gray(blob)
     if decoded is None:
+        decoded = decode_gif_gray(blob)
+    if decoded is None:
         decoded = decode_jpeg_gray(blob)
     if decoded is not None:
         w, h, gray = decoded
         return {"width": w, "height": h, "gray": gray}
     raise NotImplementedError(
-        "WebP/GIF codecs are not available in this environment; BMP, "
-        "PGM, PNG (gray + truecolor), and baseline JPEG decode "
+        "WebP is not decodable in this environment (VP8); BMP, PGM, "
+        "PNG (gray + truecolor), GIF (LZW), and baseline JPEG decode "
         "natively, or use the FIMG fake format (decode_image_features)"
     )
 
@@ -336,6 +341,7 @@ def decode_image_features(
                     or data.startswith(PGM_MAGIC)
                     or data.startswith(_JPEG_MAGIC)
                     or data.startswith(_PNG_MAGIC)
+                    or data.startswith(_GIF_MAGICS)
                 ):
                     # The decoders return None for magic-prefixed
                     # blobs that are not actually valid files (short
@@ -351,6 +357,8 @@ def decode_image_features(
                             decoded = decode_pgm_gray(data)
                         elif data.startswith(_PNG_MAGIC):
                             decoded = _decode_png(data)
+                        elif data.startswith(_GIF_MAGICS):
+                            decoded = _decode_gif(data)
                         else:
                             decoded = _decode_jpeg(data)
                     except ValueError:

@@ -407,6 +407,81 @@ def mm_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gif_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): even ids become GENUINE GIF89a
+    files through the real LZW compressor (gray palette, index ==
+    intensity, so decode is exactly the source bytes — GIF is
+    lossless); odd ids stay raw text (null path)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import gif
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    h = max(1, -(-len(data) // _BMP_W))
+                    px = np.zeros(h * _BMP_W, dtype=np.uint8)
+                    px[: len(data)] = np.frombuffer(data, np.uint8)
+                    blobs.append(gif.encode_gif_gray(px.reshape(h, _BMP_W)))
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_gif",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_BMP_W} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_BMP_W} * GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over GENUINE GIF bytes — the LZW-compressed
+    palette format through the dependency-free decoder in
+    ``operators/gif.py`` (sub-block deframing, variable-width LZW with
+    clear/EOI and dictionary resets, palette luma). GIF is lossless
+    with the identity gray palette, so the oracle pins every decoded
+    pixel from the source text; a broken LZW table or sub-block walk
+    hash-fails. Odd ids exercise the null path.
+
+    Scale: same Arrow-batched ``mapInPandas`` shape as the other
+    codecs; LZW here is pure Python — fine for metadata extraction,
+    swap in a native decoder for GIF-heavy corpora (plumbing
+    unchanged)."""
+    return multimodal.decode_image_features(
+        _gif_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 @query(
     "mm_image_features_jpeg",
     oracle=f"""

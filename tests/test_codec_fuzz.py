@@ -30,12 +30,14 @@ from protarrow_spark.operators.multimodal import (
     encode_pgm_gray,
     encode_wav_pcm16,
 )
+from protarrow_spark.operators.gif import decode_gif_gray, encode_gif_gray
 from protarrow_spark.operators.png import decode_png_gray, encode_png
 
 _IMG = (np.arange(256, dtype=np.uint8).reshape(16, 16) * 7 % 256).astype(np.uint8)
 VALID = {
     "jpeg": encode_jpeg_gray(_IMG, quant=QUANT_UNITY),
     "png": encode_png(_IMG),
+    "gif": encode_gif_gray(_IMG),
     "bmp": encode_bmp_gray(_IMG),
     "pgm": encode_pgm_gray(_IMG),
     "wav": encode_wav_pcm16((_IMG.astype(np.int16).flatten() - 128) * 256),
@@ -43,11 +45,12 @@ VALID = {
 DECODERS = {
     "jpeg": decode_jpeg_gray,
     "png": decode_png_gray,
+    "gif": decode_gif_gray,
     "bmp": decode_bmp_gray,
     "pgm": decode_pgm_gray,
     "wav": decode_wav_pcm16,
 }
-MAGICS = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"BM", b"P5", b"RIFF", b""]
+MAGICS = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"P5", b"RIFF", b""]
 
 
 def _assert_total(data: bytes) -> None:

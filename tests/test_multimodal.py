@@ -64,8 +64,10 @@ def test_image_features_values_and_nulls(spark) -> None:
 
 
 def test_real_codec_is_explicit_stub() -> None:
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_real_image(b"\x89PNG")
+    # PNG/GIF/JPEG are real decoders now; WebP remains the documented
+    # boundary of the dependency-free dispatch.
+    with pytest.raises(NotImplementedError, match="WebP"):
+        multimodal.decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 MEDIA_META = MessageType(
@@ -260,8 +262,8 @@ def test_real_dispatch_decodes_native_formats() -> None:
     assert out["width"] == 2 and out["height"] == 2
     aud = multimodal.decode_real_audio(_GOLDEN_WAV)
     assert aud["bits"] == 16 and len(aud["samples"]) == 3
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_real_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError, match="WebP"):
+        multimodal.decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_real_audio(b"ID3\x04mp3data")
 
