@@ -128,6 +128,7 @@ HEADLINE = [
     "mm_image_features_png",
     "mm_image_features_gif",
     "mm_audio_windows_wav",
+    "mm_audio_windows_ulaw",
     "dedup_incremental_lsh",
     "sketch_histogram_quantiles",
     "window_time_range_sum",

@@ -471,41 +471,117 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
 
 
+#: WAVE format tags (public RIFF registry): linear PCM, A-law, µ-law.
+WAV_FMT_PCM = 1
+WAV_FMT_ALAW = 6
+WAV_FMT_ULAW = 7
+
+
+def _g711_ulaw_table():
+    """µ-law codeword -> int16 linear, ITU-T G.711 expansion: invert
+    the byte, split sign/exponent/mantissa, magnitude =
+    (((mant << 3) + 0x84) << exp) - 0x84 (the classic 16-bit-scaled
+    form, max 32124)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        out[b] = -mag if u & 0x80 else mag
+    return out
+
+
+def _g711_alaw_table():
+    """A-law codeword -> int16 linear, ITU-T G.711: XOR 0x55, segment
+    0 is linear, higher segments shift; scaled <<3 to 16-bit range
+    (max 32256)."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 7
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if a & 0x80 else -t
+    return out
+
+
+def encode_wav_g711(codewords, law: int = WAV_FMT_ULAW, sample_rate: int = 8000) -> bytes:
+    """Raw 8-bit G.711 codewords -> a GENUINE RIFF/WAVE file with
+    format tag 6 (A-law) or 7 (µ-law), mono 8-bit — the telephony
+    container. The fixture path: the data chunk stores the codewords
+    verbatim, so the decoder's expansion table is what gets tested."""
+    import struct as _struct
+
+    import numpy as np
+
+    raw = np.asarray(codewords, dtype=np.uint8).tobytes()
+    fmt = _struct.pack("<HHIIHH", law, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+
+
 def decode_wav_pcm16(data: bytes):
     """Parse a REAL RIFF/WAVE file: walk the chunk list (ids +
     little-endian sizes, odd sizes padded to even per the spec), read
-    the 'fmt ' chunk, and return the 'data' chunk as an int16 numpy
-    array. Returns None when the blob is not RIFF/WAVE; raises
-    ``NotImplementedError`` for encodings beyond mono PCM16 (float,
-    ADPCM, multi-channel) — the honest boundary of the
+    the 'fmt ' chunk, and return int16 linear samples. Linear PCM16
+    (format 1) returns the data chunk as-is; G.711 A-law / µ-law
+    (formats 6/7, mono 8-bit — the telephony encodings) expand through
+    the exact ITU-T tables. Returns None when the blob is not
+    RIFF/WAVE; raises ``NotImplementedError`` for other encodings
+    (float, ADPCM, multi-channel) — the honest boundary of the
     dependency-free codec."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
         return None
     pos = 12
-    fmt_ok = False
-    samples = None
+    fmt_tag = None
+    raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             audio_format = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_format != 1 or channels != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only mono PCM16 WAV supported (format={audio_format} "
-                    f"ch={channels} bits={bits})"
+            ok = (
+                (audio_format == WAV_FMT_PCM and channels == 1 and bits == 16)
+                or (
+                    audio_format in (WAV_FMT_ALAW, WAV_FMT_ULAW)
+                    and channels == 1
+                    and bits == 8
                 )
-            fmt_ok = True
+            )
+            if not ok:
+                raise NotImplementedError(
+                    f"only mono PCM16 / G.711 WAV supported "
+                    f"(format={audio_format} ch={channels} bits={bits})"
+                )
+            fmt_tag = audio_format
         elif cid == b"data":
-            samples = np.frombuffer(body[: sz - (sz % 2)], dtype="<i2")
+            raw = body
         pos += 8 + sz + (sz & 1)  # chunks are padded to even offsets
-    if not fmt_ok or samples is None:
+    if fmt_tag is None or raw is None:
         return None
-    return samples
+    if fmt_tag == WAV_FMT_PCM:
+        return np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
+    table = _g711_ulaw_table() if fmt_tag == WAV_FMT_ULAW else _g711_alaw_table()
+    return table[np.frombuffer(raw, dtype=np.uint8)]
 
 
 def decode_real_audio(blob: bytes) -> dict:

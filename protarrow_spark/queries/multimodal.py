@@ -592,6 +592,90 @@ def mm_audio_windows_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ulaw_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): ids ≡ 3 (mod 4) become GENUINE
+    G.711 µ-law RIFF/WAVE files (format tag 7, mono 8-bit) whose data
+    chunk stores the utf-8 text bytes verbatim as codewords — the
+    decoder's ITU-T expansion table is exactly what the oracle then
+    recomputes; the rest stay raw text bytes (skip path)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 4 == 3:
+                    blobs.append(
+                        multimodal.encode_wav_g711(
+                            np.frombuffer(data, np.uint8),
+                            law=multimodal.WAV_FMT_ULAW,
+                        )
+                    )
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+#: µ-law expansion in SQL: u = inverted codeword; magnitude =
+#: ((mant*8 + 132) << exp) - 132; sign bit of u negates. Mirrors
+#: multimodal._g711_ulaw_table (Sun g711.c convention) bit-for-bit.
+def _ulaw_sql(byte_expr: str) -> str:
+    u = f"(255 - ({byte_expr}))"
+    mag = f"((({u} % 16) * 8 + 132) * (1 << (({u} // 16) % 8)) - 132)"
+    return f"(CASE WHEN {u} >= 128 THEN -{mag} ELSE {mag} END)"
+
+
+@query(
+    "mm_audio_windows_ulaw",
+    oracle=f"""
+WITH aud AS (
+  SELECT doc_id, hex(encode(text)) AS ph
+  FROM documents WHERE doc_id % 4 = 3
+),
+samples AS (
+  SELECT doc_id,
+         i - 1 AS si,
+         (i - 1) // {multimodal.AUDIO_WINDOW} AS win_idx,
+         {_ulaw_sql(_byteval('ph', 'i'))} AS v
+  FROM aud, LATERAL unnest(range(1, len(ph) // 2 + 1)) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, win_idx, v,
+         CASE WHEN si % {multimodal.AUDIO_WINDOW} > 0
+               AND (v >= 0) <> (LAG(v) OVER (PARTITION BY doc_id ORDER BY si) >= 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM samples
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy_sum,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM flagged
+GROUP BY doc_id, win_idx
+""",
+)
+def mm_audio_windows_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over GENUINE G.711 µ-law telephony WAV
+    bytes: the operator's chunk parser reads format tag 7 and expands
+    every 8-bit codeword through the exact ITU-T µ-law table; the
+    oracle recomputes the expansion algebraically from the source
+    bytes, so a single wrong table entry (sign convention, bias,
+    segment shift) hash-fails. Non-WAV rows exercise the skip path.
+
+    Scale: identical shape to mm_audio_windows_wav — Arrow-batched
+    ``mapInPandas`` decode, windowed integer aggregation, no extra
+    shuffle."""
+    return multimodal.audio_window_features(
+        _ulaw_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 _RS_W = multimodal.FAKE_IMAGE_WIDTH
 _RS_F = 2
 _RS_NEW_W = -(-_RS_W // _RS_F)

@@ -28,6 +28,7 @@ from protarrow_spark.operators.multimodal import (
     decode_wav_pcm16,
     encode_bmp_gray,
     encode_pgm_gray,
+    encode_wav_g711,
     encode_wav_pcm16,
 )
 from protarrow_spark.operators.gif import decode_gif_gray, encode_gif_gray
@@ -41,6 +42,7 @@ VALID = {
     "bmp": encode_bmp_gray(_IMG),
     "pgm": encode_pgm_gray(_IMG),
     "wav": encode_wav_pcm16((_IMG.astype(np.int16).flatten() - 128) * 256),
+    "wav_ulaw": encode_wav_g711(_IMG.flatten()),
 }
 DECODERS = {
     "jpeg": decode_jpeg_gray,
@@ -49,6 +51,7 @@ DECODERS = {
     "bmp": decode_bmp_gray,
     "pgm": decode_pgm_gray,
     "wav": decode_wav_pcm16,
+    "wav_ulaw": decode_wav_pcm16,
 }
 MAGICS = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"P5", b"RIFF", b""]
 

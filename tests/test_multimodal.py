@@ -302,3 +302,46 @@ def test_audio_windows_real_wav_through_operator(spark) -> None:
     assert rows[0]["energy_sum"] == sum(v * v for v in seg)
     zc = sum((seg[i] >= 0) != (seg[i - 1] >= 0) for i in range(1, 64))
     assert rows[0]["zero_crossings"] == zc
+
+
+def test_g711_ulaw_table_anchors() -> None:
+    """ITU-T G.711 µ-law expansion, Sun g711.c sign convention:
+    codeword 0xFF/0x7F -> ±0, 0x80 -> +32124 (max), 0x00 -> -32124."""
+    t = multimodal._g711_ulaw_table()
+    assert t[0xFF] == 0 and t[0x7F] == 0
+    assert t[0x80] == 32124 and t[0x00] == -32124
+    import numpy as np
+
+    pos = t[np.arange(0x80, 0x100)].astype(int)
+    assert (np.diff(pos) <= 0).all() and pos[-1] == 0  # monotone to 0
+
+
+def test_g711_alaw_table_anchors() -> None:
+    t = multimodal._g711_alaw_table()
+    assert t[0x55] == -8 and t[0xD5] == 8  # smallest magnitudes
+    assert t[0xAA] == 32256 and t[0x2A] == -32256  # extremes
+
+
+def test_g711_wav_container_roundtrip() -> None:
+    import numpy as np
+
+    cw = np.arange(256, dtype=np.uint8)
+    for law, table in (
+        (multimodal.WAV_FMT_ULAW, multimodal._g711_ulaw_table()),
+        (multimodal.WAV_FMT_ALAW, multimodal._g711_alaw_table()),
+    ):
+        blob = multimodal.encode_wav_g711(cw, law=law)
+        out = multimodal.decode_wav_pcm16(blob)
+        assert np.array_equal(out, table[cw])
+
+
+def test_wav_float_format_still_raises() -> None:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with pytest.raises(NotImplementedError, match="PCM16 / G.711"):
+        multimodal.decode_wav_pcm16(blob)
