@@ -109,6 +109,7 @@ HEADLINE = [
     "mm_audio_fingerprint_match",
     "dq_rule_violations",
     "dq_outlier_mad",
+    "dq_k_anonymity",
     "dedup_ngram_containment",
     "table_purge_users",
     "cluster_kmeans_int8_exact",

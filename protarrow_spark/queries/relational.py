@@ -2157,6 +2157,68 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-anonymity threshold for the privacy audit.
+K_ANON = 5
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+WITH q AS (
+  SELECT c_nationkey AS nation,
+         c_mktsegment AS segment,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_band,
+         c_custkey
+  FROM customer
+),
+g AS (
+  SELECT nation, segment, bal_band, COUNT(*) AS group_size
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT nation, segment, bal_band,
+       CAST(group_size AS BIGINT) AS group_size,
+       group_size < {K_ANON} AS violates_k
+FROM g
+WHERE group_size < {K_ANON * 4}
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the privacy
+    gate a dataset release runs before publishing: any combination of
+    quasi-identifiers (here nation x market segment x balance band)
+    shared by fewer than k individuals re-identifies them. Reports
+    every small group (below 4k, so the audit shows the margin, not
+    just the violations) with its size and violation flag.
+
+    Scale: one hash aggregation on the quasi-identifier tuple — the
+    report is group-cardinality-sized, never row-sized; the fact table
+    is scanned once with no joins. Suppression/generalization would
+    consume this report as its work list.
+
+    Output: nation, segment, bal_band, group_size, violates_k.
+    """
+    cust = table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg").alias(
+            "bal_band"
+        ),
+    )
+    return (
+        q.groupBy("nation", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < K_ANON * 4)
+        .select(
+            "nation",
+            "segment",
+            "bal_band",
+            "group_size",
+            (F.col("group_size") < K_ANON).alias("violates_k"),
+        )
+    )
+
+
 @query(
     "dq_rule_violations",
     oracle="""
