@@ -136,6 +136,12 @@ HEADLINE = [
     # winnowing joined the headline set after the interpreted-HOF
     # recompute fix (it was the one operator with superlinear cost)
     "text_winnow_fingerprint",
+    "dedup_semdedup",
+    "text_boilerplate_ngrams",
+    "sample_temperature_mix",
+    "window_cusum_changepoint",
+    "dq_referential_integrity",
+    "sample_perplexity_filter",
 ]
 
 
@@ -222,7 +228,10 @@ def main() -> None:
     # Self-recorded artifact: the driver's capture truncates long JSON
     # tails (BENCH_r04 lost 14 of 80 per-query timings), so persist
     # the complete payload next to the repo-root BENCH_r*.json files.
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    # Subset sweeps (SPARK_GRAFT_BENCH_QUERIES) default to a separate
+    # file so a targeted run never clobbers the full headline artifact.
+    default_out = "BENCH_SUBSET.json" if only else "BENCH_LOCAL.json"
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     try:
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1)

@@ -909,3 +909,78 @@ def mmr_select_int8(
         F.col("max_sim").cast("long").alias("max_sim"),
         F.col("mmr2").cast("long").alias("mmr2"),
     )
+
+
+#: SemDeDup within-cluster near-duplicate threshold, as the exact
+#: integer fraction cos >= SEMDEDUP_COS_NUM / SEMDEDUP_COS_DEN.
+SEMDEDUP_COS_NUM = 2
+SEMDEDUP_COS_DEN = 5
+
+
+def semdedup_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = KMEANS8_K,
+    iterations: int = KMEANS8_ITER,
+    cos_num: int = SEMDEDUP_COS_NUM,
+    cos_den: int = SEMDEDUP_COS_DEN,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means the embedding space, then remove
+    near-duplicates ONLY within each cluster — the cluster step turns
+    the quadratic all-pairs problem into k independent, bounded
+    sub-problems (the paper runs it on 1.3B LAION embeddings).
+
+    This variant is VALUE-exact end-to-end: clustering is
+    ``kmeans_int8_exact`` (integer Lloyd's over int8-quantized
+    vectors), and the within-cluster near-dup test compares integer
+    cross-multiplications instead of float cosines —
+    ``dot > 0 and den^2*dot^2 >= num^2*|a|^2*|b|^2`` is exactly
+    ``cos >= num/den`` with zero rounding (|dot| <= 127^2*64 keeps
+    every product far inside int64). The keep rule is the standard
+    greedy one: a vector is removed iff some SMALLER-id vector in its
+    cluster is a near-dup of it, so the minimum id of every dup group
+    survives, deterministically.
+
+    Scale: assignment never shuffles the corpus (broadcast centroids,
+    Arrow-batched argmin); the pairwise stage is ONE shuffle keyed on
+    cluster id, and each cluster's Gram matrix is a single int64 BLAS
+    matmul. Cluster population is bounded by choosing k proportional
+    to corpus size (the paper uses n/k ~ 1e5); for clusters beyond
+    memory, block the Gram matrix row-band by row-band — the keep
+    rule only ever looks DOWN the id order, so banding preserves it.
+
+    Output: (id, cluster, kept 1/0) for every input vector.
+    """
+    assign = kmeans_int8_exact(corpus, id_col, vec_col, k=k, iterations=iterations)
+    qz = quantize_int8(corpus, id_col, vec_col).select(F.col(id_col), F.col("q"))
+    clustered = qz.join(assign, id_col)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    num2, den2 = cos_num * cos_num, cos_den * cos_den
+
+    def flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["q"].values])[order]
+        G = V @ V.T  # exact: |entries| <= 127^2 * dim << 2^53
+        n2 = np.diag(G)
+        n = len(ids)
+        removed = np.zeros(n, dtype=bool)
+        if n > 1:
+            iu, ju = np.triu_indices(n, 1)
+            d = G[iu, ju]
+            dup = (d > 0) & (den2 * d * d >= num2 * n2[iu] * n2[ju])
+            removed[np.unique(ju[dup])] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "kept": (~removed).astype(np.int64),
+            }
+        )
+
+    return clustered.groupBy("cluster").applyInPandas(
+        flag, f"{id_col} {id_type}, cluster long, kept long"
+    )

@@ -500,3 +500,83 @@ def bpe_train_merges(
         if vmap is not None:
             vmap = _greedy_rewrite(vmap, top, ["w"])
     return (merges, vmap) if with_vocab_map else merges
+
+
+#: CCNet-style per-group boilerplate detection: an n-gram is
+#: boilerplate within a source when it appears in >= BOILER_PCT % of
+#: that source's documents (CCNet flags repeated lines per domain
+#: shard; this corpus is single-line, so the unit is the word n-gram).
+BOILER_N = 2
+BOILER_PCT = 20
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    pct: int = BOILER_PCT,
+) -> DataFrame:
+    """Per-group boilerplate n-gram accounting (CCNet, Wenzek et al.
+    2020: dedup repeated lines per domain before LM filtering). An
+    n-gram is boilerplate inside its group when its document frequency
+    reaches ``pct`` percent of the group's documents; each document
+    reports how many of its bigram positions are boilerplate and its
+    clean ratio in exact ppm — the inputs to a drop-or-scrub decision.
+
+    Scale: two shuffles — the (group, gram) distinct-df count (map-side
+    combine collapses repeats before the exchange) and the per-doc
+    boiler-position count; the boilerplate set is tiny by construction
+    (df >= pct% of a shard) so AQE broadcasts the flag join. Grouping
+    by source/domain is exactly how CCNet shards at web scale: no
+    cross-group traffic at all.
+
+    Output: id, group, n_grams, n_boiler_grams, clean_ppm.
+    """
+    base = df.select(
+        F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # Bigram starting positions 1..n-1; sequence(1, 0) would count DOWN,
+    # so short docs get an explicit empty array.
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, BOILER_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = base.select(
+        F.col(id_col), F.col(group_col), F.explode(grams).alias("g")
+    )
+    dfreq = pos.select(id_col, group_col, "g").distinct().groupBy(group_col, "g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    nd = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        dfreq.join(nd, group_col)
+        .filter(F.col("df") * 100 >= F.lit(pct) * F.col("n_docs"))
+        .select(group_col, "g")
+    )
+    per = (
+        pos.join(boiler, [group_col, "g"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("n_grams"),
+    ).join(per, id_col, "left")
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long")
+    clean_ppm = F.when(F.col("n_grams") == 0, F.lit(1_000_000)).otherwise(
+        F.expr("((n_grams - coalesce(n_boiler, 0)) * 1000000) div n_grams")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_grams"),
+        n_boiler.alias("n_boiler_grams"),
+        clean_ppm.cast("long").alias("clean_ppm"),
+    )

@@ -1431,6 +1431,54 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_boilerplate_ngrams — CCNet-style per-source boilerplate accounting
+# ---------------------------------------------------------------------------
+
+
+def _boiler_oracle(pct: int = text.BOILER_PCT) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, source,
+         array_to_string(toks[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS g
+  FROM t, LATERAL unnest(range(1, len(toks))) AS r(i)
+),
+dfreq AS (SELECT source, g, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY source, g),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+boiler AS (
+  SELECT dfreq.source, g FROM dfreq JOIN nd USING (source)
+  WHERE df * 100 >= {pct} * n_docs
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_boiler
+  FROM pos JOIN boiler USING (source, g) GROUP BY doc_id
+),
+base AS (SELECT doc_id, source, GREATEST(len(toks) - 1, 0) AS n_grams FROM t)
+SELECT base.doc_id, base.source, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler_grams,
+       CAST(CASE WHEN n_grams = 0 THEN 1000000
+            ELSE ((n_grams - COALESCE(n_boiler, 0)) * 1000000) // n_grams
+            END AS BIGINT) AS clean_ppm
+FROM base LEFT JOIN per USING (doc_id)
+"""
+
+
+@query("text_boilerplate_ngrams", oracle=_boiler_oracle())
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate accounting (operators/text.py
+    boilerplate_ngrams): a bigram appearing in >= {text.BOILER_PCT}% of
+    a SOURCE's documents is that source's boilerplate (nav bars,
+    footers, licence blurbs at web scale); every document reports its
+    boilerplate-position count and clean ratio in exact ppm.
+
+    Scale: two shuffles, both keyed inside the source shard — exactly
+    CCNet's per-domain sharding, so no cross-source traffic ever."""
+    return text.boilerplate_ngrams(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_pii_redact — privacy scrub with per-doc match accounting
 # ---------------------------------------------------------------------------
 
@@ -1689,6 +1737,82 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q").cast("long").alias("quota"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_t").cast("long").alias("tokens_taken"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mix — temperature-scaled source weights (alpha=1/2)
+# ---------------------------------------------------------------------------
+
+#: Exact integer sqrt, valid for n < 2^52: the double sqrt seeds the
+#: answer and two integer comparisons correct any half-ulp error, so
+#: both engines land on the identical floor(sqrt(n)).
+_ISQRT = (
+    "(cast(floor(sqrt(cast({n} as double))) as bigint)"
+    " + (case when (cast(floor(sqrt(cast({n} as double))) as bigint) + 1)"
+    "          * (cast(floor(sqrt(cast({n} as double))) as bigint) + 1) <= {n}"
+    "     then 1 else 0 end)"
+    " - (case when cast(floor(sqrt(cast({n} as double))) as bigint)"
+    "          * cast(floor(sqrt(cast({n} as double))) as bigint) > {n}"
+    "     then 1 else 0 end))"
+)
+
+
+def _temperature_mix_oracle() -> str:
+    w = _ISQRT.format(n="n_tokens")
+    return f"""
+WITH d AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+wtab AS (SELECT source, n_docs, n_tokens, {w} AS w FROM d),
+tot AS (SELECT SUM(w) AS w_total FROM wtab)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(w AS BIGINT) AS weight,
+       CAST((w * 1000000) // w_total AS BIGINT) AS mix_ppm
+FROM wtab CROSS JOIN tot
+"""
+
+
+@query("sample_temperature_mix", oracle=_temperature_mix_oracle())
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: each source's sampling
+    weight is n_tokens^alpha with alpha = 1/2 — the standard
+    multilingual/multi-source rebalancing rule (upsample the tail,
+    damp the head; XLM-R trains with exactly this family of
+    exponents). alpha = 1/2 makes the weight an INTEGER sqrt, computed
+    exactly (double-sqrt seed + two integer corrections), so the
+    whole recipe — weights and ppm shares — hash-matches across
+    engines with zero float drift. Completes the mixer trio: rate
+    (weighted_mix), cap (stratified), budget (token_budget_mix).
+
+    Scale: one per-source aggregate (map-side combine over the scan)
+    and a 1-row weight-total broadcast — sources number in the
+    hundreds at 100 TB, so everything after the first shuffle is
+    driver-trivial.
+
+    Output: source, n_docs, n_tokens, weight, mix_ppm.
+    """
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col("text")))).alias("n_tokens"),
+    )
+    wtab = d.withColumn("w", F.expr(_ISQRT.format(n="n_tokens")))
+    tot = wtab.agg(F.sum("w").alias("w_total"))
+    return (
+        wtab.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("w").cast("long").alias("weight"),
+            F.expr("(w * 1000000) div w_total").cast("long").alias("mix_ppm"),
         )
     )
 
@@ -2644,6 +2768,86 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sample_perplexity_filter — CCNet head/middle/tail LM-quality buckets
+# ---------------------------------------------------------------------------
+
+#: CCNet splits each language's corpus into perplexity terciles and
+#: keeps head+middle; the tail (highest perplexity) is dropped.
+PPL_BUCKETS = 3
+
+
+def _ppl_filter_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(arr) >= 2
+                THEN [arr[i] || chr(31) || arr[i + 1] for i in range(1, len(arr))]
+                ELSE [] END) AS b
+  FROM t
+),
+cb AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+cp AS (
+  SELECT string_split(b, chr(31))[1] AS w1, SUM(c2) AS c1
+  FROM cb GROUP BY 1
+),
+bits AS (
+  SELECT cb.b, CAST(length(bin(cp.c1 // cb.c2)) - 1 AS BIGINT) AS bits
+  FROM cb JOIN cp ON string_split(cb.b, chr(31))[1] = cp.w1
+),
+sc AS (
+  SELECT doc_id, CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS avg_millibits
+  FROM bg JOIN bits USING (b) GROUP BY doc_id
+)
+SELECT doc_id, lang, avg_millibits, CAST(bk AS BIGINT) AS ppl_bucket,
+       CAST(CASE WHEN bk < {PPL_BUCKETS} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (
+  SELECT sc.doc_id, d.lang, sc.avg_millibits,
+         NTILE({PPL_BUCKETS}) OVER (PARTITION BY d.lang
+                                    ORDER BY sc.avg_millibits, sc.doc_id) AS bk
+  FROM sc JOIN documents d USING (doc_id)
+)
+"""
+
+
+@query("sample_perplexity_filter", oracle=_ppl_filter_oracle())
+def sample_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM-quality gate (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (score_bigram_surprisal's
+    exact integer bits), split each LANGUAGE into perplexity
+    terciles, keep head+middle and drop the tail — the second half of
+    the CCNet pipeline next to text_boilerplate_ngrams' repeated-text
+    half. NTILE over (avg_millibits, doc_id) is a pure rank function
+    of integers, so the buckets are engine-exact.
+
+    Scale: the scoring stage is the surprisal plan (vocabulary-sized
+    dimensions broadcast onto the token stream); the tercile split is
+    one window per language partition. At 100 TB CCNet replaces the
+    exact NTILE with per-language quantile cutpoints from a sample —
+    same plan with the cutpoints broadcast instead of the sort.
+
+    Output: doc_id, lang, avg_millibits, ppl_bucket, keep.
+    """
+    from pyspark.sql import Window
+
+    sc = score_bigram_surprisal(spark, sf_dir).select("doc_id", "avg_millibits")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_millibits"), F.asc("doc_id"))
+    ranked = (
+        sc.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_millibits",
+            F.ntile(PPL_BUCKETS).over(w).cast("long").alias("ppl_bucket"),
+        )
+    )
+    return ranked.withColumn(
+        "keep", (F.col("ppl_bucket") < PPL_BUCKETS).cast("long")
+    )
+
+
 #: Number of greedy generation steps after the start token.
 LM_GEN_STEPS = 5
 
@@ -3088,7 +3292,10 @@ KM8_ITER = 2
 KM8_DIM = 64
 
 
-def _kmeans8_oracle() -> str:
+def _kmeans8_ctes() -> tuple[list[str], str]:
+    """The int8-Lloyd's CTE chain (quantize -> seed -> assign/update
+    rounds), shared by the k-means oracle and the SemDeDup oracle.
+    Returns (ctes, name-of-final-assignment-CTE)."""
     k, dim, iters = KM8_K, KM8_DIM, KM8_ITER
     ctes = [
         """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
@@ -3136,9 +3343,14 @@ cent{it} AS (
   SELECT cid, list(cv ORDER BY pos) AS c FROM cm{it} GROUP BY cid
 )"""
             )
+    return ctes, f"a{iters}"
+
+
+def _kmeans8_oracle() -> str:
+    ctes, final = _kmeans8_ctes()
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{iters}"
+        + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final}"
     )
 
 
@@ -3154,6 +3366,60 @@ def cluster_kmeans_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_int8_exact(
         table(spark, sf_dir, "embeddings"), k=KM8_K, iterations=KM8_ITER
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semdedup — semantic dedup: cluster, then near-dup only within
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle() -> str:
+    ctes, final = _kmeans8_ctes()
+    dim = KM8_DIM
+    num2 = similarity.SEMDEDUP_COS_NUM**2
+    den2 = similarity.SEMDEDUP_COS_DEN**2
+    ctes = ctes + [
+        f"""q8n AS (
+  SELECT vec_id, q,
+         list_sum([q[i]*q[i] for i in range(1, {dim} + 1)]) AS n2
+  FROM q8
+)""",
+        f"""m AS (
+  SELECT q8n.vec_id, q8n.q, q8n.n2, {final}.cid
+  FROM q8n JOIN {final} USING (vec_id)
+)""",
+        f"""pr AS (
+  SELECT b.vec_id AS bid,
+         list_sum([a.q[i]*b.q[i] for i in range(1, {dim} + 1)]) AS dot,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)""",
+        f"""rem AS (
+  SELECT DISTINCT bid AS vec_id FROM pr
+  WHERE dot > 0 AND {den2} * dot * dot >= {num2} * na2 * nb2
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster,
+       CAST(CASE WHEN rem.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM m LEFT JOIN rem USING (vec_id)"""
+    )
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, then drop
+    near-duplicates ONLY within each cluster — the clustering bounds
+    the quadratic pair stage to k independent sub-problems (how the
+    paper deduped 1.3B LAION vectors). VALUE-exact here: integer
+    Lloyd's (cluster_kmeans_int8_exact) + an integer
+    cross-multiplication near-dup test (cos >= 2/5 with zero float
+    rounding); the min-id member of every dup group is kept
+    (operators/similarity.py semdedup_int8 for the scale topology)."""
+    return similarity.semdedup_int8(table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -1226,6 +1226,89 @@ def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CUSUM drift target: the one-sided statistic accumulates spend above
+#: this reference level (global purchase mean is ~48, so bursts above
+#: 60 stand out while normal traffic decays back to zero).
+CUSUM_REF = 60
+
+
+@query(
+    "window_cusum_changepoint",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(value AS DECIMAL(27,6)) - {CUSUM_REF} AS dev
+  FROM events WHERE event_type = 'purchase'
+),
+p AS (
+  SELECT user_id, event_id, ts,
+         SUM(dev) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS UNBOUNDED PRECEDING) AS pr
+  FROM e
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         pr - MIN(pr) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS UNBOUNDED PRECEDING) AS st
+  FROM p
+),
+r AS (
+  SELECT user_id, event_id, ts, st,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY st DESC, epoch_us(ts), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(st AS DOUBLE) AS cusum_max,
+       ts AS cp_ts, event_id AS cp_event_id
+FROM r WHERE rn = 1
+""",
+)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per user: S_i = max(0, S_{{i-1}}
+    + x_i - K) flags sustained drift above the reference level K —
+    the classic sequential changepoint statistic (Page 1954). The
+    recursion is NOT directly window-expressible, but it equals
+    P_i - min_j<=i P_j for the prefix sums P of (x - K), so two
+    stacked running windows (sum, then min) compute it exactly; the
+    report is each user's peak statistic and the event where it
+    peaks (earliest-ts tiebreak). Decimal accumulation keeps every
+    intermediate order-invariant.
+
+    Scale: one shuffle on user_id feeds all three window passes (sum,
+    min, argmax rank share the partitioning — Catalyst collapses them
+    onto a single sort), then a WindowGroupLimit-prunable rn=1 filter.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wo = Window.partitionBy("user_id").orderBy(
+        epoch_micros("ts"), F.col("event_id")
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = F.col("value").cast(DEC6) - F.lit(CUSUM_REF).cast(DEC6)
+    p = ev.select(
+        "user_id", "event_id", "ts", F.sum(dev).over(run).alias("pr")
+    )
+    s = p.select(
+        "user_id", "event_id", "ts",
+        (F.col("pr") - F.min("pr").over(run)).alias("st"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("st"), epoch_micros("ts"), F.col("event_id")
+    )
+    r = s.select(
+        "user_id", "event_id", "ts", "st",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("st").cast("double").alias("cusum_max"),
+        F.col("ts").alias("cp_ts"),
+        "event_id",
+    ).withColumnRenamed("event_id", "cp_event_id")
+
+
 @query(
     "unpivot_order_amounts",
     oracle="""
@@ -2279,6 +2362,77 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)
+    return out
+
+
+#: The star schema's FK edges: (edge label, child table, child key,
+#: parent table, parent key).
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ref_integrity_oracle() -> str:
+    parts = []
+    for edge, child, ck, parent, pk in FK_EDGES:
+        parts.append(
+            f"""SELECT '{edge}' AS edge,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN g.c END), 0) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT) AS n_orphan_keys
+FROM (SELECT {ck} AS k, COUNT(*) AS c FROM {child} GROUP BY 1) g
+LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p USING (k)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_referential_integrity", oracle=_ref_integrity_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-star referential-integrity audit: every FK edge of the
+    schema reports its child-row count, orphaned ROWS, and orphaned
+    KEYS in one result — the warehouse-wide consistency check run
+    before publishing a snapshot (dq_rule_violations spot-checks one
+    edge among other rules; this sweeps all seven).
+
+    Scale: each edge pre-aggregates the child side to (key, count)
+    BEFORE joining — distinct keys are orders of magnitude smaller
+    than rows, so the join probes a compacted build even at 100 TB,
+    and the parent side is a distinct key projection (broadcast for
+    the dimension edges, shuffled equi-join for orders). Edges are
+    independent jobs under one union — they schedule concurrently.
+    """
+    edges = []
+    for edge, child, ck, parent, pk in FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        g = c.groupBy(F.col(ck).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        tot = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        j = (
+            g.join(p.withColumn("hit", F.lit(1)), "k", "left")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("hit").isNull(), F.col("c"))), F.lit(0)
+                ).alias("n_orphan_rows"),
+                F.count(F.when(F.col("hit").isNull(), 1)).alias("n_orphan_keys"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(edge).alias("edge"),
+                F.col("n_child_rows").cast("long").alias("n_child_rows"),
+                F.col("n_orphan_rows").cast("long").alias("n_orphan_rows"),
+                F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+            )
+        )
+        edges.append(j)
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
     return out
 
 

@@ -192,6 +192,10 @@ BNLJ_BY_DESIGN = {
     "mine_association_rules",
     # k-row (k=2) negatives-per-anchor fan-out broadcast
     "pairgen_contrastive_negatives",
+    # 1-row weight-total broadcast into the source dimension
+    "sample_temperature_mix",
+    # 1-row child-row-count broadcast per FK edge (x7 edges)
+    "dq_referential_integrity",
 }
 
 
