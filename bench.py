@@ -142,6 +142,7 @@ HEADLINE = [
     "window_cusum_changepoint",
     "dq_referential_integrity",
     "sample_perplexity_filter",
+    "embed_pca_top1",
 ]
 
 

@@ -984,3 +984,111 @@ def semdedup_int8(
     return clustered.groupBy("cluster").applyInPandas(
         flag, f"{id_col} {id_type}, cluster long, kept long"
     )
+
+
+#: Fixed-point PCA: iteration scale (loadings live in [-2^20, 2^20])
+#: and power-iteration rounds.
+PCA_SCALE = 1 << 20
+PCA_ITERS = 3
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Python's // floors)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def pca_top1_int(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = PCA_SCALE,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Top principal component by EXACT fixed-point power iteration.
+
+    The centered Gram matrix is computed without any float: with
+    int8-quantized vectors q and per-dim sums s over n rows,
+    ``G'_ij = n * (sum_r q_ri q_rj) - s_i s_j`` is n^2 times the
+    covariance — exact integers. Power iteration runs in fixed point:
+    ``w = G' v``, then ``v <- trunc(w * scale / max|w|)`` keeps every
+    loading in [-scale, scale]; arithmetic is arbitrary-precision on
+    the driver (Python ints) and HUGEINT in the SQL oracle, so the
+    rounds agree bit-for-bit. The sign is fixed by making the
+    largest-|.| loading (smallest dim index on ties) positive.
+
+    Scale: the corpus NEVER shuffles — each Arrow batch contributes a
+    partial d x d outer-product sum (one BLAS matmul per batch), and
+    only d^2 + d integers per partition cross the wire to a single
+    d^2-cell aggregate; the iteration itself touches sketch-sized
+    state (64 x 64 here) on the driver, exactly the k-means-centroid
+    pattern. Projection onto the component is a later zero-shuffle
+    map (dot with a broadcast v).
+
+    Output: (pos, loading) — one row per dimension, fixed-point PC1.
+    """
+    qz = quantize_int8(corpus, id_col, vec_col).select("q")
+
+    def partial(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.int64) for x in b["q"].values])
+            G = V.T @ V  # d x d, |entries| <= n_batch * 127^2
+            s = V.sum(axis=0)
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "g": G.ravel(),
+                    # per-dim sums ride on the diagonal cells only
+                    "s": np.where(ii.ravel() == jj.ravel(), s[ii.ravel()], 0),
+                    "n": np.where(
+                        (ii.ravel() == 0) & (jj.ravel() == 0), len(V), 0
+                    ),
+                }
+            )
+
+    from protarrow_spark.sources.tables import spread
+
+    cells = (
+        spread(qz)
+        .mapInPandas(partial, "i long, j long, g long, s long, n long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("g").alias("g"),
+            F.sum("s").alias("s"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )
+    d = max(int(r["i"]) for r in cells) + 1
+    G = [[0] * d for _ in range(d)]
+    s = [0] * d
+    n = 0
+    for r in cells:
+        i, j = int(r["i"]), int(r["j"])
+        G[i][j] = int(r["g"])
+        if i == j:
+            s[i] = int(r["s"])
+        if i == 0 and j == 0:
+            n += int(r["n"])
+    # Centered Gram (n^2 * covariance), exact Python ints.
+    Gc = [[n * G[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    v = [scale] * d
+    for _ in range(iters):
+        w = [sum(Gc[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [_trunc_div(x * scale, m) for x in w]
+    # Deterministic sign: largest-|.| loading (lowest index on ties) > 0.
+    lead = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(d)], "pos long, loading long"
+    )

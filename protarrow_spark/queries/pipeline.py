@@ -3292,12 +3292,10 @@ KM8_ITER = 2
 KM8_DIM = 64
 
 
-def _kmeans8_ctes() -> tuple[list[str], str]:
-    """The int8-Lloyd's CTE chain (quantize -> seed -> assign/update
-    rounds), shared by the k-means oracle and the SemDeDup oracle.
-    Returns (ctes, name-of-final-assignment-CTE)."""
-    k, dim, iters = KM8_K, KM8_DIM, KM8_ITER
-    ctes = [
+def _q8_ctes() -> list[str]:
+    """Int8 quantization CTEs (mirrors operators/similarity.py
+    quantize_int8), shared by the k-means, SemDeDup, and PCA oracles."""
+    return [
         """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)""",
         """s AS (
   SELECT vec_id, e,
@@ -3310,6 +3308,15 @@ def _kmeans8_ctes() -> tuple[list[str], str]:
          list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS q
   FROM s
 )""",
+    ]
+
+
+def _kmeans8_ctes() -> tuple[list[str], str]:
+    """The int8-Lloyd's CTE chain (quantize -> seed -> assign/update
+    rounds), shared by the k-means oracle and the SemDeDup oracle.
+    Returns (ctes, name-of-final-assignment-CTE)."""
+    k, dim, iters = KM8_K, KM8_DIM, KM8_ITER
+    ctes = _q8_ctes() + [
         f"""cent0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
   FROM q8 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
@@ -3420,6 +3427,75 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding); the min-id member of every dup group is kept
     (operators/similarity.py semdedup_int8 for the scale topology)."""
     return similarity.semdedup_int8(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# embed_pca_top1 — exact fixed-point PCA (top principal component)
+# ---------------------------------------------------------------------------
+
+
+def _pca_oracle(dim: int = KM8_DIM) -> str:
+    S = similarity.PCA_SCALE
+    ctes = _q8_ctes() + [
+        f"""qp AS (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS i, q[t.i] AS qi
+  FROM q8, unnest(range(1, {dim} + 1)) AS t(i)
+)""",
+        """g AS (
+  SELECT a.i AS i, b.i AS j, SUM(CAST(a.qi AS HUGEINT) * b.qi) AS g
+  FROM qp a JOIN qp b USING (vec_id) GROUP BY 1, 2
+)""",
+        """sums AS (SELECT i, CAST(SUM(qi) AS HUGEINT) AS s FROM qp GROUP BY i)""",
+        """cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM q8)""",
+        """gc AS (
+  SELECT g.i, g.j, cnt.n * g.g - sa.s * sb.s AS gc
+  FROM g CROSS JOIN cnt
+  JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j
+)""",
+        f"""v0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST({S} AS HUGEINT) AS val
+  FROM unnest(range(1, {dim} + 1)) AS t(i))""",
+    ]
+    for k in range(1, similarity.PCA_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT gc.i AS i, SUM(gc.gc * v{k - 1}.val) AS w
+  FROM gc JOIN v{k - 1} ON gc.j = v{k - 1}.i GROUP BY 1
+),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS (
+  SELECT i, CASE WHEN w >= 0 THEN (w * {S}) // m
+                 ELSE -(((-w) * {S}) // m) END AS val
+  FROM w{k} CROSS JOIN m{k}
+)"""
+        )
+    last = f"v{similarity.PCA_ITERS}"
+    ctes.append(
+        f"""lead0 AS (SELECT val FROM {last} ORDER BY ABS(val) DESC, i ASC LIMIT 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(i - 1 AS BIGINT) AS pos,
+       CAST(CASE WHEN (SELECT val FROM lead0) < 0 THEN -val ELSE val END AS BIGINT)
+         AS loading
+FROM {last}"""
+    )
+
+
+@query("embed_pca_top1", oracle=_pca_oracle())
+def embed_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by EXACT
+    fixed-point power iteration (operators/similarity.py
+    pca_top1_int): the centered Gram n*sum(qq^T) - ss^T is built from
+    int8-quantized vectors in pure integers, three power-iteration
+    rounds run in [-2^20, 2^20] fixed point with truncating rescale,
+    and the sign is pinned by the leading loading — every loading
+    hash-matches the unrolled HUGEINT SQL oracle. The corpus never
+    shuffles: each Arrow batch emits one BLAS d x d partial
+    outer-product, and only d^2 integers per partition reach the
+    single sketch-sized aggregate (the k-means-centroid pattern)."""
+    return similarity.pca_top1_int(table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
