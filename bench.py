@@ -143,6 +143,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "sample_perplexity_filter",
     "embed_pca_top1",
+    "join_asof_nearest",
 ]
 
 

@@ -107,3 +107,99 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
     return lhs.join(rhs, [key_col, "_salt"]).drop("_salt")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    right_tiebreak: str,
+    prefix: str = "r_",
+) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``):
+    for each left row, attach the right row minimizing |right_ts -
+    left_ts| within the key — ties between an equally-near earlier and
+    later row resolve BACKWARD (the earlier row), and ties on the
+    same timestamp resolve to the greatest ``right_tiebreak`` on the
+    backward side / smallest on the forward side, so the result is a
+    total function of the data.
+
+    Mechanics: the union-marker pattern run in both directions over
+    ONE key shuffle — a running ``last`` (backward-inclusive: right
+    sorts before left at equal ts) and a mirrored ``first`` over the
+    following frame (forward-inclusive: right sorts after left) give
+    each left row its nearest earlier and later candidates; an
+    integer-microsecond distance compare picks the winner. Two
+    in-partition sorts share the single exchange; still no range
+    explosion and no per-key state.
+
+    Output: every left column, matched ``{prefix}{col}`` right values,
+    ``matched_dir`` ('backward' | 'forward' | NULL), ``delta_us``.
+    """
+    rv_struct = F.struct(*[F.col(c).alias(c) for c in right_value_cols])
+    rv_type = right.select(rv_struct.alias("rv")).schema["rv"].dataType
+    tb_type = right.schema[right_tiebreak].dataType
+
+    left_payload = [c for c in left.columns if c != key_col]
+    u_left = left.select(
+        F.col(key_col),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_m"),
+        F.lit(-1).cast(tb_type).alias("_tb"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rt"),
+    )
+    u_right = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_m"),
+        F.col(right_tiebreak).alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        rv_struct.alias("_rv"),
+        F.col(right_ts).alias("_rt"),
+    )
+    u = u_left.unionByName(u_right)
+    # Backward: right rows at equal ts sort BEFORE left (_m 0 < 1);
+    # running last over preceding rows = nearest at-or-before match.
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_m", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward: right rows at equal ts sort AFTER left ((1 - _m) 0 < 1);
+    # first over the following frame = nearest at-or-after match.
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", (F.lit(1) - F.col("_m")), "_tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cand = (
+        u.withColumn("_back", F.last("_rv", ignorenulls=True).over(wb))
+        .withColumn("_bt", F.last("_rt", ignorenulls=True).over(wb))
+        .withColumn("_fwd", F.first("_rv", ignorenulls=True).over(wf))
+        .withColumn("_ft", F.first("_rt", ignorenulls=True).over(wf))
+        .filter(F.col("_m") == 1)
+    )
+    from protarrow_spark.functions.time import epoch_micros
+
+    lt = epoch_micros(F.col("_t"))
+    db = lt - epoch_micros(F.col("_bt"))
+    df_ = epoch_micros(F.col("_ft")) - lt
+    take_back = F.col("_bt").isNotNull() & (F.col("_ft").isNull() | (db <= df_))
+    take_fwd = F.col("_ft").isNotNull() & (F.col("_bt").isNull() | (df_ < db))
+    match = F.when(take_back, F.col("_back")).when(take_fwd, F.col("_fwd"))
+    direction = F.when(take_back, F.lit("backward")).when(
+        take_fwd, F.lit("forward")
+    )
+    delta = F.when(take_back, db).when(take_fwd, df_)
+    return cand.select(
+        F.col(key_col),
+        *[F.col(c) for c in left_payload],
+        *[match[c].alias(f"{prefix}{c}") for c in right_value_cols],
+        direction.alias("matched_dir"),
+        delta.cast("long").alias("delta_us"),
+    )

@@ -858,6 +858,84 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH u AS (
+  SELECT user_id AS k, ts AS _t, 1 AS _m, CAST(-1 AS BIGINT) AS _tb,
+         event_id, value,
+         CAST(NULL AS STRUCT(event_id BIGINT, ts TIMESTAMP, value DOUBLE)) AS rv,
+         CAST(NULL AS TIMESTAMP) AS rt
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0, event_id, NULL, NULL,
+         struct_pack(event_id := event_id, ts := ts, value := value), ts
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT k, _t, _m, event_id, value,
+         last_value(rv IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY _t, _m, _tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+         last_value(rt IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY _t, _m, _tb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+         first_value(rv IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY _t, (1 - _m), _tb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd,
+         first_value(rt IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY _t, (1 - _m), _tb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+  FROM u
+),
+d AS (
+  SELECT k, _t, event_id, value, back, fwd,
+         CASE WHEN bt IS NOT NULL THEN epoch_us(_t) - epoch_us(bt) END AS db,
+         CASE WHEN ft IS NOT NULL THEN epoch_us(ft) - epoch_us(_t) END AS df
+  FROM m WHERE _m = 1
+),
+c AS (
+  SELECT *,
+         (db IS NOT NULL AND (df IS NULL OR db <= df)) AS takeb,
+         (df IS NOT NULL AND (db IS NULL OR df < db)) AS takef
+  FROM d
+)
+SELECT k AS user_id, event_id, _t AS ts, value,
+       CASE WHEN takeb THEN back.event_id WHEN takef THEN fwd.event_id END AS r_event_id,
+       CASE WHEN takeb THEN back.ts WHEN takef THEN fwd.ts END AS r_ts,
+       CASE WHEN takeb THEN back.value WHEN takef THEN fwd.value END AS r_value,
+       CASE WHEN takeb THEN 'backward' WHEN takef THEN 'forward' END AS matched_dir,
+       CAST(CASE WHEN takeb THEN db WHEN takef THEN df END AS BIGINT) AS delta_us
+FROM c
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators/temporal.py asof_join_nearest —
+    pandas merge_asof direction='nearest'): each purchase picks the
+    user's click minimizing |click_ts - purchase_ts|; equidistant ties
+    resolve backward. Both direction passes ride ONE key shuffle (two
+    in-partition sorts), so it costs the same exchange as the
+    backward-only as-of — still no range-join candidate explosion."""
+    from protarrow_spark.operators.temporal import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join_nearest(
+        purchases,
+        clicks,
+        key_col="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["event_id", "ts", "value"],
+        right_tiebreak="event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets + deterministic sampling
 # ---------------------------------------------------------------------------
