@@ -144,6 +144,10 @@ HEADLINE = [
     "sample_perplexity_filter",
     "embed_pca_top1",
     "join_asof_nearest",
+    "dq_freshness_lag",
+    "dedup_boundary_overlap",
+    "embed_pca_project",
+    "pipeline_ccnet",
 ]
 
 

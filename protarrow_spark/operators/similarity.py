@@ -1027,6 +1027,53 @@ def pca_top1_int(
 
     Output: (pos, loading) — one row per dimension, fixed-point PC1.
     """
+    v = _pca_component(corpus, id_col, vec_col, scale, iters)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(len(v))], "pos long, loading long"
+    )
+
+
+def pca_project_int(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = PCA_SCALE,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Project every vector onto the fixed-point top principal
+    component (:func:`pca_top1_int`): proj = sum_i q_i * v_i in exact
+    int64 (|proj| <= 127 * 2^20 * dim, far inside the range) — the
+    1-D structure coordinate used for ordering, binning, or sharding
+    the corpus by its dominant axis.
+
+    Scale: the component fit touches only sketch-sized state; the
+    projection itself is a ZERO-shuffle map — the d loadings ride
+    into the executors as a literal array and the dot product is one
+    codegen'd ``aggregate``/``zip_with`` fold per row.
+
+    Output: (id, proj).
+    """
+    v = _pca_component(corpus, id_col, vec_col, scale, iters)
+    qz = quantize_int8(corpus, id_col, vec_col).select(F.col(id_col), F.col("q"))
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    proj = F.aggregate(
+        F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qz.select(F.col(id_col), proj.alias("proj"))
+
+
+def _pca_component(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    iters: int,
+) -> list[int]:
+    """The shared fixed-point power-iteration core: returns the PC1
+    loading vector as Python ints (see pca_top1_int for semantics)."""
     qz = quantize_int8(corpus, id_col, vec_col).select("q")
 
     def partial(batches):
@@ -1088,7 +1135,4 @@ def pca_top1_int(
     lead = max(range(d), key=lambda i: (abs(v[i]), -i))
     if v[lead] < 0:
         v = [-x for x in v]
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(i, int(v[i])) for i in range(d)], "pos long, loading long"
-    )
+    return [int(x) for x in v]

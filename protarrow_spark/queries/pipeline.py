@@ -1398,6 +1398,62 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_boundary_overlap — suffix/prefix continuation detection
+# ---------------------------------------------------------------------------
+
+#: Boundary width in tokens: doc A's last k tokens == doc B's first k.
+BOUNDARY_K = 2
+
+
+def _boundary_oracle(k: int = BOUNDARY_K) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         array_to_string(toks[1:{k}], ' ') AS pre,
+         array_to_string(toks[len(toks) - {k} + 1:len(toks)], ' ') AS suf
+  FROM t WHERE len(toks) >= {2 * k}
+)
+SELECT a.doc_id AS head_id, c.doc_id AS tail_id, a.suf AS boundary
+FROM b a JOIN b c ON a.suf = c.pre AND a.doc_id <> c.doc_id
+"""
+
+
+@query("dedup_boundary_overlap", oracle=_boundary_oracle())
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-overlap detection: document pairs where A's last
+    {BOUNDARY_K} tokens equal B's first {BOUNDARY_K} — the signature
+    of one source text split across two scraped chunks (the
+    continuation case whole-doc dedup can never see; stitching or
+    de-weighting such pairs is a crawl-corpus cleaning step).
+
+    Scale: each doc contributes ONE (prefix, suffix) row — never the
+    token stream — and the pair stage is a suffix=prefix equi-join on
+    the boundary string, shuffling only the boundary dimension; a hot
+    boundary (a common phrase) fans out like any hot join key and
+    takes the same df-cap used by the shingle index when needed.
+    Docs shorter than 2k tokens are excluded (their boundary would
+    self-overlap)."""
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", ws_tokens(F.col("text")).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    b = base.filter(n >= 2 * BOUNDARY_K).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("__toks"), 1, BOUNDARY_K)).alias("pre"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), n - BOUNDARY_K + 1, BOUNDARY_K)
+        ).alias("suf"),
+    )
+    a = b.select(F.col("doc_id").alias("head_id"), F.col("suf").alias("boundary"))
+    c = b.select(F.col("doc_id").alias("tail_id"), F.col("pre").alias("boundary"))
+    return a.join(c, "boundary").filter(
+        F.col("head_id") != F.col("tail_id")
+    ).select("head_id", "tail_id", "boundary")
+
+
+# ---------------------------------------------------------------------------
 # text_chunk_overlap — sliding-window chunking (RAG / context prep)
 # ---------------------------------------------------------------------------
 
@@ -2740,7 +2796,14 @@ def score_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id); the bigram and prefix count dimensions are
     vocabulary^2-bounded groupBys that broadcast back; the per-doc
     rollup reuses the doc_id partitioning."""
-    docs = table(spark, sf_dir, "documents")
+    return _bigram_surprisal_frame(table(spark, sf_dir, "documents"))
+
+
+def _bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram-LM surprisal over an arbitrary docs frame —
+    shared by score_bigram_surprisal (whole corpus) and pipeline_ccnet
+    (post-boilerplate survivors) so the LM fit and the scorer can
+    never disagree."""
     bg = _bigram_stream(docs)
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cp = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -2846,6 +2909,117 @@ def sample_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "keep", (F.col("ppl_bucket") < PPL_BUCKETS).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_ccnet — boilerplate gate -> LM perplexity terciles, one plan
+# ---------------------------------------------------------------------------
+
+#: Minimum clean ratio (ppm) to survive the boilerplate gate.
+CCNET_CLEAN_PPM_MIN = 900_000
+
+
+def _ccnet_oracle() -> str:
+    pct = text.BOILER_PCT
+    return f"""
+WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, source,
+         array_to_string(toks[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS g
+  FROM t, LATERAL unnest(range(1, len(toks))) AS r(i)
+),
+dfreq AS (SELECT source, g, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY source, g),
+nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+boiler AS (
+  SELECT dfreq.source, g FROM dfreq JOIN nd USING (source)
+  WHERE df * 100 >= {pct} * n_docs
+),
+perb AS (
+  SELECT doc_id, COUNT(*) AS n_boiler
+  FROM pos JOIN boiler USING (source, g) GROUP BY doc_id
+),
+basee AS (
+  SELECT doc_id, source, lang, toks, GREATEST(len(toks) - 1, 0) AS n_grams FROM t
+),
+cl AS (
+  SELECT doc_id, source, lang, toks,
+         CASE WHEN n_grams = 0 THEN 1000000
+              ELSE ((n_grams - COALESCE(n_boiler, 0)) * 1000000) // n_grams
+              END AS clean_ppm
+  FROM basee LEFT JOIN perb USING (doc_id)
+),
+keep0 AS (SELECT * FROM cl WHERE clean_ppm >= {CCNET_CLEAN_PPM_MIN}),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN [toks[i] || chr(31) || toks[i + 1] for i in range(1, len(toks))]
+                ELSE [] END) AS b
+  FROM keep0
+),
+cb AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+cp AS (SELECT string_split(b, chr(31))[1] AS w1, SUM(c2) AS c1 FROM cb GROUP BY 1),
+bits AS (
+  SELECT cb.b, CAST(length(bin(cp.c1 // cb.c2)) - 1 AS BIGINT) AS bits
+  FROM cb JOIN cp ON string_split(cb.b, chr(31))[1] = cp.w1
+),
+sc AS (
+  SELECT doc_id, CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS avg_millibits
+  FROM bg JOIN bits USING (b) GROUP BY doc_id
+),
+rk AS (
+  SELECT sc.doc_id, k.lang, k.source, k.clean_ppm, sc.avg_millibits,
+         NTILE({PPL_BUCKETS}) OVER (PARTITION BY k.lang
+                                    ORDER BY sc.avg_millibits, sc.doc_id) AS bk
+  FROM sc JOIN keep0 k USING (doc_id)
+)
+SELECT doc_id, lang, source, CAST(clean_ppm AS BIGINT) AS clean_ppm, avg_millibits,
+       CAST(bk AS BIGINT) AS ppl_bucket
+FROM rk WHERE bk < {PPL_BUCKETS}
+"""
+
+
+@query("pipeline_ccnet", oracle=_ccnet_oracle())
+def pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet cleaning pipeline (Wenzek et al. 2020) as ONE Catalyst
+    plan: per-source boilerplate accounting gates out documents below
+    {CCNET_CLEAN_PPM_MIN} ppm clean, the corpus bigram LM is fit on the
+    SURVIVORS (like CCNet's LM trained on clean text), and each
+    language's survivors split into perplexity terciles with the tail
+    dropped. Composes text_boilerplate_ngrams +
+    sample_perplexity_filter through shared operator code so the
+    stages cannot drift from their standalone counterparts.
+
+    Scale: the boilerplate stage's two shuffles stay inside the
+    source shard; the LM dimensions are vocabulary-bounded broadcasts;
+    the tercile split is one window per language — no stage ever
+    pairs documents. Output: the kept documents with their full audit
+    trail (clean ppm, LM bits, bucket)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    boiler = text.boilerplate_ngrams(docs, "doc_id", "text", "source").select(
+        "doc_id", "clean_ppm"
+    )
+    clean = (
+        docs.join(boiler, "doc_id")
+        .filter(F.col("clean_ppm") >= CCNET_CLEAN_PPM_MIN)
+        .select("doc_id", "lang", "source", "text", "clean_ppm")
+    )
+    sc = _bigram_surprisal_frame(clean.select("doc_id", "text")).select(
+        "doc_id", "avg_millibits"
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_millibits"), F.asc("doc_id"))
+    ranked = sc.join(
+        clean.select("doc_id", "lang", "source", "clean_ppm"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("clean_ppm").cast("long").alias("clean_ppm"),
+        "avg_millibits",
+        F.ntile(PPL_BUCKETS).over(w).cast("long").alias("ppl_bucket"),
+    )
+    return ranked.filter(F.col("ppl_bucket") < PPL_BUCKETS)
 
 
 #: Number of greedy generation steps after the start token.
@@ -3496,6 +3670,46 @@ def embed_pca_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer-product, and only d^2 integers per partition reach the
     single sketch-sized aggregate (the k-means-centroid pattern)."""
     return similarity.pca_top1_int(table(spark, sf_dir, "embeddings"))
+
+
+def _pca_project_oracle(dim: int = KM8_DIM) -> str:
+    base = _pca_oracle(dim)
+    # The component oracle ends with the sign-fixed SELECT; wrap it as
+    # a CTE and dot every quantized vector against the loadings.
+    return f"""
+WITH comp AS (
+{base}
+),
+pq AS (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS i, q[t.i] AS qi
+  FROM (
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS q
+    FROM s
+  ), unnest(range(1, {dim} + 1)) AS t(i)
+)
+SELECT pq.vec_id, CAST(SUM(pq.qi * comp.loading) AS BIGINT) AS proj
+FROM pq JOIN comp ON pq.i = comp.pos + 1
+GROUP BY pq.vec_id
+"""
+
+
+@query("embed_pca_project", oracle=_pca_project_oracle())
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the exact fixed-point PC1
+    (operators/similarity.py pca_project_int): proj = q . v in pure
+    int64 — the 1-D dominant-axis coordinate for ordering, binning,
+    or range-sharding the corpus. The component fit touches only
+    sketch-sized driver state; the projection is a ZERO-shuffle
+    codegen'd fold with the d loadings inlined as literals."""
+    return similarity.pca_project_int(table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

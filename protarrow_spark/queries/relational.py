@@ -2514,6 +2514,55 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Freshness SLA: a stream partition whose newest event lags the
+#: corpus high-water mark by more than this many microseconds is stale.
+FRESHNESS_SLA_US = 3_600_000_000
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+WITH hw AS (SELECT MAX(epoch_us(ts)) AS hwm FROM events),
+per AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(hwm - last_us AS BIGINT) AS lag_us,
+       CAST(CASE WHEN hwm - last_us > {FRESHNESS_SLA_US} THEN 1 ELSE 0 END AS BIGINT)
+         AS breaches_sla
+FROM per CROSS JOIN hw
+""",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitoring: each stream partition (event type)
+    reports how far its newest event lags the corpus high-water mark,
+    with a 1-hour SLA flag — the staleness check a warehouse runs
+    before trusting a partition for downstream training cuts.
+
+    Scale: one map-side-combined max per partition key plus a 1-row
+    high-water-mark broadcast; nothing but the per-key maxima cross
+    the wire."""
+    ev = table(spark, sf_dir, "events")
+    hw = ev.agg(F.max(epoch_micros("ts")).alias("hwm"))
+    per = ev.groupBy("event_type").agg(
+        F.max(epoch_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("hwm") - F.col("last_us")).cast("long").alias("lag_us"),
+        F.when(
+            F.col("hwm") - F.col("last_us") > FRESHNESS_SLA_US, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("breaches_sla"),
+    )
+
+
 @query(
     "table_purge_users",
     oracle="""

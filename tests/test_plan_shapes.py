@@ -196,6 +196,8 @@ BNLJ_BY_DESIGN = {
     "sample_temperature_mix",
     # 1-row child-row-count broadcast per FK edge (x7 edges)
     "dq_referential_integrity",
+    # 1-row high-water-mark broadcast onto the per-type maxima
+    "dq_freshness_lag",
 }
 
 
