@@ -88,3 +88,59 @@ def test_salted_join_equals_plain_join(spark):
         left.join(right, "k").collect(), key=lambda r: (r["k"], r["v"], r["name"])
     )
     assert got == exp
+
+
+def test_asof_nearest_semantics(spark):
+    from protarrow_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "mid"),    # back R8 (d=2) vs fwd R13 (d=3) -> back
+            (1, _ts(12), "tie"),    # back R8 (d=4)? no: R8 d=4, fwd R13 d=1 -> fwd
+            (1, _ts(3), "early"),   # nothing before -> forward R5a/b
+            (2, _ts(7), "alone"),   # no right rows at all -> null
+            (1, _ts(5), "equal"),   # exact-ts right rows: delta 0, backward
+        ],
+        "k long, t timestamp, l string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 100, "R5a"),
+            (1, _ts(5), 101, "R5b"),
+            (1, _ts(8), 102, "R8"),
+            (1, _ts(13), 103, "R13"),
+        ],
+        "k long, t timestamp, tb long, r string",
+    )
+    out = {
+        r["l"]: r
+        for r in asof_join_nearest(
+            left, right, "k", "t", "t", ["tb", "r"], right_tiebreak="tb"
+        ).collect()
+    }
+    assert out["mid"]["r_r"] == "R8" and out["mid"]["matched_dir"] == "backward"
+    assert out["mid"]["delta_us"] == 2_000_000
+    assert out["tie"]["r_r"] == "R13" and out["tie"]["matched_dir"] == "forward"
+    assert out["early"]["matched_dir"] == "forward"
+    # forward at equal sort position takes the SMALLEST tiebreak
+    assert out["early"]["r_tb"] == 100
+    assert out["alone"]["r_r"] is None and out["alone"]["matched_dir"] is None
+    # same-timestamp match: distance 0 resolves backward, max tiebreak
+    assert out["equal"]["delta_us"] == 0
+    assert out["equal"]["matched_dir"] == "backward"
+    assert out["equal"]["r_tb"] == 101
+
+
+def test_asof_nearest_equidistant_prefers_backward(spark):
+    from protarrow_spark.operators.temporal import asof_join_nearest
+
+    left = spark.createDataFrame([(1, _ts(10), "L")], "k long, t timestamp, l string")
+    right = spark.createDataFrame(
+        [(1, _ts(7), 1, "before"), (1, _ts(13), 2, "after")],
+        "k long, t timestamp, tb long, r string",
+    )
+    [row] = asof_join_nearest(
+        left, right, "k", "t", "t", ["tb", "r"], "tb"
+    ).collect()
+    assert row["r_r"] == "before" and row["matched_dir"] == "backward"
+    assert row["delta_us"] == 3_000_000
