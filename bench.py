@@ -148,6 +148,7 @@ HEADLINE = [
     "dedup_boundary_overlap",
     "embed_pca_project",
     "pipeline_ccnet",
+    "agg_skew_kurtosis_exact",
 ]
 
 

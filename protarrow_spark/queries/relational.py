@@ -2680,6 +2680,89 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(v AS HUGEINT)) AS s1,
+         SUM(CAST(v AS HUGEINT) * v) AS s2,
+         SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+         SUM(CAST(CAST(v AS HUGEINT) * v AS HUGEINT) * (CAST(v AS HUGEINT) * v)) AS s4
+  FROM q GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / 1000 AS d1,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / 1000000 AS d2,
+         CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / 1000000000 AS d3,
+         CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / 1000000000000 AS d4
+  FROM s
+),
+m AS (
+  SELECT event_type, n, d1 / n AS mu, d2 / n - (d1 / n) * (d1 / n) AS m2,
+         d1, d2, d3, d4
+  FROM d
+)
+SELECT event_type, n,
+       (d3 / n - 3 * mu * (d2 / n) + 2 * mu * mu * mu)
+         / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+       (d4 / n - 4 * mu * (d3 / n) + 6 * mu * mu * (d2 / n) - 3 * mu * mu * mu * mu)
+         / (m2 * m2) - 3 AS kurtosis_excess
+FROM m
+""",
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group with engine-exact
+    parity — completing the exact-moments family (variance, corr,
+    OLS): built-in SKEWNESS/KURTOSIS stream engine-private float
+    state, so instead the four raw moments of the milli-quantized
+    value accumulate as exact 128-bit integers (order-invariant;
+    |sum v^4| stays ~1e29, inside both engines' 38-digit decimals),
+    and the statistics are one fixed double epilogue written as the
+    identical expression tree on both sides.
+
+    Scale: one partial-aggregated shuffle, the same as a COUNT —
+    four extra integer columns per partial row."""
+    ev = table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,3)") * 1000).cast("long")
+    q = ev.select("event_type", v.alias("v"))
+    d38 = F.col("v").cast("decimal(38,0)")
+    v2 = (F.col("v") * F.col("v")).cast("decimal(38,0)")  # exact in int64 first
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v")).alias("s1"),
+        F.sum(v2).alias("s2"),
+        F.sum(v2 * d38).alias("s3"),
+        F.sum(v2 * v2).alias("s4"),
+    )
+    d1 = F.col("s1").cast("string").cast("double") / F.lit(1000.0)
+    d2 = F.col("s2").cast("string").cast("double") / F.lit(1000000.0)
+    d3 = F.col("s3").cast("string").cast("double") / F.lit(1000000000.0)
+    d4 = F.col("s4").cast("string").cast("double") / F.lit(1000000000000.0)
+    n = F.col("n")
+    mu = d1 / n
+    m2 = d2 / n - mu * mu
+    skew = (d3 / n - F.lit(3) * mu * (d2 / n) + F.lit(2) * mu * mu * mu) / (
+        F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)
+    )
+    kurt = (
+        d4 / n
+        - F.lit(4) * mu * (d3 / n)
+        + F.lit(6) * mu * mu * (d2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    ) / (m2 * m2) - F.lit(3)
+    return s.select(
+        "event_type", "n", skew.alias("skewness"), kurt.alias("kurtosis_excess")
+    )
+
+
+@query(
     "agg_corr_exact",
     oracle="""
 WITH s AS (
