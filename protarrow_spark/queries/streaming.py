@@ -724,3 +724,58 @@ def stream_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l1_num").cast("double") / (F.col("t_w") * F.col("t_g"))).alias("l1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_freshness_lag — streaming staleness monitor per partition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_freshness_lag",
+    oracle=f"""
+WITH hw AS (SELECT MAX(epoch_us(ts)) AS hwm FROM events),
+per AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(hwm - last_us AS BIGINT) AS lag_us,
+       CAST(CASE WHEN hwm - last_us > 3600000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS breaches_sla
+FROM per CROSS JOIN hw
+""",
+)
+def stream_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming staleness monitor (the streaming form of
+    dq_freshness_lag): the state is ONE (max-epoch, count) pair per
+    event type — constant-size, merge-by-max, so the completed stream
+    equals the batch maxima under ANY micro-batching (max and count
+    are order-free). The readout compares each partition's high-water
+    mark against the global one and flags the 1-hour SLA, which is
+    what an always-on ingestion monitor alerts from.
+
+    Scale: per-type maxima aggregate map-side to one row per type per
+    micro-batch; the global mark is a type-cardinality rollup of the
+    sink, never a second pass over the stream."""
+    from protarrow_spark.functions.time import epoch_micros
+
+    ev = _stream_events(spark, sf_dir)
+    per = ev.groupBy("event_type").agg(
+        F.max(epoch_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    state = _run_to_memory(per, "mem_stream_freshness_lag").localCheckpoint(
+        eager=True
+    )
+    hw = state.agg(F.max("last_us").alias("hwm"))
+    return state.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("hwm") - F.col("last_us")).cast("long").alias("lag_us"),
+        F.when(F.col("hwm") - F.col("last_us") > 3_600_000_000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("breaches_sla"),
+    )
