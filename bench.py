@@ -149,6 +149,7 @@ HEADLINE = [
     "embed_pca_project",
     "pipeline_ccnet",
     "agg_skew_kurtosis_exact",
+    "order_length_buckets",
 ]
 
 

@@ -1798,6 +1798,79 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# order_length_buckets — sequence-length bucketing (batching efficiency)
+# ---------------------------------------------------------------------------
+
+#: Smallest padding bucket (sequences shorter than this share it).
+LENBUCKET_MIN = 16
+
+
+def _lenbucket_oracle() -> str:
+    m = LENBUCKET_MIN
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_t FROM documents
+),
+b AS (
+  SELECT doc_id, n_t,
+         GREATEST({m}, CASE WHEN n_t <= 1 THEN 1
+                       ELSE 1 << CAST(length(bin(n_t - 1)) AS INT) END) AS bucket_len
+  FROM d
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_t) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+       CAST(((COUNT(*) * bucket_len - SUM(n_t)) * 1000000)
+            // (COUNT(*) * bucket_len) AS BIGINT) AS waste_ppm
+FROM b GROUP BY bucket_len
+"""
+
+
+@query("order_length_buckets", oracle=_lenbucket_oracle())
+def order_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing: documents grouped into power-of-two
+    token-length buckets (floor {LENBUCKET_MIN}) with exact padding-
+    waste accounting per bucket — the batching-efficiency planning
+    step of a training pipeline (batch within a bucket and padding
+    waste drops from max-length padding to <50% worst case; the
+    waste_ppm column is the evidence). ceil(log2 n) is computed as
+    the BIT LENGTH of n-1 (bin-string length — no libm, no float).
+
+    Scale: one map-side-combined groupBy on the bucket dimension
+    (O(log max_len) distinct keys); the scan's token count is the
+    only per-row work."""
+    from protarrow_spark.functions.text import tokens as ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    nt = docs.select(F.size(ws_tokens(F.col("text"))).alias("n_t"))
+    bucket = F.greatest(
+        F.lit(LENBUCKET_MIN),
+        F.when(F.col("n_t") <= 1, F.lit(1)).otherwise(
+            F.expr("shiftleft(1, cast(length(bin(n_t - 1)) as int))")
+        ),
+    )
+    b = nt.select("n_t", bucket.alias("bucket_len"))
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_t").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_len")).cast("long").alias("padded_tokens"),
+        F.expr(
+            "((count(1) * bucket_len - sum(n_t)) * 1000000)"
+            " div (count(1) * bucket_len)"
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    ).select(
+        F.col("bucket_len").cast("long").alias("bucket_len"),
+        "n_docs",
+        "total_tokens",
+        "padded_tokens",
+        "waste_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
 # sample_temperature_mix — temperature-scaled source weights (alpha=1/2)
 # ---------------------------------------------------------------------------
 
