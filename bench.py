@@ -150,6 +150,7 @@ HEADLINE = [
     "pipeline_ccnet",
     "agg_skew_kurtosis_exact",
     "order_length_buckets",
+    "graph_common_neighbors",
 ]
 
 

@@ -2735,6 +2735,70 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph_common_neighbors — link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _common_neighbors_oracle() -> str:
+    from protarrow_spark.operators.graph import CN_MAX_DEGREE, CN_TOP_K
+
+    return f"""
+WITH e AS (
+  SELECT a AS src, b AS dst FROM (
+    SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS c
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY a, b
+  ) WHERE c >= {TRIANGLE_MIN_SUPPORT}
+),
+u AS (SELECT src AS w, dst AS n FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT w, COUNT(*) AS d FROM u GROUP BY w),
+uc AS (SELECT u.w, u.n FROM u JOIN deg USING (w) WHERE deg.d <= {CN_MAX_DEGREE}),
+wed AS (
+  SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS cn
+  FROM uc a JOIN uc b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT wed.* FROM wed
+  LEFT JOIN e ON e.src = wed.node_a AND e.dst = wed.node_b
+  WHERE e.src IS NULL
+)
+SELECT node_a, node_b, CAST(cn AS BIGINT) AS cn
+FROM pred
+ORDER BY cn DESC, node_a, node_b
+LIMIT {CN_TOP_K}
+"""
+
+
+@query("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction (operators/graph.py
+    common_neighbor_candidates) over the same support-thresholded part
+    co-purchase graph as graph_triangle_count: the top-50 non-adjacent
+    part pairs ranked by shared neighbors — 'frequently bought
+    together' candidates the co-occurrence graph hasn't yet joined.
+    Completes the graph-algebra quartet (components, PageRank,
+    triangles, link prediction), all exact integers."""
+    from protarrow_spark.operators.graph import common_neighbor_candidates
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TRIANGLE_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    return common_neighbor_candidates(pairs)
+
+
+# ---------------------------------------------------------------------------
 # score_unigram_surprisal — LM-perplexity-style quality scoring, exact
 # ---------------------------------------------------------------------------
 
