@@ -22,6 +22,11 @@ Public API (parity with the reference's 9 symbols, Spark-shaped):
   binary-column paths)
 * ``adapt_descriptor`` (real ``google.protobuf`` descriptors -> the
   internal model, when protobuf is installed)
+* ``read_descriptor_set`` / ``write_descriptor_set`` (the protoc
+  ``--descriptor_set_out`` artifact, parsed/emitted with the engine's
+  own wire codec — contracts load with NO protobuf runtime, and the
+  written file is what ``decode_proto_column``'s built-in
+  ``from_protobuf`` dispatch takes as ``descFilePath``)
 """
 
 from __future__ import annotations
@@ -41,6 +46,10 @@ from protarrow_spark.conversion import (
     messages_to_dataframe,
 )
 from protarrow_spark.proto.adapter import adapt_descriptor
+from protarrow_spark.proto.descriptor_set import (
+    read_descriptor_set,
+    write_descriptor_set,
+)
 from protarrow_spark.proto.message import Message
 from protarrow_spark.schema import message_type_to_schema, message_type_to_struct_type
 from protarrow_spark.session import get_spark
@@ -61,5 +70,7 @@ __all__ = [
     "message_type_to_schema",
     "message_type_to_struct_type",
     "messages_to_dataframe",
+    "read_descriptor_set",
+    "write_descriptor_set",
     "__version__",
 ]

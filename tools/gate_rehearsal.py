@@ -1,0 +1,67 @@
+"""Dress rehearsal of the driver's t2 correctness gate: run the
+GRADED_FIRST window (the 50 queries the driver actually grades)
+through the exact local compare (tests/oracle_utils.py — row count +
+schema + dtype-kind + order-insensitive canonical values) at the
+driver's SF (0.01), and write CORRECTNESS_LOCAL.json in the driver's
+row format. Run before closing a round: a red row here is a red row
+in CORRECTNESS_r{N}.json.
+
+Usage: PYTHONPATH=. python tools/gate_rehearsal.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import traceback
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from protarrow_spark.queries import all_oracles, all_queries
+    from protarrow_spark.queries.registry import GRADED_FIRST
+    from protarrow_spark.session import get_spark
+    from tests.oracle_utils import assert_matches_oracle
+
+    spark = get_spark("gate-rehearsal", cpus=16)
+    queries, oracles = all_queries(), all_oracles()
+    results: dict[str, dict] = {}
+    n_green = 0
+    for name in GRADED_FIRST:
+        if name not in queries:
+            results[name] = {"err": "NOT REGISTERED"}
+            continue
+        try:
+            if name in oracles:
+                assert_matches_oracle(spark, name, sf_dir)
+                rows = int(queries[name](spark, sf_dir).count())
+                results[name] = {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "rows": rows,
+                    "err": None,
+                }
+            else:
+                rows = int(queries[name](spark, sf_dir).count())
+                results[name] = {"rows_only": rows, "err": None}
+            n_green += 1
+            print(f"GREEN {name}")
+        except Exception as exc:  # noqa: BLE001 — report, don't abort
+            results[name] = {"err": f"{type(exc).__name__}: {exc}"}
+            print(f"RED   {name}: {exc}")
+            traceback.print_exc(limit=2)
+    out = REPO / "CORRECTNESS_LOCAL.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"\n{n_green}/{len(GRADED_FIRST)} green -> {out}")
+    spark.stop()
+    sys.exit(0 if n_green == len(GRADED_FIRST) else 1)
+
+
+if __name__ == "__main__":
+    main()
