@@ -89,6 +89,8 @@ def main() -> None:
         "dedup_boundary_overlap",
         "pipeline_ccnet",
         "agg_skew_kurtosis_exact",
+        "order_length_buckets",
+        "graph_common_neighbors",
     ]
     rows = []
     streaming = []
