@@ -92,6 +92,52 @@ def conv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# conv_descset_roundtrip — contract loaded from the protoc artifact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conv_descset_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events
+""",
+)
+def conv_descset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conv_roundtrip_events pipeline run through a contract that
+    took the FULL interchange detour: the Event model is serialized to
+    a binary FileDescriptorSet (the protoc --descriptor_set_out
+    artifact) and REBUILT from those bytes with the engine's own wire
+    codec (proto/descriptor_set.py) before a single row is converted —
+    proving a cluster where only the descriptor file ships (no
+    compiled classes, no protobuf runtime) runs the identical
+    conversion plan bit-for-bit. Same oracle, same zero-shuffle
+    two-stage mapInPandas topology as conv_roundtrip_events."""
+    from protarrow_spark.proto.descriptor_set import (
+        read_descriptor_set,
+        write_descriptor_set,
+    )
+
+    rebuilt = read_descriptor_set(write_descriptor_set([EVENT_MT]))[0][
+        EVENT_MT.full_name
+    ]
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < cores:
+        ev = ev.repartition(cores)
+    out = proto_roundtrip(ev, rebuilt, ProtarrowSparkConfig())
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # conv_oneof_roundtrip
 # ---------------------------------------------------------------------------
 

@@ -93,6 +93,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: agg_linreg_exact, join_salted_skew, layout_zorder_lineitem,
 #: pipeline_rag_ingest, mine_association_rules, score_unigram_surprisal,
 #: sort_topk_lineitems, stream_cms_topk, stream_interval_join.
+#: Round-7 rotation candidates (added late in r6, all hash-parity-green
+#: locally incl. a 50/50 sf0.01 gate rehearsal — tools/gate_rehearsal.py):
+#: dedup_semdedup, dedup_boundary_overlap, text_boilerplate_ngrams,
+#: sample_temperature_mix, sample_perplexity_filter, pipeline_ccnet,
+#: window_cusum_changepoint, dq_referential_integrity, dq_freshness_lag,
+#: stream_freshness_lag, embed_pca_top1, embed_pca_project,
+#: join_asof_nearest, agg_skew_kurtosis_exact, order_length_buckets,
+#: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
+#: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
     # conversion surface (reference public API parity + oneof)
     "conv_roundtrip_events",
