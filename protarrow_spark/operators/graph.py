@@ -404,3 +404,169 @@ def common_neighbor_candidates(
         .limit(k)
         .select("node_a", "node_b", F.col("cn").cast("long").alias("cn"))
     )
+
+
+#: Multi-source BFS defaults: the smallest-id seed set and a fixed
+#: hop budget (unrolled — the plan is static, no driver-side
+#: convergence check needed for a bounded-radius query).
+BFS_N_SEEDS = 5
+BFS_MAX_HOPS = 3
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_seeds: int = BFS_N_SEEDS,
+    max_hops: int = BFS_MAX_HOPS,
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from
+    the seed set (the ``n_seeds`` smallest node ids — deterministic)
+    to every node within ``max_hops``, over the undirected graph.
+
+    This is the reachability/radius primitive (contamination spread
+    from flagged documents, relation closeness in a citation graph,
+    k-hop feature neighborhoods). Each hop is one frontier-edges
+    equi-join + an anti-join against the visited set — both hash-
+    partitioned on node id; the frontier is deduplicated BEFORE the
+    join so a node is expanded once per level no matter how many
+    paths reach it (path-count explosion is the naive recursive-CTE
+    failure mode; level-synchronous BFS with a visited set is the
+    scalable form). Nothing graph-sized touches the driver.
+
+    Output: (node, hop) with hop = exact minimum distance, BIGINT.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    und = und.distinct().localCheckpoint(eager=True)
+    seeds = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_seeds)
+    )
+    dist = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "u")
+            .join(und, "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(i))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("hop") == i).select("node")
+    return dist.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+def bfs_hops_oracle_sql(
+    edges_sql: str, n_seeds: int = BFS_N_SEEDS, max_hops: int = BFS_MAX_HOPS
+) -> str:
+    """DuckDB recursive-CTE oracle for :func:`bfs_hops`. The UNION
+    (not UNION ALL) recursion deduplicates (node, hop) rows per
+    level, so the walk is bounded by nodes x hops, mirroring the
+    level-synchronous visited-set semantics; MIN(hop) collapses the
+    per-level rows to the true distance."""
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+seeds AS (SELECT DISTINCT u AS node FROM und ORDER BY node LIMIT {n_seeds}),
+walk(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT und.v, w.hop + 1
+  FROM walk w JOIN und ON und.u = w.node
+  WHERE w.hop < {max_hops}
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+"""
+
+
+#: Neighborhood-Jaccard defaults (same hub cap as common neighbors).
+JACCARD_TOP_K = 50
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = CN_MAX_DEGREE,
+    k: int = JACCARD_TOP_K,
+) -> DataFrame:
+    """Neighborhood Jaccard similarity: for every node pair sharing
+    at least one neighbor, |N(a) & N(b)| / |N(a) | N(b)| — the
+    degree-normalized sibling of common-neighbors link prediction
+    (hubs stop dominating: 3 shared neighbors out of 4 beats 10 out
+    of 2000). Wedge generation is the same center-keyed self-join
+    with the ``max_degree`` hub cap; true degrees (uncapped) feed the
+    union term. The intersection is the exact wedge count; the score
+    is ONE IEEE division of exact integers, so ordering is
+    engine-identical. Top-k with (score, pair) total order.
+
+    Output: (node_a, node_b, cn, union_deg, jaccard).
+    """
+    und = edges.select(F.col(src).alias("w"), F.col(dst).alias("n")).unionByName(
+        edges.select(F.col(dst).alias("w"), F.col(src).alias("n"))
+    )
+    deg = und.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= max_degree).select("w")
+    u = und.join(centers, "w")
+    wed = (
+        u.alias("a")
+        .join(u.alias("b"), "w")
+        .filter(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("node_a"), F.col("b.n").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    node_deg = deg.select(F.col("w").alias("node"), F.col("d"))
+    scored = (
+        wed.join(
+            F.broadcast(node_deg.select(F.col("node").alias("node_a"), F.col("d").alias("da"))),
+            "node_a",
+        )
+        .join(
+            F.broadcast(node_deg.select(F.col("node").alias("node_b"), F.col("d").alias("db"))),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            F.col("cn").cast("long").alias("cn"),
+            (F.col("da") + F.col("db") - F.col("cn")).cast("long").alias("union_deg"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("node_a"), F.asc("node_b")
+    ).limit(k)
+
+
+def neighborhood_jaccard_oracle_sql(
+    edges_sql: str, max_degree: int = CN_MAX_DEGREE, k: int = JACCARD_TOP_K
+) -> str:
+    """DuckDB oracle for :func:`neighborhood_jaccard`."""
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+u AS (SELECT src AS w, dst AS n FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT w, COUNT(*) AS d FROM u GROUP BY w),
+uc AS (SELECT u.w, u.n FROM u JOIN deg USING (w) WHERE deg.d <= {max_degree}),
+wed AS (
+  SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS cn
+  FROM uc a JOIN uc b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, CAST(cn AS BIGINT) AS cn,
+       CAST(da.d + db.d - cn AS BIGINT) AS union_deg,
+       CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS jaccard
+FROM wed
+JOIN deg da ON da.w = wed.node_a
+JOIN deg db ON db.w = wed.node_b
+ORDER BY jaccard DESC, node_a, node_b
+LIMIT {k}
+"""

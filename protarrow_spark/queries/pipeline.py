@@ -4277,3 +4277,82 @@ def embed_feature_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"emb_{j}").cast("long").alias(f"emb_{j}") for j in range(FH_DIMS)],
         _fh_bucket_col().alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_hops — multi-source breadth-first search (bounded radius)
+# ---------------------------------------------------------------------------
+
+#: Support-thresholded part co-purchase edges (same graph as
+#: graph_triangle_count / graph_common_neighbors), as a DuckDB
+#: subquery producing (src, dst).
+_COPURCHASE_EDGES_SQL = f"""
+SELECT a AS src, b AS dst FROM (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS c
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY a, b
+) WHERE c >= {TRIANGLE_MIN_SUPPORT}
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TRIANGLE_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+
+
+def _bfs_oracle() -> str:
+    from protarrow_spark.operators.graph import bfs_hops_oracle_sql
+
+    return bfs_hops_oracle_sql(_COPURCHASE_EDGES_SQL)
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph: minimum hop
+    distance from the 5 smallest part ids to everything within 3 hops
+    (operators/graph.py bfs_hops) — the bounded-radius reachability
+    primitive (contamination spread from flagged docs, k-hop
+    neighborhoods for graph features). Level-synchronous frontier
+    expansion with a visited-set anti-join per hop; the DuckDB oracle
+    is the equivalent recursive CTE (UNION-deduplicated so the walk
+    is nodes x hops, not path-enumeration)."""
+    from protarrow_spark.operators.graph import bfs_hops
+
+    return bfs_hops(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_similarity — degree-normalized node similarity
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_oracle() -> str:
+    from protarrow_spark.operators.graph import neighborhood_jaccard_oracle_sql
+
+    return neighborhood_jaccard_oracle_sql(_COPURCHASE_EDGES_SQL)
+
+
+@query("graph_jaccard_similarity", oracle=_jaccard_oracle())
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity over the part co-purchase
+    graph (operators/graph.py neighborhood_jaccard): top-50 node
+    pairs by |N(a)&N(b)| / |N(a)|N(b)| — the degree-normalized
+    sibling of graph_common_neighbors, ranking structural similarity
+    instead of raw overlap so hub parts stop dominating. Exact
+    integer intersection/union; one IEEE division; (score, pair)
+    total order."""
+    from protarrow_spark.operators.graph import neighborhood_jaccard
+
+    return neighborhood_jaccard(_copurchase_edges(spark, sf_dir))
