@@ -151,6 +151,11 @@ HEADLINE = [
     "agg_skew_kurtosis_exact",
     "order_length_buckets",
     "graph_common_neighbors",
+    "mine_sequence_bigrams",
+    "dq_benford",
+    "window_attribution_last_touch",
+    "window_rolling_median",
+    "agg_hhi_concentration",
 ]
 
 

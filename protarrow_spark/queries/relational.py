@@ -2869,3 +2869,292 @@ def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (dxy - dx * dy / n) / (dxx - dx * dx / n)
     intercept = dy / n - slope * (dx / n)
     return s.select("l_returnflag", "n", slope.alias("slope"), intercept.alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# mine_sequence_bigrams — event-transition mining (1st-order Markov support)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mine_sequence_bigrams",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+)
+SELECT prev_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def mine_sequence_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, order-1: counts of consecutive
+    event-type transitions per user (the support table behind Markov
+    session models, funnel discovery, and next-event prediction).
+    One LEAD window per user timeline + one groupBy — exact integers.
+
+    Scale: a single shuffle on user_id feeds the window sort; the
+    transition matrix is |types|^2 rows, a constant. The same shape
+    iterates to order-k by chaining LEADs (still one sort)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_micros("ts"), F.col("event_id"))
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford — first-significant-digit audit (Benford's law)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) for d = 1..9, materialized once in Python so the
+#: Spark literals and the oracle literals are the SAME doubles (no
+#: engine-side libm in either plan).
+import math as _math
+
+BENFORD_EXPECTED = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n_orders,
+       CAST(n AS DOUBLE) / total AS actual_pct,
+       CASE digit {' '.join(f'WHEN {d} THEN {p!r}' for d, p in enumerate(BENFORD_EXPECTED, 1))} END
+         AS expected_pct,
+       ABS(CAST(n AS DOUBLE) / total
+           - CASE digit {' '.join(f'WHEN {d} THEN {p!r}' for d, p in enumerate(BENFORD_EXPECTED, 1))} END)
+         AS abs_dev
+FROM c CROSS JOIN t
+""",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: the distribution of first significant
+    digits of order totals vs the log10(1+1/d) expectation — the
+    classic fraud/synthetic-data screen (fabricated amounts flunk
+    it). The digit comes from exact integer string formatting (no
+    float log); the two reported doubles are each ONE IEEE op on
+    exact integers against a shared constant table, so both engines
+    agree bit-for-bit.
+
+    Scale: map-side digit extraction + a 9-group aggregate; the
+    grand total is a broadcast of a 9-row frame."""
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_EXPECTED]), F.col("digit")
+    )
+    d = table(spark, sf_dir, "orders").select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    actual = F.col("n").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            actual.alias("actual_pct"),
+            expected.alias("expected_pct"),
+            F.abs(actual - expected).alias("abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_attribution_last_touch — conversion attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_attribution_last_touch",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, '(direct)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS attributed_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def window_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRIOR non-purchase event type on the same user timeline
+    ('(direct)' when none) — the standard marketing/journey
+    attribution query, and for a training-data platform the 'which
+    upstream source fed this record' lineage shape. One ignore-nulls
+    running last_value over the user timeline, then a small-domain
+    aggregate; decimal value sums keep it order-invariant.
+
+    Scale: single shuffle on user_id; the output is |channels| rows."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    conv = ev.withColumn("channel", touch).filter(
+        F.col("event_type") == "purchase"
+    )
+    return conv.groupBy(
+        F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        _dsum(F.col("value"), DEC6).alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_median — exact holistic rolling aggregate
+# ---------------------------------------------------------------------------
+
+#: Supplier cut keeping the per-row output a few thousand rows.
+ROLLMED_MAX_SUPP = 25
+ROLLMED_FRAME = 5
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+WITH b AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         list(l_extendedprice)
+           OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN {ROLLMED_FRAME - 1} PRECEDING AND CURRENT ROW) AS lst
+  FROM lineitem WHERE l_suppkey <= {ROLLMED_MAX_SUPP}
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       list_sort(lst)[(len(lst) + 1) // 2] AS rolling_median
+FROM b
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (lower median) of extended price over the
+    trailing {ROLLMED_FRAME}-row frame per supplier — the holistic
+    window aggregate Spark has no built-in for (percentile_approx is
+    a sketch). Implemented as collect_list over the frame +
+    sort_array + middle element: the frame is a CONSTANT (5), so the
+    per-row state is O(frame), not O(partition) — that bound is what
+    makes a holistic aggregate windowable at scale. Median choice is
+    the lower middle so even frames stay exact element picks (no
+    averaging, no float synthesis).
+
+    Scale: one shuffle on l_suppkey; everything else is per-row array
+    work inside codegen. The supplier cut is pushed to the scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") <= ROLLMED_MAX_SUPP
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(ROLLMED_FRAME - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col("l_extendedprice")).over(w))
+    mid = F.floor((F.size(arr) + F.lit(1)) / F.lit(2)).cast("int")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(arr, mid).alias("rolling_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hhi_concentration — market-concentration index, exact integers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS micro
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT s_nationkey,
+         COUNT(*) AS n_suppliers,
+         SUM(CAST(micro AS HUGEINT) * micro) AS sumsq,
+         SUM(micro) AS total
+  FROM rev GROUP BY 1
+)
+SELECT n.n_name,
+       CAST(a.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(a.total AS DOUBLE) / 1000000 AS total_revenue,
+       CAST(a.sumsq AS DOUBLE)
+         / (CAST(a.total AS DOUBLE) * CAST(a.total AS DOUBLE)) AS hhi
+FROM agg a JOIN nation n ON n.n_nationkey = a.s_nationkey
+""",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each nation: HHI = sum(share_i^2) = sum(rev_i^2) /
+    (sum rev_i)^2 — the market-concentration / source-dominance
+    metric (for a corpus: is one source supplying all the tokens?).
+    Per-supplier revenue goes through the repo's exact decimal sums,
+    is rescaled to integral micro-units, and squared in DECIMAL(38,0)
+    so every accumulation is exact; the division happens ONCE on the
+    final exact integers, so both engines emit identical doubles.
+
+    Scale: fact-table aggregate on (nation, supplier), then a
+    nation-sized rollup; the nation dim broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    line_rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast(DEC6)
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg((F.sum(line_rev) * F.lit(1_000_000)).cast("long").alias("micro"))
+    )
+    sq = F.col("micro").cast("decimal(19,0)")
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(sq * sq).alias("sumsq"),
+        F.sum("micro").alias("total"),
+    )
+    return agg.join(F.broadcast(na), agg.s_nationkey == na.n_nationkey).select(
+        "n_name",
+        "n_suppliers",
+        (F.col("total").cast("double") / F.lit(1_000_000)).alias("total_revenue"),
+        (
+            F.col("sumsq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )

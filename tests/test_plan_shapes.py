@@ -198,6 +198,8 @@ BNLJ_BY_DESIGN = {
     "dq_referential_integrity",
     # 1-row high-water-mark broadcast onto the per-type maxima
     "dq_freshness_lag",
+    # 1-row grand-total broadcast onto the 9-row digit frame
+    "dq_benford",
 }
 
 
