@@ -156,6 +156,10 @@ HEADLINE = [
     "window_attribution_last_touch",
     "window_rolling_median",
     "agg_hhi_concentration",
+    "ann_ivf_recall_report",
+    "retrieval_hybrid_rrf",
+    "report_token_fertility",
+    "dq_drift_splithalf",
 ]
 
 

@@ -4356,3 +4356,356 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from protarrow_spark.operators.graph import neighborhood_jaccard
 
     return neighborhood_jaccard(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_recall_report — measured recall of the IVF index vs exact truth
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    """Brute-force truth CTEs + the IVF CTEs (same formulas as
+    ann_cosine_topk / ann_ivf_topk), joined into per-query recall."""
+    cos = "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+brute AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COSINE_SQL} DESC, vec_id) AS rank
+  FROM q JOIN v ON vec_id <> query_id
+),
+truth AS (SELECT query_id, neighbor_id FROM brute WHERE rank <= {TOPK_NEIGHBORS}),
+cent AS (
+  SELECT e AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM v ORDER BY vec_id LIMIT {similarity.IVF_N_CELLS}
+),
+assign AS (
+  SELECT vec_id, cidx,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {cos.replace('qe', 'a.e')} DESC, cidx
+         ) AS rn
+  FROM v a CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cidx AS cell FROM assign WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM assign
+  WHERE rn <= {similarity.IVF_NPROBE} AND vec_id < {N_QUERY_VECS}
+),
+ivf_scored AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv.e, nv.e)
+           / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e)))
+           AS cosine
+  FROM qcells qc
+  JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.query_id
+  JOIN v qv ON qv.vec_id = qc.query_id
+  JOIN v nv ON nv.vec_id = c.vec_id
+),
+ivf_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= {TOPK_NEIGHBORS}
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN ivf_topk i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@query("ann_ivf_recall_report", oracle=_ivf_recall_oracle())
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the IVF ANN index against exact
+    brute-force truth, per query — the dense-retrieval sibling of
+    dedup_lsh_recall_report: an index you cannot audit is an index
+    you cannot trust. Both rankings are computed by the engine's own
+    operators (cosine_topk_ivf / cosine_topk_bruteforce), joined on
+    (query, neighbor); hits are exact integers, recall is one IEEE
+    division.
+
+    Scale: the truth side is the linear brute-force scan — run it on
+    the SAME hash-sampled query stratum the LSH audit prescribes, not
+    the full query log; the IVF side stays an equi-join on cell ids.
+    The corpus never shuffles in either ranking (query sets
+    broadcast)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    truth = similarity.cosine_topk_bruteforce(emb, qs, k=TOPK_NEIGHBORS).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        similarity.cosine_topk_ivf(emb, qs, k=TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_hybrid_rrf — reciprocal-rank fusion of sparse + dense retrieval
+# ---------------------------------------------------------------------------
+
+#: RRF constant (the k in 1/(k + rank); 60 is the value from the
+#: original Cormack/Clarke/Buettcher paper and what most engines use).
+RRF_K = 60
+#: Depth of each ranker's candidate list fed into the fusion.
+RRF_DEPTH = 20
+#: Final fused list length.
+RRF_TOPK = 10
+#: Fixed-point scale for 1/(k+rank): integer division at 1e12 keeps
+#: 12 significant digits — rank order identical to the float RRF for
+#: any plausible depth, and bit-exact on any engine.
+RRF_SCALE = 10**12
+#: Hashing-trick dimensionality for the dense ranker.
+RRF_DENSE_DIM = 64
+
+
+def _rrf_dim_sql(tok: str) -> str:
+    return f"CAST('0x' || substr(md5('rrf|' || {tok}), 1, 15) AS BIGINT) % {RRF_DENSE_DIM}"
+
+
+def _rrf_sign_sql(tok: str) -> str:
+    return (
+        f"(CASE WHEN CAST('0x' || substr(md5('rrfs|' || {tok}), 1, 15) AS BIGINT) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
+    )
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    in_terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl),
+tfm AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({in_terms}) GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tfm GROUP BY tok),
+bm25 AS (
+  SELECT t.doc_id,
+         SUM(((2 * (s.n_docs - f.df) + 1) * {BM25_IDF_SCALE}) // (2 * f.df + 1)
+             * ((22 * s.total_toks * t.tf * {BM25_TF_SCALE})
+                // (10 * s.total_toks * t.tf + 3 * s.total_toks
+                    + 9 * s.n_docs * d.dl))) AS score_fp
+  FROM tfm t
+  JOIN dfreq f USING (tok)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+sparse AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rank
+    FROM bm25
+  ) WHERE rank <= {RRF_DEPTH}
+),
+dvec AS (
+  SELECT doc_id, {_rrf_dim_sql('tok')} AS dim,
+         SUM({_rrf_sign_sql('tok')}) AS w
+  FROM toks GROUP BY doc_id, dim
+),
+qvec AS (
+  SELECT {_rrf_dim_sql('tok')} AS dim,
+         SUM({_rrf_sign_sql('tok')}) AS w
+  FROM (VALUES {terms}) qt(tok) GROUP BY dim
+),
+dscore AS (
+  SELECT d.doc_id, SUM(d.w * q.w) AS dot FROM dvec d
+  JOIN qvec q USING (dim) GROUP BY d.doc_id
+),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS rank
+    FROM dscore
+  ) WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT doc_id,
+         s.rank AS sparse_rank, d.rank AS dense_rank,
+         COALESCE({RRF_SCALE} // ({RRF_K} + s.rank), 0)
+           + COALESCE({RRF_SCALE} // ({RRF_K} + d.rank), 0) AS rrf_fp
+  FROM sparse s FULL OUTER JOIN dense d USING (doc_id)
+)
+SELECT doc_id, sparse_rank, dense_rank, CAST(rrf_fp AS BIGINT) AS rrf_fp
+FROM fused
+ORDER BY rrf_fp DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+
+@query("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (RRF): the
+    fixed-point BM25 ranking (sparse side) and a hashing-trick
+    inner-product ranking (dense side) are each cut to the top
+    {RRF_DEPTH}, then fused with score = sum over rankers of
+    1/(60 + rank) — the list-combination rule RAG stacks actually
+    run in front of an LLM. 1/(k+rank) is taken as integer division
+    at 1e12 fixed point, so the fused ordering is bit-exact on any
+    engine/partitioning.
+
+    The dense side is the signed-feature-hash dot product: doc vector
+    dims from md5('rrf|'||tok) with ±1 signs from md5('rrfs|'||tok),
+    the query vector from the same family over the fixed BM25 terms —
+    all-integer scores, engine-portable by construction.
+
+    Scale: both rankers end in TakeOrderedAndProject (map-side top-N
+    per partition, no global sort); the 3-term query vector and the
+    corpus stats broadcast; the fusion is a full outer join of two
+    {RRF_DEPTH}-row frames."""
+    from pyspark.sql import Window
+
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+
+    # -- sparse side: BM25 fixed-point (same closed form as text_bm25_topk)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tfm = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tfm.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    term_score = F.expr(
+        f"((2 * (n_docs - df) + 1) * {BM25_IDF_SCALE}) div (2 * df + 1)"
+        f" * ((22 * total_toks * tf * {BM25_TF_SCALE}L)"
+        f" div (10 * total_toks * tf + 3 * total_toks + 9 * n_docs * dl))"
+    )
+    bm25 = (
+        tfm.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score_fp"))
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    w_s = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    sparse = bm25.select("doc_id", F.row_number().over(w_s).alias("sparse_rank"))
+
+    # -- dense side: signed feature-hash inner product
+    def dim(col):
+        return hex_to_long(F.md5(F.concat(F.lit("rrf|"), col)), 15) % RRF_DENSE_DIM
+
+    def sign(col):
+        h = hex_to_long(F.md5(F.concat(F.lit("rrfs|"), col)), 15)
+        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    dvec = toks.groupBy("doc_id", dim(F.col("tok")).alias("dim")).agg(
+        F.sum(sign(F.col("tok"))).alias("w")
+    )
+    qterms = spark.createDataFrame([(t,) for t in BM25_TERMS], "tok string")
+    qvec = qterms.groupBy(dim(F.col("tok")).alias("dim")).agg(
+        F.sum(sign(F.col("tok"))).alias("qw")
+    )
+    dscore = (
+        dvec.join(F.broadcast(qvec), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    w_d = Window.orderBy(F.desc("dot"), F.asc("doc_id"))
+    dense = dscore.select("doc_id", F.row_number().over(w_d).alias("dense_rank"))
+
+    # -- fusion
+    fused = sparse.join(dense, ["doc_id"], "full").select(
+        "doc_id",
+        F.col("sparse_rank").cast("long").alias("sparse_rank"),
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE}L div ({RRF_K} + sparse_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE}L div ({RRF_K} + dense_rank)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_fp"),
+    )
+    return fused.orderBy(F.desc("rrf_fp"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# report_token_fertility — tokenizer fertility / compression audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "report_token_fertility",
+    oracle=f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+       CAST(100 * SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS DOUBLE)
+         / CAST(SUM(length(text)) AS DOUBLE) AS bpe_per_100_chars,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS DOUBLE)
+         / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS fertility
+FROM documents
+GROUP BY source, lang
+""",
+)
+def report_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, language): BPE-style
+    pre-tokens per whitespace word (the 'fertility' every tokenizer
+    paper reports — high fertility = the tokenizer fragments that
+    language and its token budget buys less text) and tokens per 100
+    chars (the compression rate that converts corpus bytes to token
+    counts for data-mixing math). Counts are exact integers from one
+    codegen'd regex pass; the two ratios are single IEEE divisions on
+    exact sums.
+
+    Scale: map-side tokenize-and-count into a |sources|x|langs|-group
+    aggregate — one scan, one tiny shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(text.BPE_PATTERN), 0))
+    ws = F.size(F.split(F.col("text"), " "))
+    per_doc = docs.select("source", "lang", F.length("text").alias("nc"),
+                          bpe.alias("nb"), ws.alias("nw"))
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        F.sum("nw").cast("long").alias("n_ws_tokens"),
+        (
+            (F.lit(100) * F.sum("nb")).cast("double")
+            / F.sum("nc").cast("double")
+        ).alias("bpe_per_100_chars"),
+        (F.sum("nb").cast("double") / F.sum("nw").cast("double")).alias(
+            "fertility"
+        ),
+    )

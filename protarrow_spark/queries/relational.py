@@ -3158,3 +3158,90 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_splithalf — batch distribution-drift audit (chi-squared terms)
+# ---------------------------------------------------------------------------
+
+#: 95% critical value of chi-squared with 1 dof — a per-category
+#: "did this slice drift" flag (fixed literal shared by both engines).
+DRIFT_CHI2_CRIT = 3.841
+
+
+@query(
+    "dq_drift_splithalf",
+    oracle=f"""
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+c AS (
+  SELECT event_type,
+         SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS n_b
+  FROM events CROSS JOIN b GROUP BY event_type
+),
+t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM c)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_first_half,
+       CAST(n_b AS BIGINT) AS n_second_half,
+       CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE) AS expected_second,
+       (CAST(n_b AS DOUBLE) - CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE))
+         * (CAST(n_b AS DOUBLE) - CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE))
+         / (CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE)) AS chi2_term,
+       (CAST(n_b AS DOUBLE) - CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE))
+         * (CAST(n_b AS DOUBLE) - CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE))
+         / (CAST(n_a * tot_b AS DOUBLE) / CAST(tot_a AS DOUBLE)) > {DRIFT_CHI2_CRIT}
+         AS drifted
+FROM c CROSS JOIN t
+""",
+)
+def dq_drift_splithalf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch distribution-drift audit: split the event stream at the
+    midpoint of its time range, compare each event type's second-half
+    count against the count the first-half distribution predicts, and
+    report the chi-squared contribution per type — the batch sibling
+    of the streaming drift monitor, and the standard 'did the source
+    mix shift under me' screen a training-data pipeline runs between
+    snapshots. Every count is an exact integer; ``expected_second``
+    is one exact int64 product followed by one IEEE division, and the
+    chi-squared term is built from those same exact inputs with a
+    fixed expression tree, so both engines emit identical bits. (At
+    ~3e9 rows per half the int64 product n_a * tot_b needs
+    decimal(38,0) — same plan.)
+
+    Scale: one cheap min/max scan (1-row broadcast), then one
+    map-side conditional count into a |types|-group aggregate; the
+    grand totals re-broadcast onto the tiny type frame."""
+    ev = table(spark, sf_dir, "events").select(
+        epoch_micros("ts").alias("ep"), "event_type"
+    )
+    b = ev.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("ep") >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    t = c.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    expected = (F.col("n_a") * F.col("tot_b")).cast("double") / F.col(
+        "tot_a"
+    ).cast("double")
+    dev = F.col("n_b").cast("double") - expected
+    chi2 = dev * dev / expected
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("n_a").alias("n_first_half"),
+        F.col("n_b").alias("n_second_half"),
+        expected.alias("expected_second"),
+        chi2.alias("chi2_term"),
+        (chi2 > F.lit(DRIFT_CHI2_CRIT)).alias("drifted"),
+    )

@@ -200,6 +200,14 @@ BNLJ_BY_DESIGN = {
     "dq_freshness_lag",
     # 1-row grand-total broadcast onto the 9-row digit frame
     "dq_benford",
+    # bounded query-set broadcast against the corpus (the brute-force
+    # truth side of the recall audit, same shape as ann_cosine_topk)
+    "ann_ivf_recall_report",
+    # 1-row corpus-stats broadcast into the BM25 side of the fusion
+    "retrieval_hybrid_rrf",
+    # 1-row midpoint broadcast + 1-row grand-total broadcast onto the
+    # per-type frame
+    "dq_drift_splithalf",
 }
 
 
