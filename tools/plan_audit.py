@@ -91,6 +91,16 @@ def main() -> None:
         "agg_skew_kurtosis_exact",
         "order_length_buckets",
         "graph_common_neighbors",
+        # round-6 final batch (graded from r7 on)
+        "mine_sequence_bigrams",
+        "dq_benford",
+        "window_attribution_last_touch",
+        "window_rolling_median",
+        "agg_hhi_concentration",
+        "ann_ivf_recall_report",
+        "retrieval_hybrid_rrf",
+        "report_token_fertility",
+        "dq_drift_splithalf",
     ]
     rows = []
     streaming = []
