@@ -126,6 +126,8 @@ HEADLINE = [
     "conv_oneof_roundtrip",
     "mm_image_features_bmp",
     "mm_image_features_jpeg",
+    "mm_image_features_jpeg_color",
+    "mm_thumbnail_jpeg",
     "mm_image_features_png",
     "mm_image_features_gif",
     "mm_audio_windows_wav",

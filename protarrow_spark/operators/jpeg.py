@@ -1,28 +1,34 @@
-"""Dependency-free baseline JPEG (ITU-T T.81) grayscale codec.
+"""Dependency-free baseline JPEG (ITU-T T.81) codec — grayscale AND
+YCbCr color (4:4:4, 4:2:2, 4:2:0).
 
 JPEG dominates real image corpora, so the multimodal path needs a real
 decoder, not a stub. This module implements the public baseline
-sequential DCT process for single-component (grayscale) images from
-the spec alone — SOI/APPn/DQT/SOF0/DHT/SOS/EOI marker parsing, Huffman
-entropy coding with byte stuffing, DPCM DC / run-length AC coefficient
-coding, zigzag, dequantization, and a separable float IDCT — plus the
-matching encoder so tests push GENUINE entropy-coded bytes through the
-decoder (same pattern as the BMP/PGM/WAV codecs in
-``operators.multimodal``).
+sequential DCT process from the spec alone — SOI/APPn/DQT/SOF0/DHT/
+SOS/EOI marker parsing, Huffman entropy coding with byte stuffing,
+DPCM DC / run-length AC coefficient coding, zigzag, dequantization, a
+separable float IDCT, interleaved multi-component MCU scans with
+sampling factors up to 2x2 (covering the 4:2:0 layout essentially all
+real color JPEGs use, with replication chroma upsampling), and the
+JFIF YCbCr<->RGB conversions — plus matching grayscale AND color
+encoders so tests push GENUINE entropy-coded bytes through the decoder
+(same pattern as the BMP/PGM/WAV codecs in ``operators.multimodal``).
 
 Honest boundaries (documented ``NotImplementedError``, not silent
 wrong answers): progressive (SOF2) and other non-baseline frames,
-multi-component (color) scans, 16-bit quantization tables, restart
-intervals, and arithmetic coding. A blob that does not start with the
-SOI marker returns ``None`` (the operator's null path, like the other
-codecs).
+sampling factors above 2, non-interleaved multi-scan files, 16-bit
+quantization tables, restart intervals, and arithmetic coding. A blob
+that does not start with the SOI marker returns ``None`` (the
+operator's null path, like the other codecs).
 
 Determinism note for oracle-gated queries: baseline JPEG is lossy in
 general, but an 8x8-block-constant image encoded with an all-ones
 quantization table round-trips EXACTLY — such a block has only a DC
 coefficient (an integer, ``8 * (v - 128)``), quantization at step 1 is
 the identity, and the IDCT of a DC-only block is constant — so a SQL
-oracle can pin every decoded pixel from the source data.
+oracle can pin every decoded pixel from the source data. The same
+argument covers color: 4:4:4 with 8x8-block-constant planes, 4:2:0
+with 16x16-MCU-constant planes (the 2x2 chroma mean and the
+replication upsample are both identities on constants).
 
 Reference parity: the reference repo has no media codecs; this extends
 the engine's multimodal surface (SURVEY.md §2.3) the way a
@@ -93,6 +99,46 @@ AC_HUFFVAL = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: Annex K.2 chrominance quantization table (quality ~50), raster order.
+QUANT_ANNEX_K_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K.3 typical chrominance Huffman tables.
+DC_BITS_CHROMA = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_HUFFVAL_CHROMA = list(range(12))
+AC_BITS_CHROMA = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_HUFFVAL_CHROMA = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -294,13 +340,198 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
     return bytes(out)
 
 
-def decode_jpeg_gray(data: bytes):
-    """Parse a REAL baseline JPEG into ``(width, height, gray)`` with
-    ``gray`` a row-major uint8 (h, w) array. Returns ``None`` when the
-    blob does not start with SOI (not a JPEG — the operator's null
-    path); raises ``NotImplementedError`` at the codec's honest
-    boundaries (progressive/extended frames, color scans, 16-bit quant
-    tables, restart intervals) and ``ValueError`` on corrupt streams."""
+def _plane_zigzag_coefs(plane, quant, bh, bw):
+    """Pad a uint8 plane to (bh*8, bw*8) by edge replication, DCT +
+    quantize every block, and return the (bh*bw, 64) zigzag-ordered
+    integer coefficients in raster block order."""
+    import numpy as np
+
+    px = np.asarray(plane, dtype=np.uint8)
+    h, w = px.shape
+    q = np.asarray(quant, dtype=np.int32)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    padded -= 128.0
+    a = _dct_matrix()
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coefs = a @ blocks @ a.T
+    quantized = np.rint(coefs / q.reshape(8, 8)).astype(np.int64)
+    zz = np.asarray(ZIGZAG)
+    return quantized.reshape(-1, 64)[:, zz]
+
+
+def encode_jpeg_color(y, cb, cr, quant_luma=None, quant_chroma=None,
+                      subsample=False) -> bytes:
+    """Full-resolution (h, w) uint8 Y/Cb/Cr planes -> a GENUINE
+    baseline YCbCr JPEG: SOF0 3-component frame, two DQTs (luma +
+    chroma), four Annex-K DHTs, and one interleaved entropy-coded
+    scan. ``subsample=False`` emits 4:4:4 (every component 1x1);
+    ``subsample=True`` emits 4:2:0 (Y at 2x2, chroma reduced by a
+    rounded 2x2 mean) — the two layouts that cover essentially all
+    real-corpus color JPEGs. With unity quant tables and planes
+    constant per MCU, the lossy format round-trips EXACTLY (DC-only
+    blocks; same argument as the grayscale module doc)."""
+    import numpy as np
+
+    ypx = np.asarray(y, dtype=np.uint8)
+    h, w = ypx.shape
+    ql = list(quant_luma if quant_luma is not None else QUANT_ANNEX_K)
+    qc = list(quant_chroma if quant_chroma is not None else QUANT_ANNEX_K_CHROMA)
+    if subsample:
+        hy = vy = 2
+
+        def shrink(p):
+            px = np.asarray(p, dtype=np.float64)
+            hh = -(-px.shape[0] // 2) * 2
+            ww = -(-px.shape[1] // 2) * 2
+            pad = np.empty((hh, ww), dtype=np.float64)
+            pad[: px.shape[0], : px.shape[1]] = px
+            pad[px.shape[0] :, : px.shape[1]] = px[-1:, :]
+            pad[:, px.shape[1] :] = pad[:, px.shape[1] - 1 : px.shape[1]]
+            m = pad.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+        cbp, crp = shrink(cb), shrink(cr)
+    else:
+        hy = vy = 1
+        cbp = np.asarray(cb, dtype=np.uint8)
+        crp = np.asarray(cr, dtype=np.uint8)
+    mcux, mcuy = -(-w // (8 * hy)), -(-h // (8 * vy))
+    planes = [
+        (ypx, ql, hy, vy, 0),
+        (cbp, qc, 1, 1, 1),
+        (crp, qc, 1, 1, 1),
+    ]
+    coef_sets = [
+        _plane_zigzag_coefs(px, q, mcuy * vi, mcux * hi)
+        for px, q, hi, vi, _tq in planes
+    ]
+
+    dc_luma = _build_codes(DC_BITS, DC_HUFFVAL)
+    ac_luma = _build_codes(AC_BITS, AC_HUFFVAL)
+    dc_chroma = _build_codes(DC_BITS_CHROMA, DC_HUFFVAL_CHROMA)
+    ac_chroma = _build_codes(AC_BITS_CHROMA, AC_HUFFVAL_CHROMA)
+    tables = [(dc_luma, ac_luma), (dc_chroma, ac_chroma), (dc_chroma, ac_chroma)]
+
+    writer = _BitWriter()
+    write = writer.write
+    prev_dc = [0, 0, 0]
+
+    def put_block(row, dc_codes, ac_codes, ci):
+        diff = int(row[0]) - prev_dc[ci]
+        prev_dc[ci] = int(row[0])
+        s = _category(diff)
+        code, length = dc_codes[s]
+        write(code, length)
+        if s:
+            write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = [i for i in range(1, 64) if row[i]]
+        end = nz[-1] if nz else 0
+        run = 0
+        zrl_code, zrl_len = ac_codes[0xF0]
+        for i in range(1, end + 1):
+            v = int(row[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                write(zrl_code, zrl_len)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            write(code, length)
+            write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if end < 63:
+            code, length = ac_codes[0x00]
+            write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (px, q, hi, vi, _tq) in enumerate(planes):
+                bwc = mcux * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * bwc + mx * hi + hh
+                        put_block(coef_sets[ci][bi], *tables[ci], ci)
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits, huffval) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(huffval)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(_M_DQT, bytes([0x00]) + bytes(ql[ZIGZAG[i]] for i in range(64)))
+    out += seg(_M_DQT, bytes([0x01]) + bytes(qc[ZIGZAG[i]] for i in range(64)))
+    out += seg(
+        _M_SOF0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hy << 4) | vy, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += seg(_M_DHT, dht(0x00, DC_BITS, DC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x10, AC_BITS, AC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x01, DC_BITS_CHROMA, DC_HUFFVAL_CHROMA))
+    out += seg(_M_DHT, dht(0x11, AC_BITS_CHROMA, AC_HUFFVAL_CHROMA))
+    out += seg(
+        _M_SOS,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def ycbcr_to_rgb(y, cb, cr):
+    """JFIF YCbCr -> RGB (uint8 planes in, uint8 planes out): the
+    public fixed conversion R = Y + 1.402(Cr-128), G = Y -
+    0.344136(Cb-128) - 0.714136(Cr-128), B = Y + 1.772(Cb-128),
+    rounded and clipped."""
+    import numpy as np
+
+    yf = np.asarray(y, dtype=np.float64)
+    cbf = np.asarray(cb, dtype=np.float64) - 128.0
+    crf = np.asarray(cr, dtype=np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    clip = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def rgb_to_ycbcr(r, g, b):
+    """JFIF RGB -> YCbCr (uint8 planes in, uint8 planes out): Y =
+    0.299R + 0.587G + 0.114B, Cb = 128 - 0.168736R - 0.331264G +
+    0.5B, Cr = 128 + 0.5R - 0.418688G - 0.081312B, rounded/clipped."""
+    import numpy as np
+
+    rf = np.asarray(r, dtype=np.float64)
+    gf = np.asarray(g, dtype=np.float64)
+    bf = np.asarray(b, dtype=np.float64)
+    y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+    cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+    clip = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def decode_jpeg(data: bytes):
+    """Parse a REAL baseline JPEG into ``(width, height, planes)``
+    where ``planes`` is a list of row-major uint8 (h, w) arrays — one
+    for grayscale, three (Y, Cb, Cr, chroma upsampled to full size by
+    sample replication) for color. Handles interleaved baseline scans
+    with sampling factors 1-2 in each direction (4:4:4, 4:2:2, 4:2:0).
+    Returns ``None`` when the blob does not start with SOI (not a JPEG
+    — the operator's null path); raises ``NotImplementedError`` at the
+    codec's honest boundaries (progressive/extended frames, >2x
+    sampling factors, non-interleaved scans, 16-bit quant tables,
+    restart intervals) and ``ValueError`` on corrupt streams."""
     import numpy as np
 
     if len(data) < 4 or data[:2] != JPEG_MAGIC:
@@ -361,19 +592,31 @@ def decode_jpeg_gray(data: bytes):
                 "only baseline sequential (SOF0) is supported"
             )
         elif marker == _M_SOF0:
-            if len(payload) < 9:
+            if len(payload) < 6:
                 raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component (color) JPEG; grayscale only"
+                    f"{ncomp}-component JPEG; grayscale and YCbCr only"
                 )
-            comp_id, sampling, tq = payload[6], payload[7], payload[8]
-            if sampling != 0x11:
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
+            comps = []
+            for c in range(ncomp):
+                cid = payload[6 + 3 * c]
+                hv = payload[7 + 3 * c]
+                tq = payload[8 + 3 * c]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hi}x{vi} (only 1-2 supported)"
+                    )
+                comps.append({"cid": cid, "h": hi, "v": vi, "tq": tq})
+            if ncomp == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
                 raise NotImplementedError("subsampled single component")
-            frame = (w, h, comp_id, tq)
+            frame = (w, h, comps)
         elif marker == _M_DRI:
             if len(payload) < 2:
                 raise ValueError("truncated DRI segment")
@@ -382,31 +625,53 @@ def decode_jpeg_gray(data: bytes):
         elif marker == _M_SOS:
             if frame is None:
                 raise ValueError("SOS before SOF0")
-            if len(payload) < 6:
+            if len(payload) < 1:
                 raise ValueError("truncated SOS segment")
             ns = payload[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            td, ta = payload[2] >> 4, payload[2] & 0x0F
-            w, h, _comp_id, tq = frame
-            if tq not in quant_tables:
-                raise ValueError(f"SOF references undefined DQT table {tq}")
-            if (0, td) not in huff_tables or (1, ta) not in huff_tables:
-                raise ValueError(
-                    f"SOS references undefined DHT table (dc={td}, ac={ta})"
+            w, h, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved scan (scan components != frame components)"
                 )
-            return _decode_scan(
-                data, pos, w, h,
-                quant_tables[tq],
-                huff_tables[(0, td)],
-                huff_tables[(1, ta)],
-            )
+            if len(payload) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
+            scan_comps = []
+            by_cid = {c["cid"]: c for c in comps}
+            for s in range(ns):
+                cs = payload[1 + 2 * s]
+                td, ta = payload[2 + 2 * s] >> 4, payload[2 + 2 * s] & 0x0F
+                c = by_cid.get(cs)
+                if c is None:
+                    raise ValueError(f"SOS component {cs} not in SOF0")
+                if c["tq"] not in quant_tables:
+                    raise ValueError(
+                        f"SOF references undefined DQT table {c['tq']}"
+                    )
+                if (0, td) not in huff_tables or (1, ta) not in huff_tables:
+                    raise ValueError(
+                        f"SOS references undefined DHT table (dc={td}, ac={ta})"
+                    )
+                scan_comps.append(
+                    {
+                        "h": c["h"],
+                        "v": c["v"],
+                        "quant": quant_tables[c["tq"]],
+                        "dc": huff_tables[(0, td)],
+                        "ac": huff_tables[(1, ta)],
+                    }
+                )
+            return _decode_scan(data, pos, w, h, scan_comps)
         # else: APPn/COM/etc — skipped via seg_len
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, pos, w, h, quant, dc_table, ac_table):
-    """Entropy-decode the single-component scan and reconstruct.
+def _decode_scan(data, pos, w, h, comps):
+    """Entropy-decode an interleaved baseline scan and reconstruct.
+
+    ``comps`` is the scan's component list ({h, v, quant, dc, ac} per
+    component); a single-component scan is the 1-element case (MCU =
+    one block, Hmax = Vmax = 1 — identical to the dedicated grayscale
+    path this generalizes).
 
     Fast path: the scan is un-stuffed ONCE (0xFF 0x00 -> 0xFF; legal
     because baseline entropy data contains no other 0xFF-started pair
@@ -415,7 +680,10 @@ def _decode_scan(data, pos, w, h, quant, dc_table, ac_table):
     coefficient instead of a per-bit method-call walk."""
     import numpy as np
 
-    bh, bw = -(-h // 8), -(-w // 8)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     # Entropy data ends at the first marker (0xFF followed by anything
     # but the stuffed 0x00).
     m = _MARKER_RE.search(data, pos)
@@ -423,64 +691,113 @@ def _decode_scan(data, pos, w, h, quant, dc_table, ac_table):
     entropy = data[pos:end].replace(b"\xff\x00", b"\xff")
     buf = entropy + b"\x00\x00\x00\x00"
     nbits_total = len(entropy) * 8
-    dc_lut = _build_lut(dc_table)
-    ac_lut = _build_lut(ac_table)
 
     zz = np.asarray(ZIGZAG)
-    coefs = np.zeros((bh * bw, 64), dtype=np.int64)
-    prev_dc = 0
+    state = []  # per component: (coefs, blocks_w, dc_lut, ac_lut)
+    for c in comps:
+        bwc, bhc = mcux * c["h"], mcuy * c["v"]
+        state.append(
+            {
+                "coefs": np.zeros((bhc * bwc, 64), dtype=np.int64),
+                "bw": bwc,
+                "bh": bhc,
+                "dc_lut": _build_lut(c["dc"]),
+                "ac_lut": _build_lut(c["ac"]),
+                "prev_dc": 0,
+                "h": c["h"],
+                "v": c["v"],
+            }
+        )
     bitpos = 0
     from_bytes = int.from_bytes
-    for bi in range(bh * bw):
-        if bitpos > nbits_total:
-            raise ValueError("entropy stream truncated")
-        byteidx = bitpos >> 3
-        chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
-        ent = dc_lut[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
-        if ent == 0:
-            raise ValueError("invalid Huffman code in scan")
-        s = ent >> 5
-        bitpos += ent & 31
-        if s:
-            byteidx = bitpos >> 3
-            chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
-            v = (chunk >> (32 - s - (bitpos & 7))) & ((1 << s) - 1)
-            bitpos += s
-            prev_dc += _extend(v, s)
-        block = coefs[bi]
-        block[0] = prev_dc
-        i = 1
-        while i < 64:
-            byteidx = bitpos >> 3
-            chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
-            ent = ac_lut[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
-            if ent == 0:
-                raise ValueError("invalid Huffman code in scan")
-            sym = ent >> 5
-            bitpos += ent & 31
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            i += sym >> 4
-            size = sym & 0x0F
-            if i >= 64:
-                raise ValueError("AC run past block end")
-            byteidx = bitpos >> 3
-            chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
-            v = (chunk >> (32 - size - (bitpos & 7))) & ((1 << size) - 1)
-            bitpos += size
-            block[i] = _extend(v, size)
-            i += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for st in state:
+                for v in range(st["v"]):
+                    for hh in range(st["h"]):
+                        if bitpos > nbits_total:
+                            raise ValueError("entropy stream truncated")
+                        dc_lut, ac_lut = st["dc_lut"], st["ac_lut"]
+                        byteidx = bitpos >> 3
+                        chunk = from_bytes(buf[byteidx : byteidx + 4], "big")
+                        ent = dc_lut[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+                        if ent == 0:
+                            raise ValueError("invalid Huffman code in scan")
+                        s = ent >> 5
+                        bitpos += ent & 31
+                        if s:
+                            byteidx = bitpos >> 3
+                            chunk = from_bytes(
+                                buf[byteidx : byteidx + 4], "big"
+                            )
+                            val = (chunk >> (32 - s - (bitpos & 7))) & (
+                                (1 << s) - 1
+                            )
+                            bitpos += s
+                            st["prev_dc"] += _extend(val, s)
+                        bi = (my * st["v"] + v) * st["bw"] + mx * st["h"] + hh
+                        block = st["coefs"][bi]
+                        block[0] = st["prev_dc"]
+                        i = 1
+                        while i < 64:
+                            byteidx = bitpos >> 3
+                            chunk = from_bytes(
+                                buf[byteidx : byteidx + 4], "big"
+                            )
+                            ent = ac_lut[(chunk >> (16 - (bitpos & 7))) & 0xFFFF]
+                            if ent == 0:
+                                raise ValueError("invalid Huffman code in scan")
+                            sym = ent >> 5
+                            bitpos += ent & 31
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += sym >> 4
+                            size = sym & 0x0F
+                            if i >= 64:
+                                raise ValueError("AC run past block end")
+                            byteidx = bitpos >> 3
+                            chunk = from_bytes(
+                                buf[byteidx : byteidx + 4], "big"
+                            )
+                            val = (chunk >> (32 - size - (bitpos & 7))) & (
+                                (1 << size) - 1
+                            )
+                            bitpos += size
+                            block[i] = _extend(val, size)
+                            i += 1
     if bitpos > nbits_total:
         raise ValueError("entropy stream truncated")
-    q = np.asarray(quant, dtype=np.float64)
-    dez = np.zeros((bh * bw, 64), dtype=np.float64)
-    dez[:, zz] = coefs  # de-zigzag, all blocks at once
-    blocks = (dez * q).reshape(bh, bw, 8, 8)
     a = _dct_matrix()
-    spatial = a.T @ blocks @ a  # f = A^T F A, broadcast over blocks
-    raster = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    gray = np.clip(np.rint(raster) + 128, 0, 255).astype(np.uint8)
-    return w, h, gray[:h, :w]
+    planes = []
+    for c, st in zip(comps, state):
+        q = np.asarray(c["quant"], dtype=np.float64)
+        dez = np.zeros((st["bh"] * st["bw"], 64), dtype=np.float64)
+        dez[:, zz] = st["coefs"]  # de-zigzag, all blocks at once
+        blocks = (dez * q).reshape(st["bh"], st["bw"], 8, 8)
+        spatial = a.T @ blocks @ a  # f = A^T F A, broadcast over blocks
+        raster = spatial.transpose(0, 2, 1, 3).reshape(
+            st["bh"] * 8, st["bw"] * 8
+        )
+        plane = np.clip(np.rint(raster) + 128, 0, 255).astype(np.uint8)
+        # Upsample subsampled chroma by replication, then crop.
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+    return w, h, planes
+
+
+def decode_jpeg_gray(data: bytes):
+    """Grayscale view of :func:`decode_jpeg`: ``(width, height, gray)``
+    with ``gray`` the luma plane — the Y channel for color JPEGs, the
+    single component for grayscale ones. ``None`` for non-JPEG blobs."""
+    out = decode_jpeg(data)
+    if out is None:
+        return None
+    w, h, planes = out
+    return w, h, planes[0]

@@ -379,6 +379,158 @@ def decode_image_features(
     return src.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+YCBCR_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("y_sum", T.LongType(), True),
+        T.StructField("cb_sum", T.LongType(), True),
+        T.StructField("cr_sum", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_features_ycbcr(
+    df: DataFrame, id_col: str, blob_col: str
+) -> DataFrame:
+    """Per-channel feature extraction over COLOR JPEG blobs: decode the
+    full baseline YCbCr stream (``operators.jpeg.decode_jpeg`` —
+    interleaved MCU scans, 4:4:4/4:2:2/4:2:0 sampling) and report the
+    exact integer pixel sum of each plane. Grayscale JPEGs report
+    ``y_sum`` with null chroma; non-JPEG or corrupt blobs take the
+    all-null path (the operator is total, one bad blob cannot abort
+    the stage).
+
+    Scale: identical shape to :func:`decode_image_features` —
+    Arrow-batched ``mapInPandas``, partition-local, one output row per
+    input row."""
+    import numpy as np  # noqa: F401  (decode_jpeg returns numpy planes)
+    import pandas as pd
+
+    from protarrow_spark.operators.jpeg import decode_jpeg
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            cols = ("width", "height", "n_pixels", "y_sum", "cb_sum", "cr_sum")
+            out = {"doc_id": batch["doc_id"], **{k: [] for k in cols}}
+            for raw in batch["blob"]:
+                data = bytes(raw) if raw is not None else b""
+                decoded = None
+                if data.startswith(_JPEG_MAGIC):
+                    try:
+                        decoded = decode_jpeg(data)
+                    except (ValueError, NotImplementedError):
+                        decoded = None
+                if decoded is None:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                w, h, planes = decoded
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["y_sum"].append(int(planes[0].sum()))
+                out["cb_sum"].append(
+                    int(planes[1].sum()) if len(planes) == 3 else None
+                )
+                out["cr_sum"].append(
+                    int(planes[2].sum()) if len(planes) == 3 else None
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(extract, YCBCR_FEATURES_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def thumbnail_jpeg(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    factor: int = 2,
+    quant=None,
+    quant_chroma=None,
+) -> DataFrame:
+    """JPEG -> smaller JPEG: decode the baseline stream (grayscale or
+    color), box-filter downsample every plane by ``factor`` (mean over
+    factor x factor cells, edge-replicated to a full grid), and
+    RE-ENCODE through the real entropy coder — the decode->transform->
+    re-encode shape every image-heavy training pipeline runs at
+    ingest. Grayscale in -> grayscale out; color in -> 4:4:4 color out
+    (``quant``/``quant_chroma`` default to the Annex-K tables; pass
+    unity for the near-lossless mode). Non-JPEG or corrupt blobs map
+    to a null thumb (total function).
+
+    Determinism: mean-pooling a factor-aligned block-constant plane is
+    the identity on its constants, so a fixture whose planes are
+    constant per (8*factor)-pixel block stays 8x8-block-constant after
+    the downsample and — with unity quant — re-encodes and re-decodes
+    EXACTLY (the mm_thumbnail_jpeg oracle relies on this).
+
+    Scale: Arrow-batched ``mapInPandas``, partition-local, one row per
+    blob; both codec passes are numpy-vectorized per image."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def shrink(plane):
+        h, w = plane.shape
+        hh, ww = -(-h // factor) * factor, -(-w // factor) * factor
+        pad = np.empty((hh, ww), dtype=np.float64)
+        pad[:h, :w] = plane
+        pad[h:, :w] = plane[-1:, :]
+        pad[:, w:] = pad[:, w - 1 : w]
+        m = pad.reshape(hh // factor, factor, ww // factor, factor).mean(
+            axis=(1, 3)
+        )
+        return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            thumbs = []
+            for raw in batch["blob"]:
+                data = bytes(raw) if raw is not None else b""
+                decoded = None
+                if data.startswith(_JPEG_MAGIC):
+                    try:
+                        decoded = decode_jpeg(data)
+                    except (ValueError, NotImplementedError):
+                        decoded = None
+                if decoded is None:
+                    thumbs.append(None)
+                    continue
+                _w, _h, planes = decoded
+                small = [shrink(p) for p in planes]
+                if len(small) == 1:
+                    thumbs.append(encode_jpeg_gray(small[0], quant=quant))
+                else:
+                    thumbs.append(
+                        encode_jpeg_color(
+                            small[0], small[1], small[2], quant, quant_chroma
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "thumb": thumbs})
+
+    return src.mapInPandas(transform, THUMBNAIL_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

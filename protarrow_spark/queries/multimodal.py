@@ -999,3 +999,219 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_landmarks"))
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_features_jpeg_color — per-channel features over COLOR JPEG bytes
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_color_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): even ids become GENUINE baseline
+    YCbCr 4:4:4 JPEGs through the real color entropy encoder. Each
+    utf-8 byte b of the text fills one constant 8x8 block in each
+    plane — Y = b, Cb = 255 - b, Cr = (2b) % 256 (zero-padded cells
+    follow the same formulas) — so with unity quantization every
+    decoded pixel of every plane is pinned by the source text (see the
+    block-constant exactness argument in operators/jpeg.py). Odd ids
+    stay raw text bytes (null path)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import jpeg
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    bh = max(1, -(-len(data) // _JPG_BW))
+                    grid = np.zeros(bh * _JPG_BW, dtype=np.uint8)
+                    grid[: len(data)] = np.frombuffer(data, np.uint8)
+                    grid = grid.reshape(bh, _JPG_BW)
+                    ones = np.ones((8, 8), dtype=np.uint8)
+                    y = np.kron(grid, ones)
+                    cb = np.kron((255 - grid).astype(np.uint8), ones)
+                    cr = np.kron(
+                        ((grid.astype(np.int64) * 2) % 256).astype(np.uint8),
+                        ones,
+                    )
+                    blobs.append(
+                        jpeg.encode_jpeg_color(
+                            y, cb, cr, jpeg.QUANT_UNITY, jpeg.QUANT_UNITY
+                        )
+                    )
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_jpeg_color",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nb,
+         GREATEST(1, CAST(ceil(nb / {_JPG_BW}.0) AS INT)) AS bh,
+         coalesce(list_sum(
+           [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS sum_b,
+         coalesce(list_sum(
+           [(({_byteval('ph', 'i')}) * 2) % 256
+            FOR i IN range(1, nb + 1)]), 0) AS sum_2b
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_JPG_BW * 8} END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8 * bh AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_JPG_BW * 64} * bh AS BIGINT) END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(64 * sum_b AS BIGINT) END AS y_sum,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(64 * (255 * {_JPG_BW} * bh - sum_b) AS BIGINT)
+       END AS cb_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(64 * sum_2b AS BIGINT) END AS cr_sum
+FROM g
+""",
+)
+def mm_image_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel feature extraction over GENUINE COLOR JPEG bytes —
+    full baseline YCbCr decode (two quantization tables, four Huffman
+    tables, interleaved MCU scan) through the dependency-free T.81
+    codec, reporting exact integer pixel sums per plane. The fixture's
+    block-constant planes + unity quant make the lossy format EXACT,
+    so the oracle pins every pixel of all three channels from the
+    source text: a defect anywhere in the color path (chroma table
+    selection, MCU interleave order, per-component DC predictors,
+    upsampling) hash-fails. Odd ids exercise the null path.
+
+    Scale: same Arrow-batched ``mapInPandas`` shape as the grayscale
+    JPEG query — partition-local, no shuffle, one row per blob."""
+    return multimodal.decode_image_features_ycbcr(
+        _jpeg_color_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_thumbnail_jpeg — decode -> downsample -> RE-ENCODE -> decode, exact
+# ---------------------------------------------------------------------------
+
+#: Thumbnail fixture grid width (cells per row; each cell is a
+#: CONSTANT 16x16 block so the 2x box filter lands on 8x8-constant
+#: blocks — the exactness condition in operators/multimodal.py
+#: thumbnail_jpeg).
+_THUMB_BW = 2
+
+
+def _thumb_source_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): even ids become GENUINE color
+    4:4:4 JPEGs whose planes are constant per 16x16 block (Y = b,
+    Cb = 255 - b, Cr = (2b) % 256 per text byte); odd ids stay raw
+    text (null path)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import jpeg
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    bh = max(1, -(-len(data) // _THUMB_BW))
+                    grid = np.zeros(bh * _THUMB_BW, dtype=np.uint8)
+                    grid[: len(data)] = np.frombuffer(data, np.uint8)
+                    grid = grid.reshape(bh, _THUMB_BW)
+                    ones = np.ones((16, 16), dtype=np.uint8)
+                    y = np.kron(grid, ones)
+                    cb = np.kron((255 - grid).astype(np.uint8), ones)
+                    cr = np.kron(
+                        ((grid.astype(np.int64) * 2) % 256).astype(np.uint8),
+                        ones,
+                    )
+                    blobs.append(
+                        jpeg.encode_jpeg_color(
+                            y, cb, cr, jpeg.QUANT_UNITY, jpeg.QUANT_UNITY
+                        )
+                    )
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_thumbnail_jpeg",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nb,
+         GREATEST(1, CAST(ceil(nb / {_THUMB_BW}.0) AS INT)) AS bh,
+         coalesce(list_sum(
+           [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS sum_b,
+         coalesce(list_sum(
+           [(({_byteval('ph', 'i')}) * 2) % 256
+            FOR i IN range(1, nb + 1)]), 0) AS sum_2b
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_THUMB_BW * 8} END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8 * bh AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_THUMB_BW * 64} * bh AS BIGINT) END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(64 * sum_b AS BIGINT) END AS y_sum,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(64 * (255 * {_THUMB_BW} * bh - sum_b) AS BIGINT)
+       END AS cb_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(64 * sum_2b AS BIGINT) END AS cr_sum
+FROM g
+""",
+)
+def mm_thumbnail_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode -> box-filter downsample -> RE-ENCODE -> decode
+    pipeline over genuine color JPEG bytes: thumbnails are the
+    canonical image-ingest transform, and this query runs BOTH
+    directions of the codec inside the job (the re-encoded thumbnail
+    is itself entropy-decoded for the feature readout). The fixture's
+    16x16-block-constant planes make every stage exact (2x mean
+    pooling is the identity on constants; unity quant re-encode of the
+    resulting 8x8-constant planes is lossless), so the oracle pins
+    every pixel of every channel of the THUMBNAIL from the source
+    text — any defect in either codec direction or the pooling
+    hash-fails. Odd ids exercise the null path end-to-end.
+
+    Scale: two chained Arrow-batched ``mapInPandas`` stages,
+    partition-local, no shuffle, one row per blob."""
+    from protarrow_spark.operators.jpeg import QUANT_UNITY
+
+    thumbs = multimodal.thumbnail_jpeg(
+        _thumb_source_blobs(spark, sf_dir),
+        "doc_id",
+        "blob",
+        factor=2,
+        quant=QUANT_UNITY,
+        quant_chroma=QUANT_UNITY,
+    )
+    return multimodal.decode_image_features_ycbcr(thumbs, "doc_id", "thumb")

@@ -157,16 +157,23 @@ def test_truncated_raises_value_error():
         decode_jpeg_gray(blob[:150])
 
 
-def test_progressive_and_color_boundaries():
+def test_progressive_and_sampling_boundaries():
     blob = bytearray(encode_jpeg_gray(GOLDEN_PIXELS, quant=QUANT_UNITY))
     sof = blob.find(b"\xff\xc0")
     prog = bytes(blob[:sof]) + b"\xff\xc2" + bytes(blob[sof + 2 :])
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_gray(prog)
+    # Claiming 3 components without supplying their SOF entries is now
+    # a CORRUPT stream (color itself is supported).
     color = bytearray(blob)
     color[sof + 9] = 3  # ncomp byte of the SOF0 payload
-    with pytest.raises(NotImplementedError, match="component"):
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg_gray(bytes(color))
+    # Sampling factors above 2 stay an honest boundary.
+    wild = bytearray(blob)
+    wild[sof + 11] = 0x41  # component sampling byte -> 4x1
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg_gray(bytes(wild))
 
 
 def test_decode_real_image_dispatches_jpeg():
@@ -177,3 +184,139 @@ def test_decode_real_image_dispatches_jpeg():
     assert np.array_equal(out["gray"], GOLDEN_PIXELS)
     with pytest.raises(NotImplementedError):  # WebP still a stub
         decode_real_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 64)
+
+
+# --- color (YCbCr) baseline ---------------------------------------------------
+
+
+def _block_planes(bgrid, block=8):
+    """Per-byte constant planes: Y = b, Cb = 255 - b, Cr = (2b) % 256."""
+    grid = np.asarray(bgrid, dtype=np.uint8)
+    ones = np.ones((block, block), dtype=np.uint8)
+    y = np.kron(grid, ones)
+    cb = np.kron((255 - grid).astype(np.uint8), ones)
+    cr = np.kron(((grid.astype(int) * 2) % 256).astype(np.uint8), ones)
+    return y, cb, cr
+
+
+def test_color_444_unity_roundtrip_exact():
+    from protarrow_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.RandomState(7)
+    y, cb, cr = _block_planes(rng.randint(0, 256, (3, 5)))
+    w, h, planes = decode_jpeg(encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY))
+    assert (w, h) == (40, 24) and len(planes) == 3
+    for got, exp in zip(planes, (y, cb, cr)):
+        assert np.array_equal(got, exp)
+
+
+def test_color_420_unity_mcu_constant_exact():
+    from protarrow_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.RandomState(11)
+    y, cb, cr = _block_planes(rng.randint(0, 256, (2, 3)), block=16)
+    blob = encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY, subsample=True)
+    w, h, planes = decode_jpeg(blob)
+    assert (w, h) == (48, 32)
+    for got, exp in zip(planes, (y, cb, cr)):
+        assert np.array_equal(got, exp)
+    # 4:2:0 actually subsampled: scan is smaller than the 4:4:4 one
+    full = encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY)
+    assert len(blob) < len(full)
+
+
+def test_color_lossy_annex_k_close_and_compressive():
+    from protarrow_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+    )
+
+    hh, ww = 40, 56
+    xx, yy = np.meshgrid(np.arange(ww), np.arange(hh))
+    r = ((xx * 4) % 256).astype(np.uint8)
+    g = ((yy * 5) % 256).astype(np.uint8)
+    b = ((xx + yy) % 256).astype(np.uint8)
+    y, cb, cr = rgb_to_ycbcr(r, g, b)
+    blob = encode_jpeg_color(y, cb, cr, subsample=True)
+    assert len(blob) < hh * ww * 3 // 4  # >4x smaller than raw RGB
+    w, h, planes = decode_jpeg(blob)
+    assert (w, h) == (ww, hh)
+    for got, exp in zip(planes, (y, cb, cr)):
+        assert float(np.abs(got.astype(int) - exp.astype(int)).mean()) < 4.0
+
+
+def test_color_odd_size_crops():
+    from protarrow_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    cb = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    cr = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    for sub in (False, True):
+        w, h, planes = decode_jpeg(
+            encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY, subsample=sub)
+        )
+        assert (w, h) == (21, 19)
+        assert all(p.shape == (19, 21) for p in planes)
+        # unity-quant luma is near-lossless even on random content
+        assert float(np.abs(planes[0].astype(int) - y.astype(int)).max()) <= 1
+
+
+def test_decode_jpeg_gray_returns_luma_of_color():
+    from protarrow_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_color
+
+    y, cb, cr = _block_planes([[50, 220]])
+    w, h, gray = decode_jpeg_gray(encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY))
+    assert (w, h) == (16, 8)
+    assert np.array_equal(gray, y)
+
+
+def test_ycbcr_rgb_roundtrip_within_rounding():
+    from protarrow_spark.operators.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+
+    rng = np.random.RandomState(5)
+    r = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    g = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    b = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    r2, g2, b2 = ycbcr_to_rgb(*rgb_to_ycbcr(r, g, b))
+    for got, exp in ((r2, r), (g2, g), (b2, b)):
+        assert float(np.abs(got.astype(int) - exp.astype(int)).max()) <= 3
+
+
+def test_thumbnail_jpeg_operator_color_gray_and_null(spark):
+    """decode -> 2x box filter -> re-encode for color AND grayscale
+    inputs; non-JPEG blobs map to a null thumb."""
+    from protarrow_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    from protarrow_spark.operators.multimodal import thumbnail_jpeg
+
+    y, cb, cr = _block_planes([[10, 250], [130, 65]], block=16)
+    gray = np.kron(np.array([[40, 90]], np.uint8), np.ones((16, 16), np.uint8))
+    rows = [
+        (0, bytearray(encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY))),
+        (1, bytearray(encode_jpeg_gray(gray, quant=QUANT_UNITY))),
+        (2, bytearray(b"not a jpeg at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r.doc_id: r.thumb
+        for r in thumbnail_jpeg(
+            df, "doc_id", "blob", factor=2,
+            quant=QUANT_UNITY, quant_chroma=QUANT_UNITY,
+        ).collect()
+    }
+    w, h, planes = decode_jpeg(bytes(out[0]))
+    assert (w, h) == (16, 16) and len(planes) == 3
+    exp_y, exp_cb, exp_cr = _block_planes([[10, 250], [130, 65]], block=8)
+    for got, exp in zip(planes, (exp_y, exp_cb, exp_cr)):
+        assert np.array_equal(got, exp)
+    w, h, planes = decode_jpeg(bytes(out[1]))
+    assert (w, h) == (16, 8) and len(planes) == 1
+    assert np.array_equal(
+        planes[0], np.kron(np.array([[40, 90]], np.uint8), np.ones((8, 8), np.uint8))
+    )
+    assert out[2] is None
