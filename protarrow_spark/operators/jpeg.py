@@ -408,6 +408,14 @@ def encode_jpeg_color(y, cb, cr, quant_luma=None, quant_chroma=None,
         _plane_zigzag_coefs(px, q, mcuy * vi, mcux * hi)
         for px, q, hi, vi, _tq in planes
     ]
+    # Vectorized last-nonzero-AC index per block (same trick as the
+    # grayscale encoder) so the write loop only walks real coefficients.
+    last_nz_sets = []
+    for flat in coef_sets:
+        has_ac = (flat[:, 1:] != 0).any(axis=1)
+        last_nz_sets.append(
+            np.where(has_ac, 63 - np.argmax(flat[:, :0:-1] != 0, axis=1), 0)
+        )
 
     dc_luma = _build_codes(DC_BITS, DC_HUFFVAL)
     ac_luma = _build_codes(AC_BITS, AC_HUFFVAL)
@@ -419,7 +427,7 @@ def encode_jpeg_color(y, cb, cr, quant_luma=None, quant_chroma=None,
     write = writer.write
     prev_dc = [0, 0, 0]
 
-    def put_block(row, dc_codes, ac_codes, ci):
+    def put_block(row, end, dc_codes, ac_codes, ci):
         diff = int(row[0]) - prev_dc[ci]
         prev_dc[ci] = int(row[0])
         s = _category(diff)
@@ -427,8 +435,6 @@ def encode_jpeg_color(y, cb, cr, quant_luma=None, quant_chroma=None,
         write(code, length)
         if s:
             write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        nz = [i for i in range(1, 64) if row[i]]
-        end = nz[-1] if nz else 0
         run = 0
         zrl_code, zrl_len = ac_codes[0xF0]
         for i in range(1, end + 1):
@@ -455,7 +461,12 @@ def encode_jpeg_color(y, cb, cr, quant_luma=None, quant_chroma=None,
                 for v in range(vi):
                     for hh in range(hi):
                         bi = (my * vi + v) * bwc + mx * hi + hh
-                        put_block(coef_sets[ci][bi], *tables[ci], ci)
+                        put_block(
+                            coef_sets[ci][bi],
+                            int(last_nz_sets[ci][bi]),
+                            *tables[ci],
+                            ci,
+                        )
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:

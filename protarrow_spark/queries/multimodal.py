@@ -1112,6 +1112,12 @@ def mm_image_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: blocks — the exactness condition in operators/multimodal.py
 #: thumbnail_jpeg).
 _THUMB_BW = 2
+#: Source-byte cap: 16x16 cells mean 4 entropy-coded blocks per text
+#: byte and the job runs the pure-Python codec FOUR times per blob
+#: (fixture encode, decode, re-encode, readout decode), so the fixture
+#: thumbnails the first 64 bytes — plenty to pin both codec
+#: directions without quadrupling the bench's slowest row.
+_THUMB_MAXB = 64
 
 
 def _thumb_source_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,7 +1140,7 @@ def _thumb_source_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             blobs = []
             for doc_id, text in zip(b["doc_id"], b["text"]):
-                data = str(text).encode("utf-8")
+                data = str(text).encode("utf-8")[:_THUMB_MAXB]
                 if doc_id % 2 == 0:
                     bh = max(1, -(-len(data) // _THUMB_BW))
                     grid = np.zeros(bh * _THUMB_BW, dtype=np.uint8)
@@ -1163,7 +1169,8 @@ def _thumb_source_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_thumbnail_jpeg",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  SELECT doc_id, hex(encode(text)) AS ph,
+         LEAST(len(hex(encode(text))) // 2, {_THUMB_MAXB}) AS nb
   FROM documents
 ),
 g AS (

@@ -101,6 +101,8 @@ def main() -> None:
         "retrieval_hybrid_rrf",
         "report_token_fertility",
         "dq_drift_splithalf",
+        "mm_image_features_jpeg_color",
+        "mm_thumbnail_jpeg",
     ]
     rows = []
     streaming = []
