@@ -162,6 +162,8 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "report_token_fertility",
     "dq_drift_splithalf",
+    "window_seasonal_baseline",
+    "agg_time_to_convert",
 ]
 
 

@@ -3245,3 +3245,196 @@ def dq_drift_splithalf(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_term"),
         (chi2 > F.lit(DRIFT_CHI2_CRIT)).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_seasonal_baseline — hour-of-day seasonal profile + anomaly counts
+# ---------------------------------------------------------------------------
+
+#: Anomaly cut in population-stddev units (fixed literal, both engines).
+SEASONAL_SIGMA = 2.0
+
+
+@query(
+    "window_seasonal_baseline",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hr,
+         value,
+         CAST(value AS DECIMAL(18,6)) AS d
+  FROM events
+),
+s AS (
+  SELECT event_type, hr, COUNT(*) AS n, SUM(d) AS sx, SUM(d * d) AS sxx
+  FROM e GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, hr, n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS mean,
+         sqrt(GREATEST(
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / n
+             - (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n)
+               * (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n),
+           0.0)) AS sd
+  FROM s
+)
+SELECT m.event_type,
+       CAST(m.hr AS BIGINT) AS hr,
+       CAST(m.n AS BIGINT) AS n_events,
+       m.mean AS seasonal_mean,
+       m.sd AS stddev_pop,
+       CAST(SUM(CASE WHEN ABS(e.value - m.mean) > {SEASONAL_SIGMA} * m.sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM e
+JOIN m ON m.event_type = e.event_type AND m.hr = e.hr
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def window_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type with anomaly
+    counts: the seasonal mean/stddev are the baseline a monitoring
+    pipeline subtracts before alerting ('is this value unusual FOR
+    3am'), and the per-cell anomaly count is the alert volume that
+    baseline produces at the {SEASONAL_SIGMA}-sigma cut. Sufficient
+    statistics accumulate as exact decimals (order-invariant, the
+    agg_variance_exact pattern, decimal->double through a string);
+    mean/stddev/thresholds are fixed IEEE expression trees, so both
+    engines flag the identical event set. Hours come from integer
+    epoch arithmetic, not engine-local time zones.
+
+    Scale: one map-side aggregate into a |types| x 24 stats frame,
+    which BROADCASTS back onto the second scan for the anomaly count
+    — the fact table never shuffles and never sorts (compare: a
+    window formulation would sort every partition)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", epoch_micros("ts").alias("ep"), "value")
+        .select(
+            "event_type",
+            F.expr("(ep div 3600000000) % 24").alias("hr"),
+            "value",
+            F.col("value").cast("decimal(18,6)").alias("d"),
+        )
+    )
+    s = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    sx = F.col("sx").cast("string").cast("double")
+    sxx = F.col("sxx").cast("string").cast("double")
+    mean = sx / F.col("n")
+    sd = F.sqrt(F.greatest(sxx / F.col("n") - mean * mean, F.lit(0.0)))
+    m = s.select(
+        "event_type", "hr", "n", mean.alias("mean"), sd.alias("sd")
+    )
+    joined = ev.join(F.broadcast(m), ["event_type", "hr"])
+    return joined.groupBy(
+        "event_type",
+        F.col("hr").cast("long").alias("hr"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("mean").alias("seasonal_mean"),
+        F.col("sd").alias("stddev_pop"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mean"))
+                > F.lit(SEASONAL_SIGMA) * F.col("sd"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_time_to_convert — view -> purchase latency distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_time_to_convert",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ep FROM events),
+fv AS (SELECT user_id, MIN(ep) AS v_ep FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+fp AS (
+  SELECT e.user_id, MIN(e.ep) AS p_ep
+  FROM e JOIN fv USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ep > fv.v_ep
+  GROUP BY 1
+),
+conv AS (SELECT fp.user_id, p_ep - v_ep AS delta FROM fp JOIN fv USING (user_id)),
+r AS (SELECT delta, ROW_NUMBER() OVER (ORDER BY delta) AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM conv)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_with_view,
+       CAST(MAX(cnt) AS BIGINT) AS n_converted,
+       CAST(MIN(delta) AS BIGINT) AS min_us,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                     THEN delta END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+                     THEN delta END) AS BIGINT) AS p90_us,
+       CAST(MAX(delta) AS BIGINT) AS max_us
+FROM r
+""",
+)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event distribution: per user, the latency from their
+    FIRST view to the first purchase strictly after it, summarized as
+    exact discrete percentiles — the survival/conversion-latency
+    analysis behind funnel SLAs (and, for a data pipeline, the
+    ingest->publish lag distribution shape). Deltas are exact integer
+    microseconds; percentiles are rank element picks (the
+    agg_percentile_disc idiom), so every reported value is an actual
+    observed latency.
+
+    Scale: two user-keyed aggregates feeding a co-partitioned join
+    (one shuffle family); the final rank runs over only the CONVERTED
+    users' 1-value rows — at extreme cardinality swap in per-group
+    partitioned percentiles, same idiom. The 1-row view-count frame
+    broadcasts."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_micros("ts").alias("ep")
+    )
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("v_ep"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ep") > F.col("v_ep"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("p_ep"), F.min("v_ep").alias("v_ep"))
+    )
+    conv = fp.select((F.col("p_ep") - F.col("v_ep")).alias("delta"))
+    w = Window.orderBy("delta")
+    cw = Window.partitionBy()
+    ranked = conv.select(
+        "delta",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    stats = ranked.agg(
+        F.max("cnt").cast("long").alias("n_converted"),
+        F.min("delta").cast("long").alias("min_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("cnt")), F.col("delta"))
+        )
+        .cast("long")
+        .alias("p50_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("cnt")), F.col("delta"))
+        )
+        .cast("long")
+        .alias("p90_us"),
+        F.max("delta").cast("long").alias("max_us"),
+    )
+    nv = fv.agg(F.count(F.lit(1)).cast("long").alias("n_with_view"))
+    return nv.crossJoin(F.broadcast(stats)).select(
+        "n_with_view", "n_converted", "min_us", "p50_us", "p90_us", "max_us"
+    )

@@ -208,6 +208,8 @@ BNLJ_BY_DESIGN = {
     # 1-row midpoint broadcast + 1-row grand-total broadcast onto the
     # per-type frame
     "dq_drift_splithalf",
+    # 1-row percentile-stats frame combined with the 1-row view count
+    "agg_time_to_convert",
 }
 
 

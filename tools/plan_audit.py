@@ -103,6 +103,8 @@ def main() -> None:
         "dq_drift_splithalf",
         "mm_image_features_jpeg_color",
         "mm_thumbnail_jpeg",
+        "window_seasonal_baseline",
+        "agg_time_to_convert",
     ]
     rows = []
     streaming = []
