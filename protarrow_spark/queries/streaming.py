@@ -779,3 +779,102 @@ def stream_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("breaches_sla"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_multimodal_ingest — streaming decode of image blobs (codec x stream)
+# ---------------------------------------------------------------------------
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet (schema from a batch
+    footer peek, same pattern as :func:`_stream_events`)."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(src)
+    reader = spark.readStream.schema(batch.schema)
+    if FORCE_MAX_FILES_PER_TRIGGER is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(FORCE_MAX_FILES_PER_TRIGGER)
+        )
+    if os.path.isdir(src):
+        return reader.parquet(src)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+@query(
+    "stream_multimodal_ingest",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id % 2 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_images,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0
+                     THEN 16 * GREATEST(1, CAST(ceil(nb / 16.0) AS INT))
+                     ELSE 0 END) AS BIGINT) AS total_pixels,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN coalesce(list_sum(
+         [(instr('0123456789ABCDEF', substr(ph, 2*i-1, 1))-1)*16
+            + (instr('0123456789ABCDEF', substr(ph, 2*i, 1))-1)
+          FOR i IN range(1, nb + 1)]), 0) ELSE 0 END) AS BIGINT)
+         AS total_pixel_sum
+FROM t
+GROUP BY 1
+""",
+)
+def stream_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest: a file-source document stream is
+    blob-ified (even ids -> GENUINE 24-bit BMPs via the real encoder),
+    decoded through the same Arrow-batched ``mapInPandas`` feature
+    extractor the batch queries use — stateless Python transforms
+    compose with Structured Streaming unchanged — and rolled up into
+    per-bucket image counts and exact pixel sums (complete-mode
+    aggregate, memory sink). This is the shape a 100 TB image-corpus
+    ingest actually runs: stream in, decode partition-locally, emit
+    bounded running stats; the oracle recomputes every decoded pixel
+    from the source text.
+
+    Scale: the decode stage holds NO streaming state (stateless
+    mapInPandas); only the 2-row rollup is stateful. Swap the file
+    source for Kafka and the BMP fixture for real blob fetch — the
+    plan shape is identical."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import multimodal
+
+    docs = _stream_documents(spark, sf_dir).select("doc_id", "text")
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    h = max(1, -(-len(data) // 16))
+                    px = np.zeros(h * 16, dtype=np.uint8)
+                    px[: len(data)] = np.frombuffer(data, np.uint8)
+                    blobs.append(multimodal.encode_bmp_gray(px.reshape(h, 16)))
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(build, "doc_id long, blob binary")
+    feats = multimodal.decode_image_features(blobs, "doc_id", "blob")
+    agg = feats.groupBy((F.col("doc_id") % 2).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("width").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_images"),
+        F.sum(F.coalesce(F.col("n_pixels"), F.lit(0)))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum(F.coalesce(F.col("pixel_sum"), F.lit(0)))
+        .cast("long")
+        .alias("total_pixel_sum"),
+    )
+    return _run_to_memory(agg, "mem_stream_multimodal_ingest")

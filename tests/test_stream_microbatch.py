@@ -26,15 +26,18 @@ STREAM_QUERIES = sorted(n for n in all_queries() if n.startswith("stream_"))
 
 @pytest.fixture(scope="module")
 def split_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
-    """A copy of the sf dir whose events table is a 2-file parquet
-    directory, so ``maxFilesPerTrigger=1`` yields >=2 micro-batches."""
+    """A copy of the sf dir whose streamed tables (events, documents)
+    are 2-file parquet directories, so ``maxFilesPerTrigger=1`` yields
+    >=2 micro-batches for every registered stream source."""
+    split = ("events.parquet", "documents.parquet")
     dst = tmp_path_factory.mktemp("sf_split")
     for name in os.listdir(sf_dir):
-        if name != "events.parquet":
+        if name not in split:
             shutil.copy(os.path.join(sf_dir, name), dst / name)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ev.repartition(2).write.parquet(str(dst / "events.parquet"))
+    for name in split:
+        df = spark.read.parquet(os.path.join(sf_dir, name))
+        df.repartition(2).write.parquet(str(dst / name))
     return str(dst)
 
 
