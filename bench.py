@@ -164,6 +164,7 @@ HEADLINE = [
     "dq_drift_splithalf",
     "window_seasonal_baseline",
     "agg_time_to_convert",
+    "graph_kcore",
 ]
 
 

@@ -570,3 +570,116 @@ JOIN deg db ON db.w = wed.node_b
 ORDER BY jaccard DESC, node_a, node_b
 LIMIT {k}
 """
+
+
+#: k-core defaults: the classic "dense enough to matter" cut, and a
+#: fixed unrolled round budget (peeling removes nodes monotonically,
+#: so a round that removes nothing proves convergence — the operator
+#: reports that flag rather than iterating to an unbounded fixed
+#: point, keeping the plan static).
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < k; what survives is the k-core (the standard
+    density backbone — for a dedup/citation graph, the subgraph where
+    every member has >= k strong links). ``rounds`` peel passes are
+    unrolled into a static plan; ``converged`` reports whether the
+    last pass removed nothing (survivor count is monotone
+    non-increasing, so count equality IS set equality).
+
+    Returns (node, core_degree, n_core_nodes, converged) for every
+    surviving node with at least one surviving edge; ``core_degree``
+    is the node's degree within the final survivor-induced subgraph.
+
+    Scale: each round is two semi-joins (endpoint filters) + one
+    partial-aggregated degree count — all equi-shuffles on node ids,
+    nothing graph-sized broadcasts (the 1-row convergence/count frame
+    does). Deeper cores need more rounds: the flag says when you have
+    peeled enough.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .localCheckpoint(eager=True)  # cut the edge-builder lineage once
+    )
+    surv = sym.select(F.col("s").alias("node")).distinct()
+    counts = [surv.agg(F.count(F.lit(1)).alias("n"))]
+    for _ in range(rounds):
+        e = sym.join(
+            surv.select(F.col("node").alias("s")), "s", "left_semi"
+        ).join(surv.select(F.col("node").alias("d")), "d", "left_semi")
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        surv = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("s").alias("node"))
+            .localCheckpoint(eager=True)  # peeled set reused 3x next round
+        )
+        counts.append(surv.agg(F.count(F.lit(1)).alias("n")))
+    fin_e = sym.join(
+        surv.select(F.col("node").alias("s")), "s", "left_semi"
+    ).join(surv.select(F.col("node").alias("d")), "d", "left_semi")
+    fin = fin_e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    meta = (
+        counts[-2]
+        .select(F.col("n").alias("n_prev"))
+        .crossJoin(F.broadcast(counts[-1].select(F.col("n").alias("n_last"))))
+        .select(
+            F.col("n_last").cast("long").alias("n_core_nodes"),
+            (F.col("n_prev") == F.col("n_last")).alias("converged"),
+        )
+    )
+    return fin.crossJoin(F.broadcast(meta)).select(
+        "node", "core_degree", "n_core_nodes", "converged"
+    )
+
+
+def kcore_oracle_sql(
+    edges_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """DuckDB oracle for :func:`kcore_peel`: the identical unrolled
+    peeling, one CTE pair per round."""
+    ctes = [
+        f"edges0 AS ({edges_sql})",
+        "sym AS (SELECT src AS s, dst AS d FROM edges0"
+        " UNION ALL SELECT dst AS s, src AS d FROM edges0)",
+        "n0 AS (SELECT DISTINCT s AS node FROM sym)",
+    ]
+    prev = "n0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT e.s AS node, COUNT(*) AS deg FROM sym e"
+            f" JOIN {prev} a ON a.node = e.s"
+            f" JOIN {prev} b ON b.node = e.d GROUP BY 1)"
+        )
+        ctes.append(f"n{r} AS (SELECT node FROM d{r} WHERE deg >= {k})")
+        prev = f"n{r}"
+    ctes.append(
+        f"fin AS (SELECT e.s AS node, COUNT(*) AS core_degree FROM sym e"
+        f" JOIN n{rounds} a ON a.node = e.s"
+        f" JOIN n{rounds} b ON b.node = e.d GROUP BY 1)"
+    )
+    ctes.append(
+        f"meta AS (SELECT (SELECT COUNT(*) FROM n{rounds}) AS n_core_nodes,"
+        f" (SELECT COUNT(*) FROM n{rounds - 1})"
+        f" = (SELECT COUNT(*) FROM n{rounds}) AS converged)"
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT f.node, CAST(f.core_degree AS BIGINT) AS core_degree,\n"
+        "       CAST(m.n_core_nodes AS BIGINT) AS n_core_nodes, m.converged\n"
+        "FROM fin f CROSS JOIN meta m"
+    )

@@ -4709,3 +4709,29 @@ def report_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — density backbone by iterative peeling
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle() -> str:
+    from protarrow_spark.operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_COPURCHASE_EDGES_SQL)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part co-purchase graph (operators/graph.py
+    kcore_peel): repeatedly peel nodes of degree < 3 for 4 unrolled
+    rounds and report each survivor's in-core degree plus a converged
+    flag — the density-backbone extraction that separates structurally
+    embedded nodes from hangers-on (for a dedup graph: the clusters
+    worth human review). Exact integer degrees; the seventh member of
+    the value-verifiable graph-algebra family (components, PageRank,
+    triangles, link prediction, BFS, Jaccard, k-core)."""
+    from protarrow_spark.operators.graph import kcore_peel
+
+    return kcore_peel(_copurchase_edges(spark, sf_dir))

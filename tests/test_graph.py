@@ -74,3 +74,32 @@ def test_dedup_clusters_includes_singletons(spark):
     edges = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, edges, "doc_id").collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """4-clique + pendant path: the 3-core is exactly the clique (every
+    clique node has in-core degree 3); the path peels away. Verified
+    by hand, not by the oracle machinery."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from protarrow_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+    rows = kcore_peel(edges, k=3, rounds=4).collect()
+    assert sorted(r.node for r in rows) == [0, 1, 2, 3]
+    assert all(r.core_degree == 3 for r in rows)
+    assert all(r.n_core_nodes == 4 for r in rows)
+    assert all(r.converged for r in rows)
+
+
+def test_kcore_unconverged_flag(spark):
+    """A long path peels one layer per round from each end; with k=2
+    and only 1 round, the flag must report non-convergence."""
+    from protarrow_spark.operators.graph import kcore_peel
+
+    path = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    rows = kcore_peel(edges, k=2, rounds=1).collect()
+    assert rows and all(not r.converged for r in rows)

@@ -210,6 +210,8 @@ BNLJ_BY_DESIGN = {
     "dq_drift_splithalf",
     # 1-row percentile-stats frame combined with the 1-row view count
     "agg_time_to_convert",
+    # 1-row convergence/count metadata broadcast onto the core nodes
+    "graph_kcore",
 }
 
 
