@@ -105,6 +105,7 @@ def main() -> None:
         "mm_thumbnail_jpeg",
         "window_seasonal_baseline",
         "agg_time_to_convert",
+        "graph_kcore",
     ]
     rows = []
     streaming = []
