@@ -165,6 +165,7 @@ HEADLINE = [
     "window_seasonal_baseline",
     "agg_time_to_convert",
     "graph_kcore",
+    "sketch_error_report",
 ]
 
 

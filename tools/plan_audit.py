@@ -106,6 +106,7 @@ def main() -> None:
         "window_seasonal_baseline",
         "agg_time_to_convert",
         "graph_kcore",
+        "sketch_error_report",
     ]
     rows = []
     streaming = []
