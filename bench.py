@@ -166,6 +166,7 @@ HEADLINE = [
     "agg_time_to_convert",
     "graph_kcore",
     "sketch_error_report",
+    "ann_quantization_error_report",
 ]
 
 

@@ -4735,3 +4735,92 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from protarrow_spark.operators.graph import kcore_peel
 
     return kcore_peel(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ann_quantization_error_report — int8 vs exact float ranking agreement
+# ---------------------------------------------------------------------------
+
+
+def _quant_error_oracle() -> str:
+    """Float-truth CTEs + the int8 CTEs (same formulas as
+    ann_cosine_topk / ann_int8_topk), joined into per-query overlap."""
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+brute AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COSINE_SQL} DESC, vec_id) AS rank
+  FROM q JOIN v ON vec_id <> query_id
+),
+truth AS (SELECT query_id, neighbor_id FROM brute WHERE rank <= {TOPK_NEIGHBORS}),
+s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+  FROM v
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS q
+  FROM s
+),
+n8 AS (
+  SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS qn FROM q8
+),
+qs8 AS (SELECT vec_id AS query_id, q AS qq, qn AS q_norm FROM n8
+        WHERE vec_id < {N_QUERY_VECS}),
+i8 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY list_inner_product(qq, q) / (q_norm * qn) DESC,
+                                       vec_id) AS rank
+    FROM qs8 JOIN n8 ON vec_id <> query_id
+  ) WHERE rank <= {TOPK_NEIGHBORS}
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_agree,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS overlap_at_k
+FROM truth t
+LEFT JOIN i8 i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@query("ann_quantization_error_report", oracle=_quant_error_oracle())
+def ann_quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-error audit: per query, how much of the EXACT
+    float top-k survives int8 quantization (top-k overlap) — the
+    fourth approximation audit (LSH recall, IVF recall, sketch error,
+    now quantization agreement), and the number that justifies the
+    4x-smaller-bytes lever before a billion-vector corpus commits to
+    it. Both rankings come from the engine's own operators; hits are
+    exact integers, the overlap is one IEEE division.
+
+    Scale: both sides broadcast the bounded query set, the corpus
+    never shuffles; run the truth side on a sampled query stratum at
+    scale (the audit family's standing prescription)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    truth = similarity.cosine_topk_bruteforce(emb, qs, k=TOPK_NEIGHBORS).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        similarity.int8_topk(emb, qs, k=TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_agree"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("overlap_at_k"),
+    )

@@ -212,6 +212,9 @@ BNLJ_BY_DESIGN = {
     "agg_time_to_convert",
     # 1-row convergence/count metadata broadcast onto the core nodes
     "graph_kcore",
+    # bounded query-set broadcast against the corpus (both rankings of
+    # the quantization audit, same shape as ann_cosine_topk/ann_int8)
+    "ann_quantization_error_report",
 }
 
 

@@ -107,6 +107,7 @@ def main() -> None:
         "agg_time_to_convert",
         "graph_kcore",
         "sketch_error_report",
+        "ann_quantization_error_report",
     ]
     rows = []
     streaming = []
