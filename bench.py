@@ -167,6 +167,7 @@ HEADLINE = [
     "graph_kcore",
     "sketch_error_report",
     "ann_quantization_error_report",
+    "pairgen_hard_negatives",
 ]
 
 

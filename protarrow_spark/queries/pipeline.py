@@ -4824,3 +4824,128 @@ def ann_quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.count(F.lit(1)).cast("double")
         ).alias("overlap_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pairgen_hard_negatives — ANN hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+#: Anchors = the smallest doc ids (a deterministic stand-in for "the
+#: batch being trained on"); each gets its top hard negatives.
+HARDNEG_N_ANCHORS = 8
+HARDNEG_TOPK = 3
+
+
+def _hardneg_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dvec AS (
+  SELECT doc_id, {_rrf_dim_sql('tok')} AS dim,
+         SUM({_rrf_sign_sql('tok')}) AS w
+  FROM toks GROUP BY doc_id, dim
+),
+digest AS (SELECT doc_id, md5(text) AS dg FROM documents),
+avec AS (
+  SELECT doc_id AS anchor_id, dim, w FROM dvec
+  WHERE doc_id < {HARDNEG_N_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, d.doc_id AS cand_id, SUM(a.w * d.w) AS dot
+  FROM avec a JOIN dvec d USING (dim)
+  WHERE d.doc_id <> a.anchor_id
+  GROUP BY 1, 2
+),
+dedup AS (
+  SELECT s.anchor_id, s.cand_id, s.dot
+  FROM scored s
+  JOIN digest da ON da.doc_id = s.anchor_id
+  JOIN digest dc ON dc.doc_id = s.cand_id
+  WHERE da.dg <> dc.dg
+),
+ranked AS (
+  SELECT anchor_id, cand_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY dot DESC, cand_id) AS rank
+  FROM dedup
+)
+SELECT anchor_id, cand_id AS hard_negative_id,
+       CAST(rank AS BIGINT) AS rank, CAST(dot AS BIGINT) AS dot
+FROM ranked WHERE rank <= {HARDNEG_TOPK}
+"""
+
+
+@query("pairgen_hard_negatives", oracle=_hardneg_oracle())
+def pairgen_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor document, the top
+    most-similar documents that are NOT duplicates (exact-digest
+    exclusion) — the contrastive-training stage where random
+    negatives stop teaching and the nearest NON-matches are what the
+    embedding model must learn to separate. Similarity is the
+    signed-feature-hash inner product (same md5 family as the RRF
+    dense ranker — all-integer, engine-portable); duplicates are
+    excluded by md5 text digest so a near-copy can never be served as
+    a negative.
+
+    Scale: the anchor batch's vectors broadcast (|anchors| x 64
+    weights); the corpus side is one groupBy on (doc, dim) that never
+    moves raw text; ranking is a per-anchor WindowGroupLimit. At
+    100 TB the anchor batch is your training micro-batch — the corpus
+    scan amortizes across it.
+    """
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("tok"))
+
+    def dim(col):
+        return hex_to_long(F.md5(F.concat(F.lit("rrf|"), col)), 15) % RRF_DENSE_DIM
+
+    def sign(col):
+        h = hex_to_long(F.md5(F.concat(F.lit("rrfs|"), col)), 15)
+        return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    dvec = toks.groupBy("doc_id", dim(F.col("tok")).alias("dim")).agg(
+        F.sum(sign(F.col("tok"))).alias("w")
+    )
+    digest = docs.select("doc_id", F.md5("text").alias("dg"))
+    avec = dvec.filter(F.col("doc_id") < HARDNEG_N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), "dim", F.col("w").alias("aw")
+    )
+    scored = (
+        dvec.join(F.broadcast(avec), "dim")
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.sum(F.col("aw") * F.col("w")).alias("dot"))
+    )
+    deduped = (
+        scored.join(
+            F.broadcast(
+                digest.filter(F.col("doc_id") < HARDNEG_N_ANCHORS).select(
+                    F.col("doc_id").alias("anchor_id"), F.col("dg").alias("a_dg")
+                )
+            ),
+            "anchor_id",
+        )
+        .join(
+            digest.select(F.col("doc_id").alias("cand_id"), F.col("dg").alias("c_dg")),
+            "cand_id",
+        )
+        .filter(F.col("a_dg") != F.col("c_dg"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    return (
+        deduped.select("anchor_id", "cand_id", "dot")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_TOPK)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("hard_negative_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("dot").cast("long").alias("dot"),
+        )
+    )

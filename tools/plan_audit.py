@@ -108,6 +108,7 @@ def main() -> None:
         "graph_kcore",
         "sketch_error_report",
         "ann_quantization_error_report",
+        "pairgen_hard_negatives",
     ]
     rows = []
     streaming = []
