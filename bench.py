@@ -168,6 +168,7 @@ HEADLINE = [
     "sketch_error_report",
     "ann_quantization_error_report",
     "pairgen_hard_negatives",
+    "dedup_threshold_sweep",
 ]
 
 

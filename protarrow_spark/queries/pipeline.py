@@ -4949,3 +4949,95 @@ def pairgen_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot").cast("long").alias("dot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — pair volume per Jaccard band (the tuning table)
+# ---------------------------------------------------------------------------
+
+#: Sweep floor: pairs below this Jaccard are noise for dedup tuning
+#: (and their count grows toward n^2 — the floor bounds the report's
+#: input, the same role the LSH banding plays in production).
+SWEEP_MIN_JACCARD = 0.1
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+WITH {_toks_cte()},
+{_grams_cte(JACCARD_N)},
+dgh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g FROM dg
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dgh GROUP BY doc_id),
+rare AS (SELECT g FROM dgh GROUP BY g HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}),
+rdg AS (SELECT dgh.doc_id, dgh.g FROM dgh JOIN rare USING (g)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM rdg a JOIN rdg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT (20 * n_common) // (sa.n_grams + sb.n_grams - n_common) AS band
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+        >= {SWEEP_MIN_JACCARD}
+),
+counts AS (SELECT band, COUNT(*) AS n_pairs FROM banded GROUP BY 1)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(band AS DOUBLE) / 20.0 AS threshold_lo,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM counts
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning table: how many candidate pairs fall in
+    each Jaccard band of 0.05, with the cumulative count at-or-above
+    each band — the table you read BEFORE picking the LSH/dedup
+    threshold (each band's cumulative count is the number of pairs
+    that threshold would merge; the knee is where boilerplate overlap
+    ends and real duplication begins). Banding is exact integer
+    arithmetic ((20*n_common) div union — no float boundary
+    ambiguity); the same df-capped index as dedup_ngram_jaccard, so
+    the sweep describes exactly the index the dedup queries run.
+
+    Scale: the pair stage is the adaptive dense-blocked matmul (or
+    the sparse inverted-index join on real text); the report itself
+    is a ~20-row aggregate + window."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=SWEEP_MIN_JACCARD,
+        n=JACCARD_N,
+        dense_vocab_cap=4096,
+    )
+    sizes = (
+        dedup.doc_shingles(docs, "doc_id", "text", JACCARD_N)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    banded = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr("(20 * n_common) div (n_a + n_b - n_common)").alias("band")
+        )
+    )
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("band"))
+    return counts.select(
+        F.col("band").cast("long").alias("band"),
+        (F.col("band").cast("double") / F.lit(20.0)).alias("threshold_lo"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )

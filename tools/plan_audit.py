@@ -109,6 +109,7 @@ def main() -> None:
         "sketch_error_report",
         "ann_quantization_error_report",
         "pairgen_hard_negatives",
+        "dedup_threshold_sweep",
     ]
     rows = []
     streaming = []
