@@ -320,3 +320,45 @@ def test_thumbnail_jpeg_operator_color_gray_and_null(spark):
         planes[0], np.kron(np.array([[40, 90]], np.uint8), np.ones((8, 8), np.uint8))
     )
     assert out[2] is None
+
+
+#: encode_jpeg_color of the same [[7,200],[91,13]] block grid with
+#: Y = b, Cb = 255-b, Cr = (2b)%256, both quant tables unity, 4:4:4 —
+#: SOI/APP0/DQTx2/SOF0(3 comps)/DHTx4/SOS(interleaved)/EOI. Pins the
+#: COLOR wire format (chroma tables, component ids, interleave) the
+#: way GOLDEN_16x16_HEX pins the grayscale one.
+GOLDEN_COLOR_16x16_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb00430001010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101ffdb0043010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "010101010101010101010101010101010101010101010101010101010101ffc0"
+    "0011080010001003011100021101031101ffc4001f0000010501010101010100"
+    "000000000000000102030405060708090a0bffc400b510000201030302040305"
+    "0504040000017d01020300041105122131410613516107227114328191a10823"
+    "42b1c11552d1f02433627282090a161718191a25262728292a3435363738393a"
+    "434445464748494a535455565758595a636465666768696a737475767778797a"
+    "838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7"
+    "b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1"
+    "f2f3f4f5f6f7f8f9faffc4001f01000301010101010101010100000000000001"
+    "02030405060708090a0bffc400b5110002010204040304070504040001027700"
+    "0102031104052131061241510761711322328108144291a1b1c109233352f015"
+    "6272d10a162434e125f11718191a262728292a35363738393a43444546474849"
+    "4a535455565758595a636465666768696a737475767778797a82838485868788"
+    "898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4"
+    "c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9"
+    "faffda000c03010002110311003f00fe0debfef00ff86f3fd822bff1f73ff410"
+    "3f897aff00b683fd303f98faff00a703ff0031f3ffd9"
+)
+
+
+def test_golden_color_bytes_encode_and_decode():
+    from protarrow_spark.operators.jpeg import decode_jpeg, encode_jpeg_color
+
+    y, cb, cr = _block_planes([[7, 200], [91, 13]])
+    blob = encode_jpeg_color(y, cb, cr, QUANT_UNITY, QUANT_UNITY)
+    assert blob.hex() == GOLDEN_COLOR_16x16_HEX
+    w, h, planes = decode_jpeg(bytes.fromhex(GOLDEN_COLOR_16x16_HEX))
+    assert (w, h) == (16, 16) and len(planes) == 3
+    for got, exp in zip(planes, (y, cb, cr)):
+        assert np.array_equal(got, exp)
