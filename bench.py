@@ -169,6 +169,7 @@ HEADLINE = [
     "ann_quantization_error_report",
     "pairgen_hard_negatives",
     "dedup_threshold_sweep",
+    "conv_decode_corrupt_tolerance",
 ]
 
 

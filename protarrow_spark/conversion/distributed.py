@@ -26,6 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from typing import Any, Iterable, Iterator
 
 import pyspark.sql.functions as F
@@ -45,20 +46,41 @@ def decode_proto_bytes(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
     keep_cols: list[str] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Binary proto column -> typed columns per ``mtype``'s schema.
 
     ``keep_cols`` are passed through unchanged (e.g. a Kafka key /
     offset). Runs entirely on executors.
+
+    ``on_error``: ``"raise"`` (default) aborts the task on a
+    malformed record — the strict mode a backfill wants; ``"null"``
+    is PERMISSIVE mode (the ``from_json`` convention): a record whose
+    bytes cannot be parsed yields all-null decoded columns while its
+    ``keep_cols`` pass through, so one bad Kafka record cannot kill a
+    100 TB ingest — count the nulls downstream and route them to a
+    dead-letter sink.
     """
     import pandas as pd
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     schema = message_type_to_schema(mtype, config)
     keep = list(keep_cols or [])
     passthrough = [df.schema[c] for c in keep]
-    out_schema = T.StructType(passthrough + list(schema.fields))
+    decoded_fields = list(schema.fields)
+    permissive = on_error == "null"
+    if permissive:
+        # Corrupt records surface as all-null decoded columns, so the
+        # contract's non-null scalars must relax to nullable here.
+        decoded_fields = [
+            T.StructField(f.name, f.dataType, True, f.metadata)
+            for f in decoded_fields
+        ]
+    out_schema = T.StructType(passthrough + decoded_fields)
     out_names = [f.name for f in out_schema.fields]
     src = df.select(*keep, bytes_col)
+    null_row = (None,) * len(schema.fields)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # compiled wire -> row-tuple path (no top-level Message),
@@ -69,10 +91,18 @@ def decode_proto_bytes(
             raw = batch[bytes_col]
             kept = [batch[c] for c in keep]
             for i in range(len(batch)):
-                rows.append(
-                    tuple(k.iloc[i] for k in kept)
-                    + decode_wire(bytes(raw.iloc[i]))
-                )
+                kept_vals = tuple(k.iloc[i] for k in kept)
+                cell = raw.iloc[i]
+                if permissive:
+                    try:
+                        decoded = decode_wire(bytes(cell) if cell is not None else b"")
+                    except (ValueError, TypeError, IndexError, struct.error):
+                        decoded = null_row
+                    if cell is None:
+                        decoded = null_row
+                else:
+                    decoded = decode_wire(bytes(cell))
+                rows.append(kept_vals + decoded)
             yield pd.DataFrame.from_records(rows, columns=out_names)
 
     return src.mapInPandas(decode, out_schema)

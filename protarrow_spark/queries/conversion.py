@@ -349,3 +349,86 @@ def conv_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("string").alias("d"),
         F.unix_micros("ts").alias("ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conv_decode_corrupt_tolerance — PERMISSIVE wire decode (dead-letter path)
+# ---------------------------------------------------------------------------
+
+#: Every 7th event's wire bytes are replaced with 11 0xff bytes — an
+#: unterminated varint, invalid at the very first field tag, so the
+#: corruption is unambiguous on any parser.
+CORRUPT_MOD = 7
+
+
+@query(
+    "conv_decode_corrupt_tolerance",
+    oracle=f"""
+SELECT CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN NULL ELSE event_type END
+         AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN NULL
+                     ELSE CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def conv_decode_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE wire decode: events are encoded to proto bytes on
+    executors, every {CORRUPT_MOD}th record's bytes are then smashed
+    (an unterminated varint), and ``decode_proto_bytes(on_error=
+    "null")`` must turn exactly those records into all-null rows while
+    decoding every healthy byte exactly — the one-bad-Kafka-record-
+    cannot-kill-the-job contract a 100 TB ingest requires, with the
+    passthrough key identifying the dead letters. The oracle
+    recomputes the survivor aggregates and the corrupt counts from the
+    source, so a decoder that drops, misattributes, or partially
+    parses a corrupt record hash-fails.
+
+    Scale: the same two zero-shuffle Arrow-batched codec hops as
+    conv_roundtrip_events plus one small-group aggregate."""
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("src_id"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < cores:
+        ev = ev.repartition(cores)
+    wire = encode_proto_bytes(
+        ev, EVENT_MT, ProtarrowSparkConfig(), keep_cols=["src_id"]
+    )
+    corrupted = wire.withColumn(
+        "proto",
+        F.when(
+            F.col("src_id") % CORRUPT_MOD == 0, F.lit(b"\xff" * 11)
+        ).otherwise(F.col("proto")),
+    )
+    typed = decode_proto_bytes(
+        corrupted,
+        "proto",
+        EVENT_MT,
+        ProtarrowSparkConfig(),
+        keep_cols=["src_id"],
+        on_error="null",
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -337,3 +337,48 @@ def test_compiled_wire_decoder_oneof_last_wins() -> None:
         assert dec(wire) == slow(parse(wire, mt))
     assert dec(w_a + w_b) == (1, None, 9, None)
     assert dec(w_m + w_a) == (1, "x", None, None)
+
+
+def test_decode_permissive_nulls_corrupt_rows(spark):
+    """on_error='null': malformed bytes -> all-null decoded columns,
+    keep_cols pass through, healthy rows decode exactly; the default
+    strict mode still raises."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from protarrow_spark.config import ProtarrowSparkConfig
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+    from protarrow_spark.queries.conversion import EVENT_MT
+
+    cfg = ProtarrowSparkConfig()
+    src = spark.createDataFrame(
+        [(1, 10, "click", 1.5), (2, 20, "view", 2.5)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+    wire = encode_proto_bytes(
+        src.withColumn("k", F.col("event_id")), EVENT_MT, cfg, keep_cols=["k"]
+    )
+    corrupted = wire.withColumn(
+        "proto",
+        F.when(F.col("k") == 1, F.lit(b"\xff" * 11)).otherwise(F.col("proto")),
+    )
+    rows = {
+        r.k: r
+        for r in decode_proto_bytes(
+            corrupted, "proto", EVENT_MT, cfg, keep_cols=["k"], on_error="null"
+        ).collect()
+    }
+    assert rows[1].event_id is None and rows[1].event_type is None
+    assert rows[2].event_id == 2 and rows[2].event_type == "view"
+    assert rows[2].value == 2.5
+    with pytest.raises(Exception):
+        decode_proto_bytes(
+            corrupted, "proto", EVENT_MT, cfg, keep_cols=["k"]
+        ).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        decode_proto_bytes(
+            corrupted, "proto", EVENT_MT, cfg, on_error="skip"
+        )

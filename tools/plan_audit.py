@@ -110,6 +110,7 @@ def main() -> None:
         "ann_quantization_error_report",
         "pairgen_hard_negatives",
         "dedup_threshold_sweep",
+        "conv_decode_corrupt_tolerance",
     ]
     rows = []
     streaming = []
