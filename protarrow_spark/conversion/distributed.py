@@ -114,6 +114,7 @@ def encode_proto_bytes(
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
     output_col: str = "proto",
     keep_cols: list[str] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Typed columns -> serialized proto binary column.
 
@@ -122,13 +123,23 @@ def encode_proto_bytes(
     ``message_type_to_schema(mtype, config)`` (use
     :func:`protarrow_spark.conversion.cast_dataframe` first when they
     don't). Runs entirely on executors.
+
+    ``on_error``: ``"raise"`` (default) aborts the task on a row that
+    violates the contract (e.g. uint32 out of range, wrong cell type);
+    ``"null"`` is PERMISSIVE mode, mirroring the decode convention: the
+    violating row's ``output_col`` is null while its ``keep_cols`` pass
+    through — one contract-breaking row cannot kill a 100 TB export;
+    count the nulls downstream and route them to a dead-letter sink.
     """
     import pandas as pd
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    permissive = on_error == "null"
     keep = list(keep_cols or [])
     passthrough = [df.schema[c] for c in keep]
     out_schema = T.StructType(
-        passthrough + [T.StructField(output_col, T.BinaryType(), nullable=False)]
+        passthrough + [T.StructField(output_col, T.BinaryType(), nullable=permissive)]
     )
     out_names = [f.name for f in out_schema.fields]
     field_names = [f.name for f in message_type_to_schema(mtype, config).fields]
@@ -143,8 +154,24 @@ def encode_proto_bytes(
             records = zip(*(batch[c] for c in field_names))
             kept = [batch[c] for c in keep]
             rows = []
-            for i, rec in enumerate(records):
-                rows.append(tuple(k.iloc[i] for k in kept) + (encode_row(rec),))
+            if permissive:
+                for i, rec in enumerate(records):
+                    try:
+                        cell = encode_row(rec)
+                    except (
+                        ValueError,
+                        TypeError,
+                        AttributeError,
+                        OverflowError,
+                        struct.error,
+                    ):
+                        cell = None
+                    rows.append(tuple(k.iloc[i] for k in kept) + (cell,))
+            else:
+                for i, rec in enumerate(records):
+                    rows.append(
+                        tuple(k.iloc[i] for k in kept) + (encode_row(rec),)
+                    )
             yield pd.DataFrame.from_records(rows, columns=out_names)
 
     return src.mapInPandas(encode, out_schema)
@@ -377,6 +404,7 @@ def compile_wire_to_row(
         _value_converter,
     )
     from protarrow_spark.proto.message import (
+        _check_bounds,
         _read_scalar,
         _read_varint,
         _skip,
@@ -413,6 +441,7 @@ def compile_wire_to_row(
 
             def h_map(data, pos, wt, slots, *, idx=idx, entry_mt=entry_mt):
                 ln, pos = _read_varint(data, pos)
+                _check_bounds(data, pos, ln)
                 entry = Message(entry_mt)
                 parse_into(entry, data[pos : pos + ln])
                 d = slots[idx]
@@ -439,6 +468,7 @@ def compile_wire_to_row(
                     data, pos, wt, slots, *, idx=idx, sub_mt=sub_mt, val_conv=val_conv
                 ):
                     ln, pos = _read_varint(data, pos)
+                    _check_bounds(data, pos, ln)
                     item = Message(sub_mt)
                     parse_into(item, data[pos : pos + ln])
                     lst = slots[idx]
@@ -456,6 +486,7 @@ def compile_wire_to_row(
                     data, pos, wt, slots, *, idx=idx, sub_mt=sub_mt, sibs=sibs
                 ):
                     ln, pos = _read_varint(data, pos)
+                    _check_bounds(data, pos, ln)
                     acc = slots[idx]
                     if not isinstance(acc, Message):
                         acc = Message(sub_mt)

@@ -248,12 +248,18 @@ def _extend(value: int, size: int) -> int:
     return value
 
 
-def encode_jpeg_gray(pixels, quant=None) -> bytes:
+def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     """Grayscale (h, w) uint8 raster -> a GENUINE baseline JPEG
     (JFIF APP0, DQT, SOF0 1-component, Annex-K Huffman DHTs, SOS,
     entropy-coded scan with byte stuffing, EOI). ``quant`` is a 64-entry
     raster-order quantization table (default :data:`QUANT_ANNEX_K`;
-    pass :data:`QUANT_UNITY` for the near-lossless mode)."""
+    pass :data:`QUANT_UNITY` for the near-lossless mode).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (cyclic D0-D7) after every that-many MCUs: the bit stream is
+    byte-aligned (1-padded) before each marker and the DC predictor
+    resets after it — T.81 F.1.2.2.2, the camera-output resync feature
+    real-world JPEGs carry."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -284,6 +290,10 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
     diffs = np.empty_like(dcs)
     diffs[0] = dcs[0]
     diffs[1:] = dcs[1:] - dcs[:-1]
+    ri = int(restart_interval)
+    if ri > 0:
+        # DC prediction restarts from 0 after every RSTn
+        diffs[ri::ri] = dcs[ri::ri]
     has_ac = (flat_all[:, 1:] != 0).any(axis=1)
     last_nz = np.where(
         has_ac, 63 - np.argmax(flat_all[:, :0:-1] != 0, axis=1), 0
@@ -292,7 +302,13 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
     write = writer.write
     eob_code, eob_len = ac_codes[0x00]
     zrl_code, zrl_len = ac_codes[0xF0]
+    scan_parts = []
     for bi in range(flat_all.shape[0]):
+        if ri > 0 and bi and bi % ri == 0:
+            scan_parts.append(writer.flush())
+            scan_parts.append(bytes([0xFF, 0xD0 + ((bi // ri - 1) & 7)]))
+            writer = _BitWriter()
+            write = writer.write
         diff = int(diffs[bi])
         s = _category(diff)
         code, length = dc_codes[s]
@@ -317,7 +333,8 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
             run = 0
         if end < 63:
             write(eob_code, eob_len)
-    scan = writer.flush()
+    scan_parts.append(writer.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -328,6 +345,8 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(_M_DQT, bytes([0x00]) + bytes(int(q[ZIGZAG[i]]) for i in range(64)))
+    if ri > 0:
+        out += seg(_M_DRI, struct.pack(">H", ri))
     out += seg(
         _M_SOF0,
         struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
@@ -541,8 +560,10 @@ def decode_jpeg(data: bytes):
     Returns ``None`` when the blob does not start with SOI (not a JPEG
     — the operator's null path); raises ``NotImplementedError`` at the
     codec's honest boundaries (progressive/extended frames, >2x
-    sampling factors, non-interleaved scans, 16-bit quant tables,
-    restart intervals) and ``ValueError`` on corrupt streams."""
+    sampling factors, non-interleaved scans, 16-bit quant tables) and
+    ``ValueError`` on corrupt streams. Restart intervals (DRI/RSTn —
+    standard camera output) are fully supported: the entropy stream
+    resyncs and DC predictors reset at every RSTn."""
     import numpy as np
 
     if len(data) < 4 or data[:2] != JPEG_MAGIC:
@@ -551,6 +572,7 @@ def decode_jpeg(data: bytes):
     quant_tables: dict[int, list[int]] = {}
     huff_tables: dict[tuple[int, int], dict] = {}
     frame = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
@@ -631,8 +653,7 @@ def decode_jpeg(data: bytes):
         elif marker == _M_DRI:
             if len(payload) < 2:
                 raise ValueError("truncated DRI segment")
-            if struct.unpack(">H", payload[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == _M_SOS:
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -671,12 +692,12 @@ def decode_jpeg(data: bytes):
                         "ac": huff_tables[(1, ta)],
                     }
                 )
-            return _decode_scan(data, pos, w, h, scan_comps)
+            return _decode_scan(data, pos, w, h, scan_comps, restart_interval)
         # else: APPn/COM/etc — skipped via seg_len
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, pos, w, h, comps):
+def _decode_scan(data, pos, w, h, comps, restart_interval: int = 0):
     """Entropy-decode an interleaved baseline scan and reconstruct.
 
     ``comps`` is the scan's component list ({h, v, quant, dc, ac} per
@@ -684,22 +705,49 @@ def _decode_scan(data, pos, w, h, comps):
     one block, Hmax = Vmax = 1 — identical to the dedicated grayscale
     path this generalizes).
 
-    Fast path: the scan is un-stuffed ONCE (0xFF 0x00 -> 0xFF; legal
-    because baseline entropy data contains no other 0xFF-started pair
-    when restart intervals are off), then read through 16-bit-window
-    integer peeks against the prefix LUTs — a handful of int ops per
-    coefficient instead of a per-bit method-call walk."""
+    Fast path: the scan is un-stuffed ONCE per restart segment
+    (0xFF 0x00 -> 0xFF; legal because baseline entropy data contains
+    no other 0xFF-started pair inside a segment), then read through
+    16-bit-window integer peeks against the prefix LUTs — a handful of
+    int ops per coefficient instead of a per-bit method-call walk.
+
+    ``restart_interval`` > 0 (from DRI): the scan is split at RSTn
+    markers into byte-aligned segments; after every that-many MCUs the
+    reader jumps to the next segment and every component's DC
+    predictor resets (T.81 F.2.2.5) — one corrupt segment in a real
+    camera JPEG damages 8 MCU rows, not the rest of the image."""
     import numpy as np
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # Entropy data ends at the first marker (0xFF followed by anything
-    # but the stuffed 0x00).
-    m = _MARKER_RE.search(data, pos)
-    end = m.start() if m else len(data)
-    entropy = data[pos:end].replace(b"\xff\x00", b"\xff")
+    ri = int(restart_interval)
+    if ri <= 0:
+        # Entropy data ends at the first marker (0xFF followed by
+        # anything but the stuffed 0x00).
+        m = _MARKER_RE.search(data, pos)
+        end = m.start() if m else len(data)
+        segments = [data[pos:end].replace(b"\xff\x00", b"\xff")]
+    else:
+        # Split on RSTn (D0-D7, cyclic, no length field); the first
+        # non-RST marker ends the scan.
+        segments = []
+        start = p = pos
+        while True:
+            m = _MARKER_RE.search(data, p)
+            if m is None:
+                segments.append(data[start:].replace(b"\xff\x00", b"\xff"))
+                break
+            segments.append(
+                data[start : m.start()].replace(b"\xff\x00", b"\xff")
+            )
+            if 0xD0 <= data[m.start() + 1] <= 0xD7:
+                start = p = m.start() + 2
+            else:
+                break
+    seg_idx = 0
+    entropy = segments[0]
     buf = entropy + b"\x00\x00\x00\x00"
     nbits_total = len(entropy) * 8
 
@@ -723,6 +771,21 @@ def _decode_scan(data, pos, w, h, comps):
     from_bytes = int.from_bytes
     for my in range(mcuy):
         for mx in range(mcux):
+            mi = my * mcux + mx
+            if ri > 0 and mi and mi % ri == 0:
+                if bitpos > nbits_total:
+                    raise ValueError("entropy stream truncated")
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError(
+                        f"missing RSTn marker before MCU {mi}"
+                    )
+                entropy = segments[seg_idx]
+                buf = entropy + b"\x00\x00\x00\x00"
+                nbits_total = len(entropy) * 8
+                bitpos = 0
+                for st in state:
+                    st["prev_dc"] = 0
             for st in state:
                 for v in range(st["v"]):
                     for hh in range(st["h"]):

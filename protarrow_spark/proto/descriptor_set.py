@@ -85,6 +85,7 @@ _FILE_PROTO = MessageType(
     (
         Field("name", 1, Kind.STRING, optional=True),
         Field("package", 2, Kind.STRING, optional=True),
+        Field("dependency", 3, Kind.STRING, repeated=True),
         Field("message_type", 4, Kind.MESSAGE, repeated=True, message=_DESCRIPTOR_PROTO),
         Field("enum_type", 5, Kind.MESSAGE, repeated=True, message=_ENUM_PROTO),
         Field("syntax", 12, Kind.STRING, optional=True),
@@ -139,18 +140,18 @@ def read_descriptor_set(
     fs = parse(data, _FILE_SET)
     messages: dict[str, MessageType] = {}
     enums: dict[str, EnumType] = {}
-    pending: list[tuple[MessageType, Message]] = []
+    pending: list[tuple[MessageType, Message, bool]] = []
 
-    def register(dp: Message, prefix: str) -> None:
+    def register(dp: Message, prefix: str, proto2: bool) -> None:
         full = f"{prefix}.{dp.name}" if prefix else dp.name
         map_entry = bool(dp.HasField("options") and dp.options.map_entry)
         mt = MessageType(full, (), map_entry=map_entry)
         messages[full] = mt
-        pending.append((mt, dp))
+        pending.append((mt, dp, proto2))
         for ep in dp.enum_type:
             _register_enum(ep, full)
         for nested in dp.nested_type:
-            register(nested, full)
+            register(nested, full, proto2)
 
     def _register_enum(ep: Message, prefix: str) -> None:
         full = f"{prefix}.{ep.name}" if prefix else ep.name
@@ -160,10 +161,15 @@ def read_descriptor_set(
 
     for fp in fs.file:
         pkg = fp.package
+        # FileDescriptorProto.syntax is OMITTED for proto2 files (the
+        # historical default); only "proto3"/"editions" mark the
+        # no-presence regime. Every proto2 optional scalar carries
+        # explicit presence without a synthetic oneof.
+        proto2 = (not fp.HasField("syntax")) or fp.syntax == "proto2"
         for ep in fp.enum_type:
             _register_enum(ep, pkg)
         for dp in fp.message_type:
-            register(dp, pkg)
+            register(dp, pkg, proto2)
 
     def resolve(name: str):
         n = name.lstrip(".")
@@ -173,7 +179,7 @@ def read_descriptor_set(
             return enums[n]
         raise KeyError(f"descriptor set does not define {name!r}")
 
-    for mt, dp in pending:
+    for mt, dp, proto2 in pending:
         oneof_names = [od.name for od in dp.oneof_decl]
         fields = []
         for f in dp.field:
@@ -193,6 +199,11 @@ def read_descriptor_set(
                 optional, oneof = True, None  # synthetic oneof -> presence
             elif f.HasField("oneof_index"):
                 optional, oneof = False, oneof_names[f.oneof_index]
+            elif proto2 and f.label == _LABEL_OPTIONAL and not repeated:
+                # proto2 `optional` scalars/enums have explicit presence
+                # with no synthetic-oneof marker; mirror adapt_descriptor
+                # (message fields already carry presence via kind).
+                optional, oneof = kind is not Kind.MESSAGE, None
             else:
                 optional, oneof = False, None
             fields.append(
@@ -277,7 +288,8 @@ def write_descriptor_set(
         )
 
     def emit_message(mt: MessageType) -> Message:
-        oneof_names: list[str] = []
+        real_oneofs: list[str] = []
+        synthetic: list[tuple[Message, str]] = []  # (field proto, oneof name)
         fields = []
         for f in sorted(mt.fields, key=lambda f: f.number):
             fd = Message(
@@ -292,15 +304,21 @@ def write_descriptor_set(
             elif f.kind is Kind.ENUM:
                 fd.type_name = "." + f.enum.full_name
             if f.oneof is not None:
-                if f.oneof not in oneof_names:
-                    oneof_names.append(f.oneof)
-                fd.oneof_index = oneof_names.index(f.oneof)
+                if f.oneof not in real_oneofs:
+                    real_oneofs.append(f.oneof)
+                fd.oneof_index = real_oneofs.index(f.oneof)
             elif f.optional:
-                # spec: proto3 optional = member of its own synthetic oneof
+                # spec: proto3 optional = member of its own synthetic
+                # oneof, and ALL synthetic oneofs must be ordered after
+                # every real oneof — index assignment deferred to a
+                # second pass so interleaved field numbers can't
+                # interleave the oneof_decl list.
                 fd.proto3_optional = True
-                oneof_names.append(f"_{f.name}")
-                fd.oneof_index = len(oneof_names) - 1
+                synthetic.append((fd, f"_{f.name}"))
             fields.append(fd)
+        for i, (fd, _) in enumerate(synthetic):
+            fd.oneof_index = len(real_oneofs) + i
+        oneof_names = real_oneofs + [n for _, n in synthetic]
         dp = Message(
             _DESCRIPTOR_PROTO,
             name=_split(mt.full_name)[1],
@@ -313,6 +331,14 @@ def write_descriptor_set(
             dp.options = Message(_MESSAGE_OPTIONS, map_entry=True)
         return dp
 
+    def owner_pkg(full: str) -> str:
+        """Package owning a (possibly nested) type: strip message-name
+        components until the prefix is no longer a known message."""
+        pkg, _ = _split(full)
+        while pkg in all_msgs:
+            pkg, _ = _split(pkg)
+        return pkg
+
     by_pkg: dict[str, tuple[list[Message], list[Message]]] = {}
     for mt in top_level:
         pkg = _split(mt.full_name)[0]
@@ -323,13 +349,38 @@ def write_descriptor_set(
             continue  # nested enum: emitted inside its parent message
         by_pkg.setdefault(pkg, ([], []))[1].append(emit_enum(et))
 
+    pkg_order = sorted(by_pkg)
+    pkg_file = {
+        pkg: (file_name if i == 0 else f"{file_name}.{i}")
+        for i, pkg in enumerate(pkg_order)
+    }
+
+    # Cross-file references MUST be declared (FileDescriptorProto
+    # field 3) or real protobuf runtimes (protoc, descriptor_pool,
+    # Spark's from_protobuf descFilePath) reject the set as referring
+    # to an unimported type; only a global-name resolver would accept
+    # it. A field's target file is its type's OWNING package's file.
+    deps: dict[str, set[str]] = {pkg: set() for pkg in pkg_order}
+    for mt in all_msgs.values():
+        src = owner_pkg(mt.full_name)
+        for f in mt.fields:
+            target = None
+            if f.message is not None:
+                target = owner_pkg(f.message.full_name)
+            elif f.enum is not None:
+                target = owner_pkg(f.enum.full_name)
+            if target is not None and target != src and target in pkg_file:
+                deps[src].add(pkg_file[target])
+
     files = []
-    for i, (pkg, (msgs, enums_)) in enumerate(sorted(by_pkg.items())):
+    for pkg in pkg_order:
+        msgs, enums_ = by_pkg[pkg]
         files.append(
             Message(
                 _FILE_PROTO,
-                name=file_name if i == 0 else f"{file_name}.{i}",
+                name=pkg_file[pkg],
                 package=pkg,
+                dependency=sorted(deps[pkg]),
                 message_type=msgs,
                 enum_type=enums_,
                 syntax="proto3",

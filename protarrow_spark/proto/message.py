@@ -234,14 +234,37 @@ def _scalar_wire_type(kind: Kind) -> int:
     return _WT_LEN
 
 
+#: Contract bounds per varint kind: encoding a value outside its
+#: declared range must RAISE (the typed protobuf API rejects the
+#: assignment), never silently write an over-wide varint that decodes
+#: to a different number.
+_VARINT_RANGE = {
+    Kind.INT32: (-(1 << 31), (1 << 31) - 1),
+    Kind.SINT32: (-(1 << 31), (1 << 31) - 1),
+    Kind.ENUM: (-(1 << 31), (1 << 31) - 1),
+    Kind.UINT32: (0, (1 << 32) - 1),
+    Kind.INT64: (-(1 << 63), (1 << 63) - 1),
+    Kind.SINT64: (-(1 << 63), (1 << 63) - 1),
+    Kind.UINT64: (0, (1 << 64) - 1),
+}
+
+
 def _write_scalar(out: bytearray, kind: Kind, value: Any) -> None:
     """Write one scalar payload (no tag)."""
     if kind in ZIGZAG_KINDS:
-        _write_varint(out, _zigzag(int(value)))
+        v = int(value)
+        lo, hi = _VARINT_RANGE[kind]
+        if not lo <= v <= hi:
+            raise ValueError(f"{kind.name} value {v} out of range [{lo}, {hi}]")
+        _write_varint(out, _zigzag(v))
     elif kind is Kind.BOOL:
         out.append(1 if value else 0)
     elif kind in VARINT_KINDS:  # int32/64, uint32/64, enum
-        _write_varint(out, int(value))
+        v = int(value)
+        lo, hi = _VARINT_RANGE[kind]
+        if not lo <= v <= hi:
+            raise ValueError(f"{kind.name} value {v} out of range [{lo}, {hi}]")
+        _write_varint(out, v)
     elif kind is Kind.DOUBLE:
         out += struct.pack("<d", value)
     elif kind is Kind.FLOAT:
@@ -376,9 +399,22 @@ def _read_scalar(data: bytes, pos: int, kind: Kind) -> tuple[Any, int]:
         return struct.unpack_from("<i", data, pos)[0], pos + 4
     if kind in (Kind.STRING, Kind.BYTES):
         n, pos = _read_varint(data, pos)
+        _check_bounds(data, pos, n)
         raw = data[pos : pos + n]
         return (raw.decode("utf-8") if kind is Kind.STRING else bytes(raw)), pos + n
     raise TypeError(f"not a scalar kind: {kind}")  # pragma: no cover
+
+
+def _check_bounds(data: bytes, pos: int, n: int) -> None:
+    """Reject declared lengths that overrun the buffer. Python slices
+    silently truncate, so without this a corrupt length prefix decodes
+    to partially-wrong values instead of raising — real protobuf
+    parsers fail with 'truncated message' here, and the PERMISSIVE
+    dead-letter contract needs the raise to null the row."""
+    if pos + n > len(data):
+        raise ValueError(
+            f"truncated message: need {n} bytes at {pos}, have {len(data) - pos}"
+        )
 
 
 def _skip(data: bytes, pos: int, wire_type: int) -> int:
@@ -386,11 +422,14 @@ def _skip(data: bytes, pos: int, wire_type: int) -> int:
         _, pos = _read_varint(data, pos)
         return pos
     if wire_type == _WT_I64:
+        _check_bounds(data, pos, 8)
         return pos + 8
     if wire_type == _WT_I32:
+        _check_bounds(data, pos, 4)
         return pos + 4
     if wire_type == _WT_LEN:
         n, pos = _read_varint(data, pos)
+        _check_bounds(data, pos, n)
         return pos + n
     raise ValueError(f"cannot skip wire type {wire_type} (groups unsupported)")
 
@@ -411,12 +450,14 @@ def parse_into(msg: Message, data: bytes) -> Message:
             continue
         if field.is_map:
             n, pos = _read_varint(data, pos)
+            _check_bounds(data, pos, n)
             entry = Message(field.message)
             parse_into(entry, data[pos : pos + n])
             pos += n
             getattr(msg, field.name)[entry.key] = entry.value
         elif field.kind is Kind.MESSAGE:
             n, pos = _read_varint(data, pos)
+            _check_bounds(data, pos, n)
             body = data[pos : pos + n]
             pos += n
             if field.repeated:
@@ -434,6 +475,7 @@ def parse_into(msg: Message, data: bytes) -> Message:
             target = getattr(msg, field.name)
             if wire_type == _WT_LEN and field.kind not in (Kind.STRING, Kind.BYTES):
                 n, pos = _read_varint(data, pos)  # packed
+                _check_bounds(data, pos, n)
                 stop = pos + n
                 while pos < stop:
                     v, pos = _read_scalar(data, pos, field.kind)

@@ -432,3 +432,91 @@ def conv_decode_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conv_encode_error_tolerance — PERMISSIVE wire ENCODE (dead-letter path,
+# the symmetric half of conv_decode_corrupt_tolerance)
+# ---------------------------------------------------------------------------
+
+#: Every 7th event violates the export contract: its uint32 `code`
+#: cell is pushed past 2^32-1, which the wire writer rejects (range
+#: validation in proto/message.py _write_scalar).
+ENCODE_BAD_MOD = 7
+
+#: The export contract: a uint32 field makes contract bounds real
+#: (int64 Spark cells can exceed them; EVENT_MT's int64 fields can't).
+EXPORT_MT = MessageType(
+    "protarrow_spark.events.EventExport",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("code", 2, Kind.UINT32),
+        Field("event_type", 3, Kind.STRING),
+    ),
+)
+
+
+@query(
+    "conv_encode_error_tolerance",
+    oracle=f"""
+SELECT CASE WHEN event_id % {ENCODE_BAD_MOD} = 0 THEN NULL ELSE event_type END
+         AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % {ENCODE_BAD_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dead,
+       CAST(SUM(CASE WHEN event_id % {ENCODE_BAD_MOD} = 0 THEN NULL
+                     ELSE event_id % 1000 END) AS BIGINT) AS sum_code
+FROM events
+GROUP BY 1
+""",
+)
+def conv_encode_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE wire ENCODE: events export through a contract with a
+    uint32 field; every {ENCODE_BAD_MOD}th row's cell is pushed out of
+    uint32 range, and ``encode_proto_bytes(on_error="null")`` must
+    null exactly those rows' bytes (keep_cols intact — the dead-letter
+    key) while encoding every healthy row exactly. The encoded
+    survivors then DECODE back (permissive decode passes the null
+    through as an all-null row), and the aggregate pins both halves:
+    n_dead counts the contract violations per group, sum_code proves
+    the survivors' bytes decode to the exact source values. Without
+    the wire writer's range validation the bad rows would silently
+    produce over-wide varints that decode to DIFFERENT numbers — the
+    hash would catch it; with strict mode they'd kill the export task.
+
+    Scale: two zero-shuffle Arrow-batched codec hops plus one
+    small-group aggregate — identical topology to the decode half."""
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("src_id"),
+        "event_id",
+        F.when(
+            F.col("event_id") % ENCODE_BAD_MOD == 0,
+            F.col("event_id") + F.lit(4294967296),
+        )
+        .otherwise(F.col("event_id") % 1000)
+        .alias("code"),
+        "event_type",
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < cores:
+        ev = ev.repartition(cores)
+    wire = encode_proto_bytes(
+        ev, EXPORT_MT, ProtarrowSparkConfig(), keep_cols=["src_id"],
+        on_error="null",
+    )
+    typed = decode_proto_bytes(
+        wire, "proto", EXPORT_MT, ProtarrowSparkConfig(),
+        keep_cols=["src_id"], on_error="null",
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dead"),
+        F.sum("code").cast("long").alias("sum_code"),
+    )

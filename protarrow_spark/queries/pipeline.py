@@ -3622,17 +3622,33 @@ def _q8_ctes() -> list[str]:
     ]
 
 
-def _kmeans8_ctes() -> tuple[list[str], str]:
+def _kmeans8_ctes(target_cluster_rows: int | None = None) -> tuple[list[str], str]:
     """The int8-Lloyd's CTE chain (quantize -> seed -> assign/update
-    rounds), shared by the k-means oracle and the SemDeDup oracle.
-    Returns (ctes, name-of-final-assignment-CTE)."""
-    k, dim, iters = KM8_K, KM8_DIM, KM8_ITER
-    ctes = _q8_ctes() + [
+    rounds), shared by the k-means oracle and the SemDeDup oracles.
+    Returns (ctes, name-of-final-assignment-CTE).
+
+    ``target_cluster_rows``: when set, k is derived from the corpus
+    size (k = ceil(n / target)) instead of the fixed KM8_K — the
+    bounded-cluster SemDeDup setting where expected cluster population
+    stays constant as the corpus grows."""
+    dim, iters = KM8_DIM, KM8_ITER
+    ctes = _q8_ctes()
+    if target_cluster_rows is None:
+        seed_limit = str(KM8_K)
+    else:
+        ctes.append(
+            f"""kk AS (
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {target_cluster_rows}.0) AS BIGINT)) AS k
+  FROM q8
+)"""
+        )
+        seed_limit = "(SELECT k FROM kk)"
+    ctes.append(
         f"""cent0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
-  FROM q8 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
-)""",
-    ]
+  FROM q8 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {seed_limit}
+)"""
+    )
     for it in range(1, iters + 1):
         prev = f"cent{it - 1}"
         ctes.append(
@@ -3691,8 +3707,8 @@ def cluster_kmeans_int8_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_oracle() -> str:
-    ctes, final = _kmeans8_ctes()
+def _semdedup_oracle(target_cluster_rows: int | None = None) -> str:
+    ctes, final = _kmeans8_ctes(target_cluster_rows)
     dim = KM8_DIM
     num2 = similarity.SEMDEDUP_COS_NUM**2
     den2 = similarity.SEMDEDUP_COS_DEN**2
@@ -3736,8 +3752,45 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd's (cluster_kmeans_int8_exact) + an integer
     cross-multiplication near-dup test (cos >= 2/5 with zero float
     rounding); the min-id member of every dup group is kept
-    (operators/similarity.py semdedup_int8 for the scale topology)."""
+    (operators/similarity.py semdedup_int8 for the scale topology).
+
+    This demo pins k=4, so cluster population — and the quadratic
+    within-cluster pair stage — grows with the corpus; the registered
+    scale form is dedup_semdedup_bounded (k ∝ n)."""
     return similarity.semdedup_int8(table(spark, sf_dir, "embeddings"))
+
+
+#: Bounded-cluster SemDeDup: expected cluster population. 500-vector
+#: gate SF => k=4 (same operating point as the fixed-k demo there);
+#: k grows 10x per decade, holding the per-cluster Gram at ~125².
+SEMDEDUP_TARGET_CLUSTER_ROWS = 125
+
+
+@query(
+    "dedup_semdedup_bounded",
+    oracle=_semdedup_oracle(target_cluster_rows=SEMDEDUP_TARGET_CLUSTER_ROWS),
+)
+def dedup_semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in the paper's BOUNDED-CLUSTER setting: k scales with
+    corpus size (k = ceil(n / target_cluster_rows), the paper's
+    n/k ≈ 1e5 rule at its own scale) so expected cluster population
+    stays constant and the within-cluster pair stage — the quadratic
+    half of SemDeDup — is k independent, constant-size Gram matmuls:
+    total pair work O(n · target), linear per decade. The fixed-k demo
+    (dedup_semdedup) is 4.6×/decade for exactly this reason.
+
+    The corpus-size probe is a scan-only count (columnless, footer
+    statistics at parquet scale); both the Spark plan and the DuckDB
+    oracle derive k from the same count, so assignments stay
+    value-exact. At 100 TB the Lloyd's ASSIGNMENT term (n·k distance
+    evals) is the next bottleneck — the paper's answer is
+    IVF/hierarchical assignment (the ann_ivf_topk topology), which
+    drops in without changing this query's contract.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(1, -(-n // SEMDEDUP_TARGET_CLUSTER_ROWS))
+    return similarity.semdedup_int8(emb, k=k)
 
 
 # ---------------------------------------------------------------------------
@@ -4960,11 +5013,17 @@ def pairgen_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: input, the same role the LSH banding plays in production).
 SWEEP_MIN_JACCARD = 0.1
 
+#: Stratum modulus for the sampled sweep (same md5 doc-stratum device
+#: as dedup_lsh_recall_sampled): keep docs with md5-key ≡ 0 (mod M);
+#: pair volume shrinks ~1/M² while per-band SHARES stay unbiased.
+SWEEP_SAMPLE_MOD = 2
 
-@query(
-    "dedup_threshold_sweep",
-    oracle=f"""
-WITH {_toks_cte()},
+
+def _threshold_sweep_oracle(sample_mod: int | None = None) -> str:
+    stratum = "" if sample_mod is None else _doc_stratum_sql(sample_mod) + ",\n"
+    toks_src = "documents" if sample_mod is None else "sdocs"
+    return f"""
+WITH {stratum}{_toks_cte(toks_src)},
 {_grams_cte(JACCARD_N)},
 dgh AS (
   SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g FROM dg
@@ -4992,23 +5051,19 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
          AS n_pairs_at_or_above
 FROM counts
-""",
-)
-def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-threshold tuning table: how many candidate pairs fall in
-    each Jaccard band of 0.05, with the cumulative count at-or-above
-    each band — the table you read BEFORE picking the LSH/dedup
-    threshold (each band's cumulative count is the number of pairs
-    that threshold would merge; the knee is where boilerplate overlap
-    ends and real duplication begins). Banding is exact integer
-    arithmetic ((20*n_common) div union — no float boundary
-    ambiguity); the same df-capped index as dedup_ngram_jaccard, so
-    the sweep describes exactly the index the dedup queries run.
+"""
 
-    Scale: the pair stage is the adaptive dense-blocked matmul (or
-    the sparse inverted-index join on real text); the report itself
-    is a ~20-row aggregate + window."""
+
+def _threshold_sweep(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """Shared body of the full / hash-sampled threshold sweeps."""
     docs = table(spark, sf_dir, "documents")
+    if sample_mod is not None:
+        key = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        docs = docs.filter(key % sample_mod == 0)
     pairs = dedup.ngram_jaccard_pairs(
         docs,
         "doc_id",
@@ -5041,3 +5096,44 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+@query("dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning table: how many candidate pairs fall in
+    each Jaccard band of 0.05, with the cumulative count at-or-above
+    each band — the table you read BEFORE picking the LSH/dedup
+    threshold (each band's cumulative count is the number of pairs
+    that threshold would merge; the knee is where boilerplate overlap
+    ends and real duplication begins). Banding is exact integer
+    arithmetic ((20*n_common) div union — no float boundary
+    ambiguity); the same df-capped index as dedup_ngram_jaccard, so
+    the sweep describes exactly the index the dedup queries run.
+
+    Scale: the pair stage is the adaptive dense-blocked matmul (or
+    the sparse inverted-index join on real text); the report itself
+    is a ~20-row aggregate + window. The pair stage is pair-volume-
+    bound — at 100 TB run dedup_threshold_sweep_sampled (the
+    registered md5 doc-stratum form, ~1/M² the pair work) instead."""
+    return _threshold_sweep(spark, sf_dir, sample_mod=None)
+
+
+@query(
+    "dedup_threshold_sweep_sampled",
+    oracle=_threshold_sweep_oracle(sample_mod=SWEEP_SAMPLE_MOD),
+)
+def dedup_threshold_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-tuning sweep on a deterministic md5 doc stratum —
+    the form that runs at 100 TB. Pair inclusion is independent
+    doc-level inclusion on both endpoints (exactly the
+    dedup_lsh_recall_sampled argument), so each band's EXPECTED pair
+    count scales by 1/M² uniformly across bands: the per-band SHARES —
+    the only thing threshold tuning reads (the knee's position) — are
+    unbiased estimates of the full sweep's, at a fraction of the
+    pair-stage cost. Tracking vs the full sweep is pinned at sf0.01
+    by tests/test_threshold_sweep_sampling.py.
+
+    Scale: the stratum predicate is a scan-level filter pushed below
+    the shingle explode; the quadratic pair stage shrinks ~1/M².
+    """
+    return _threshold_sweep(spark, sf_dir, sample_mod=SWEEP_SAMPLE_MOD)

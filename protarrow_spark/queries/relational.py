@@ -1324,11 +1324,18 @@ p AS (
                         ROWS UNBOUNDED PRECEDING) AS pr
   FROM e
 ),
-s AS (
-  SELECT user_id, event_id, ts,
-         pr - MIN(pr) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                            ROWS UNBOUNDED PRECEDING) AS st
+m AS (
+  SELECT user_id, event_id, ts, pr,
+         MIN(pr) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS UNBOUNDED PRECEDING) AS mn
   FROM p
+),
+s AS (
+  -- clamp at zero via CASE, not LEAST: DuckDB's LEAST promotes
+  -- DECIMAL args to DOUBLE, which would break exact-decimal parity
+  SELECT user_id, event_id, ts,
+         pr - (CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(27,6)) END) AS st
+  FROM m
 ),
 r AS (
   SELECT user_id, event_id, ts, st,
@@ -1350,8 +1357,11 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     P_i - min_j<=i P_j for the prefix sums P of (x - K), so two
     stacked running windows (sum, then min) compute it exactly; the
     report is each user's peak statistic and the event where it
-    peaks (earliest-ts tiebreak). Decimal accumulation keeps every
-    intermediate order-invariant.
+    peaks (earliest-ts tiebreak). The running minimum is clamped at
+    zero (``P_0 = 0`` is a member of the minimized prefix set): with
+    the clamp omitted, a user whose very first deviation is positive
+    would get ``S_1 = 0`` instead of Page's ``S_1 = x_1 - K``.
+    Decimal accumulation keeps every intermediate order-invariant.
 
     Scale: one shuffle on user_id feeds all three window passes (sum,
     min, argmax rank share the partitioning — Catalyst collapses them
@@ -1368,7 +1378,10 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = p.select(
         "user_id", "event_id", "ts",
-        (F.col("pr") - F.min("pr").over(run)).alias("st"),
+        (
+            F.col("pr")
+            - F.least(F.min("pr").over(run), F.lit(0).cast(DEC6))
+        ).alias("st"),
     )
     wr = Window.partitionBy("user_id").orderBy(
         F.desc("st"), epoch_micros("ts"), F.col("event_id")

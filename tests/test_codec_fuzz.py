@@ -37,6 +37,8 @@ from protarrow_spark.operators.png import decode_png_gray, encode_png
 _IMG = (np.arange(256, dtype=np.uint8).reshape(16, 16) * 7 % 256).astype(np.uint8)
 VALID = {
     "jpeg": encode_jpeg_gray(_IMG, quant=QUANT_UNITY),
+    # restart-interval stream: RSTn resync + DC-reset paths fuzzed too
+    "jpeg_rst": encode_jpeg_gray(_IMG, quant=QUANT_UNITY, restart_interval=1),
     "png": encode_png(_IMG),
     "gif": encode_gif_gray(_IMG),
     "bmp": encode_bmp_gray(_IMG),
@@ -46,6 +48,7 @@ VALID = {
 }
 DECODERS = {
     "jpeg": decode_jpeg_gray,
+    "jpeg_rst": decode_jpeg_gray,
     "png": decode_png_gray,
     "gif": decode_gif_gray,
     "bmp": decode_bmp_gray,

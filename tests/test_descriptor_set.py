@@ -96,3 +96,167 @@ def test_wkt_full_names_survive():
     messages, _ = read_descriptor_set(data)
     assert "google.protobuf.Timestamp" in messages
     assert "google.protobuf.Int64Value" in messages
+
+
+def _parse_file_set(data: bytes):
+    from protarrow_spark.proto.descriptor_set import _FILE_SET
+
+    return parse(data, _FILE_SET)
+
+
+def test_cross_package_dependency_declared():
+    """A file whose fields reference types emitted in another file must
+    list that file in FileDescriptorProto.dependency (field 3) — real
+    protobuf runtimes reject unimported cross-file references; only a
+    global-name resolver would accept them. EXAMPLE references
+    google.protobuf.Timestamp/wrappers, which land in a second file."""
+    fs = _parse_file_set(write_descriptor_set([fixtures.EXAMPLE]))
+    assert len(fs.file) >= 2
+    names = {f.name: f for f in fs.file}
+
+    def type_files(fp):
+        out = set()
+
+        def walk(dp, prefix):
+            full = f"{prefix}.{dp.name}" if prefix else dp.name
+            out.add(full)
+            for n in dp.nested_type:
+                walk(n, full)
+
+        for dp in fp.message_type:
+            walk(dp, fp.package)
+        return out
+
+    defined_in = {}
+    for fp in fs.file:
+        for t in type_files(fp):
+            defined_in[t] = fp.name
+    for fp in fs.file:
+        local = type_files(fp)
+
+        def refs(dp):
+            for f in dp.field:
+                if f.HasField("type_name"):
+                    yield f.type_name.lstrip(".")
+            for n in dp.nested_type:
+                yield from refs(n)
+
+        for dp in fp.message_type:
+            for t in refs(dp):
+                owner = defined_in.get(t)
+                if owner is not None and owner != fp.name:
+                    assert owner in list(fp.dependency), (
+                        f"{fp.name} references {t} from {owner} without dependency"
+                    )
+    # And concretely: EXAMPLE's own file (it has timestamp_value ->
+    # google.protobuf.Timestamp) depends on the google.protobuf file.
+    example_pkg = fixtures.EXAMPLE.full_name.rsplit(".", 1)[0]
+    main = next(f for f in fs.file if f.package == example_pkg)
+    gp = next(f for f in fs.file if f.package == "google.protobuf")
+    assert gp.name in list(main.dependency)
+
+
+def test_synthetic_oneofs_ordered_after_real_oneofs():
+    """descriptor.proto contract: synthetic oneofs (proto3 optional)
+    must ALL come after every real oneof in oneof_decl, even when the
+    optional fields have lower field numbers than the oneof members."""
+    fs = _parse_file_set(write_descriptor_set([fixtures.EXAMPLE]))
+    for fp in fs.file:
+
+        def check(dp):
+            synth_idx = set()
+            real_idx = set()
+            for f in dp.field:
+                if not f.HasField("oneof_index"):
+                    continue
+                (synth_idx if f.proto3_optional else real_idx).add(f.oneof_index)
+            if synth_idx and real_idx:
+                assert min(synth_idx) > max(real_idx), dp.name
+            # synthetic oneof naming: _<field>
+            for f in dp.field:
+                if f.proto3_optional:
+                    assert dp.oneof_decl[f.oneof_index].name == f"_{f.name}"
+            for n in dp.nested_type:
+                check(n)
+
+        for dp in fp.message_type:
+            check(dp)
+    # EXAMPLE really exercises both (optional scalars before a real oneof)
+    rebuilt = _roundtrip(fixtures.EXAMPLE)
+    _assert_same_model(fixtures.EXAMPLE, rebuilt, set())
+
+
+def test_proto2_optional_scalars_read_with_presence():
+    """A proto2 file (syntax omitted — the historical default) marks
+    optional scalars LABEL_OPTIONAL with no proto3_optional / oneof;
+    the reader must rebuild them with explicit presence (optional=True),
+    matching adapt_descriptor's has_presence mapping."""
+    from protarrow_spark.proto.descriptor_set import (
+        _DESCRIPTOR_PROTO,
+        _FIELD_PROTO,
+        _FILE_PROTO,
+        _FILE_SET,
+    )
+    from protarrow_spark.proto.message import Message
+
+    def fld(name, number, ftype, label=1):
+        return Message(_FIELD_PROTO, name=name, number=number, ftype=ftype, label=label)
+
+    dp = Message(
+        _DESCRIPTOR_PROTO,
+        name="Legacy",
+        field=[
+            fld("opt_int", 1, 5),            # optional int32
+            fld("opt_str", 2, 9),            # optional string
+            fld("req_like", 3, 5, label=2),  # LABEL_REQUIRED
+            fld("rep_int", 4, 5, label=3),   # repeated
+        ],
+    )
+    for syntax in (None, "proto2"):
+        fp = Message(_FILE_PROTO, name="legacy.proto", package="p2", message_type=[dp])
+        if syntax is not None:
+            fp.syntax = syntax
+        data = serialize(Message(_FILE_SET, file=[fp]))
+        messages, _ = read_descriptor_set(data)
+        legacy = messages["p2.Legacy"]
+        by_name = {f.name: f for f in legacy.fields}
+        assert by_name["opt_int"].optional is True
+        assert by_name["opt_str"].optional is True
+        assert by_name["req_like"].optional is False
+        assert by_name["rep_int"].optional is False and by_name["rep_int"].repeated
+    # and a proto3 file with the same wire shape keeps no-presence
+    fp3 = Message(
+        _FILE_PROTO, name="v3.proto", package="p3", message_type=[dp], syntax="proto3"
+    )
+    messages, _ = read_descriptor_set(serialize(Message(_FILE_SET, file=[fp3])))
+    assert messages["p3.Legacy"].fields[0].optional is False
+
+
+def test_written_set_loads_into_real_descriptor_pool():
+    """When the real protobuf runtime is available, the written bytes
+    must load into google.protobuf.descriptor_pool — the external
+    acceptance check for dependency declarations and oneof ordering.
+    (Skipped in environments without protobuf.)"""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from google.protobuf import descriptor_pb2, descriptor_pool
+
+    data = write_descriptor_set([fixtures.EXAMPLE])
+    fds = descriptor_pb2.FileDescriptorSet.FromString(data)
+    pool = descriptor_pool.DescriptorPool()
+    by_name = {f.name: f for f in fds.file}
+    loaded: set[str] = set()
+
+    def add(fp):
+        if fp.name in loaded:
+            return
+        for dep in fp.dependency:
+            add(by_name[dep])
+        pool.Add(fp)
+        loaded.add(fp.name)
+
+    for fp in fds.file:
+        add(fp)
+    desc = pool.FindMessageTypeByName(fixtures.EXAMPLE.full_name)
+    assert desc is not None

@@ -382,3 +382,52 @@ def test_decode_permissive_nulls_corrupt_rows(spark):
         decode_proto_bytes(
             corrupted, "proto", EVENT_MT, cfg, on_error="skip"
         )
+
+
+def test_encode_permissive_nulls_violating_rows(spark):
+    """encode_proto_bytes(on_error='null'): a contract-violating row
+    (uint32 out of range, wrong cell type) yields a null bytes cell
+    with keep_cols intact; healthy rows encode exactly."""
+    from protarrow_spark.config import ProtarrowSparkConfig
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+    from protarrow_spark.proto.model import Field, Kind, MessageType
+
+    mt = MessageType(
+        "t.PermEnc",
+        (Field("k", 1, Kind.INT64), Field("u", 2, Kind.UINT32)),
+    )
+    df = spark.createDataFrame(
+        [(1, 7), (2, 2**32 + 5), (3, -4), (4, 4294967295)],
+        "k long, u long",
+    ).withColumn("src_k", F.col("k"))
+    wire = encode_proto_bytes(
+        df, mt, ProtarrowSparkConfig(), keep_cols=["src_k"], on_error="null"
+    )
+    rows = {r["src_k"]: r["proto"] for r in wire.collect()}
+    assert rows[2] is None and rows[3] is None
+    assert rows[1] is not None and rows[4] is not None
+    back = decode_proto_bytes(
+        wire, "proto", mt, ProtarrowSparkConfig(),
+        keep_cols=["src_k"], on_error="null",
+    )
+    got = {r["src_k"]: (r["k"], r["u"]) for r in back.collect()}
+    assert got[1] == (1, 7) and got[4] == (4, 4294967295)
+    assert got[2] == (None, None) and got[3] == (None, None)
+
+
+def test_encode_strict_raises_on_contract_violation(spark):
+    """Default strict mode keeps the old kill-the-task contract."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from protarrow_spark.config import ProtarrowSparkConfig
+    from protarrow_spark.conversion.distributed import encode_proto_bytes
+    from protarrow_spark.proto.model import Field, Kind, MessageType
+
+    mt = MessageType("t.StrictEnc", (Field("u", 1, Kind.UINT32),))
+    df = spark.createDataFrame([(2**33,)], "u long")
+    with pytest.raises((Py4JJavaError, Exception)):
+        encode_proto_bytes(df, mt, ProtarrowSparkConfig()).collect()

@@ -362,3 +362,90 @@ def test_golden_color_bytes_encode_and_decode():
     assert (w, h) == (16, 16) and len(planes) == 3
     for got, exp in zip(planes, (y, cb, cr)):
         assert np.array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Restart intervals (DRI / RSTn) — T.81 F.1.2.2.2 / F.2.2.5
+# ---------------------------------------------------------------------------
+
+#: encode_jpeg_gray(GOLDEN_PIXELS, QUANT_UNITY, restart_interval=2):
+#: the golden stream above plus a DRI(2) segment and one RST0 between
+#: MCU 1 and MCU 2 (byte-aligned, DC predictor reset). Pins the
+#: restart wire format; the decode test pins the resync path against
+#: it independently of the encoder.
+GOLDEN_16x16_RST_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb00430001010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101ffdd00040002ff"
+    "c0000b080010001001011100ffc4001f00000105010101010101000000000000"
+    "00000102030405060708090a0bffc400b5100002010303020403050504040000"
+    "017d01020300041105122131410613516107227114328191a1082342b1c11552"
+    "d1f02433627282090a161718191a25262728292a3435363738393a4344454647"
+    "48494a535455565758595a636465666768696a737475767778797a8384858687"
+    "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3"
+    "c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6"
+    "f7f8f9faffda0008010100003f00fe0debfd822bffd0fcd7afe63ebfffd9"
+)
+
+
+def test_restart_golden_bytes_encode():
+    blob = encode_jpeg_gray(GOLDEN_PIXELS, quant=QUANT_UNITY, restart_interval=2)
+    assert blob.hex() == GOLDEN_16x16_RST_HEX
+    # structure: exactly one DRI segment declaring interval 2, one RST0
+    assert blob.count(b"\xff\xdd\x00\x04\x00\x02") == 1
+    assert blob.count(b"\xff\xd0") == 1
+
+
+def test_restart_golden_bytes_decode():
+    w, h, gray = decode_jpeg_gray(bytes.fromhex(GOLDEN_16x16_RST_HEX))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(gray, GOLDEN_PIXELS)
+
+
+def test_restart_roundtrip_matches_plain_all_intervals():
+    """Every restart interval decodes to the same pixels as the plain
+    stream — resync + DC reset must be value-neutral on a clean file."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (37, 51), dtype=np.uint8)
+    w0, h0, base = decode_jpeg_gray(encode_jpeg_gray(img, quant=QUANT_UNITY))
+    n_mcus = 5 * 7  # ceil(37/8) x ceil(51/8)
+    for ri in (1, 2, 3, 5, 8, n_mcus, n_mcus + 9):
+        blob = encode_jpeg_gray(img, quant=QUANT_UNITY, restart_interval=ri)
+        w, h, gray = decode_jpeg_gray(blob)
+        assert (w, h) == (w0, h0)
+        assert np.array_equal(gray, base), f"restart_interval={ri}"
+        n_rst = sum(
+            1
+            for i in range(len(blob) - 1)
+            if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+        )
+        assert n_rst == (n_mcus - 1) // ri
+
+
+def test_restart_missing_marker_raises():
+    """DRI declares an interval but the scan carries no RSTn: the
+    resync reader must fail loudly, not decode garbage."""
+    blob = bytearray(
+        encode_jpeg_gray(GOLDEN_PIXELS, quant=QUANT_UNITY, restart_interval=2)
+    )
+    i = bytes(blob).find(b"\xff\xd0")
+    assert i > 0
+    broken = bytes(blob[:i]) + bytes(blob[i + 2 :])  # strip the RST0
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(broken)
+
+
+def test_restart_dc_predictor_reset_is_load_bearing():
+    """A high-DC image where DPCM and reset-from-zero differ in every
+    segment: if the decoder failed to reset predictors at RSTn the
+    pixel values would shift — equality with the plain stream proves
+    the reset really happens (ri=1 resets before every MCU but the
+    first)."""
+    img = np.kron(
+        np.array([[250, 5], [9, 244]], dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    _, _, base = decode_jpeg_gray(encode_jpeg_gray(img, quant=QUANT_UNITY))
+    _, _, rst = decode_jpeg_gray(
+        encode_jpeg_gray(img, quant=QUANT_UNITY, restart_interval=1)
+    )
+    assert np.array_equal(rst, base)

@@ -8,6 +8,8 @@ protobuf encoding guide (protobuf.dev/programming-guides/encoding):
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 
 from protarrow_spark.proto import fixtures
@@ -312,3 +314,53 @@ def test_oneof_unknown_group_raises() -> None:
         Message(ONEOF_MT).WhichOneof("nope")
     with pytest.raises(ValueError):
         Field("bad", 9, Kind.INT64, repeated=True, oneof="g")
+
+
+def test_truncated_length_prefix_raises() -> None:
+    """A declared length overrunning the buffer must raise (real
+    parsers: 'truncated message'), never silently decode a short
+    slice — strict mode aborts, permissive mode nulls the row."""
+    mt = MessageType(
+        "trunc.T",
+        (
+            Field("s", 1, Kind.STRING),
+            Field("b", 2, Kind.BYTES),
+            Field("m", 3, Kind.MESSAGE, message=fixtures.NESTED),
+            Field("p", 4, Kind.INT64, repeated=True),
+        ),
+    )
+    msg = Message(mt, s="hello world", b=b"\x01\x02\x03", p=[1, 2, 3])
+    msg.m = Message(fixtures.NESTED)
+    data = serialize(msg)
+    # every strict prefix that cuts into a length-delimited payload
+    # must raise, not return a partially-parsed message
+    for cut in range(1, len(data)):
+        try:
+            parse(data[:cut], mt)
+        except (ValueError, IndexError, struct.error):
+            continue
+        # a cut landing exactly on a field boundary parses fine
+        # (prefix of valid fields) — that's the merge contract
+    # and specifically: a corrupted length byte claiming more than
+    # the buffer holds raises ValueError from the bounds check
+    bad = bytearray(data)
+    # field 1 tag is the first byte, length the second
+    assert bad[0] == (1 << 3) | 2
+    bad[1] = 200  # declared string length >> remaining
+    with pytest.raises(ValueError, match="truncated|varint"):
+        parse(bytes(bad), mt)
+
+
+def test_truncated_unknown_field_skip_raises() -> None:
+    """_skip must bounds-check too: an unknown LEN field whose length
+    overruns, or unknown fixed-width fields cut short."""
+    mt = MessageType("trunc.Empty", (Field("x", 1, Kind.INT32, optional=True),))
+    # unknown field 9, wire type LEN, declared length 100, 1 byte present
+    with pytest.raises(ValueError, match="truncated"):
+        parse(bytes([(9 << 3) | 2, 100, 0xFF]), mt)
+    # unknown field 9, wire type I64, only 2 bytes present
+    with pytest.raises(ValueError, match="truncated"):
+        parse(bytes([(9 << 3) | 1, 0x00, 0x00]), mt)
+    # unknown field 9, wire type I32, no bytes present
+    with pytest.raises(ValueError, match="truncated"):
+        parse(bytes([(9 << 3) | 5]), mt)
