@@ -161,10 +161,13 @@ def encode_proto_bytes(
                     except (
                         ValueError,
                         TypeError,
-                        AttributeError,
                         OverflowError,
                         struct.error,
                     ):
+                        # deliberately NOT AttributeError: a contract
+                        # violation is a bad VALUE (range/type/overflow);
+                        # an AttributeError is an encoder bug and must
+                        # fail the task, not hide as a dead letter
                         cell = None
                     rows.append(tuple(k.iloc[i] for k in kept) + (cell,))
             else:
@@ -520,6 +523,7 @@ def compile_wire_to_row(
                     slots[idx] = lst
                 if wt == 2 and not unpacked:  # packed
                     ln, pos = _read_varint(data, pos)
+                    _check_bounds(data, pos, ln)
                     stop = pos + ln
                     while pos < stop:
                         v, pos = _read_scalar(data, pos, kind)

@@ -372,8 +372,33 @@ def write_descriptor_set(
             if target is not None and target != src and target in pkg_file:
                 deps[src].add(pkg_file[target])
 
+    # Topological emission order: protobuf runtimes that Add() files
+    # to a pool sequentially (descriptor_pool, protoc --decode) require
+    # every file to appear AFTER the files it depends on. File NAMES
+    # stay in alphabetical-package order (stable across runs); only
+    # the emission sequence is re-ordered. Kahn over the dep edges;
+    # alphabetical tie-break keeps the order deterministic.
+    file_pkg = {fn: pkg for pkg, fn in pkg_file.items()}
+    emitted: set[str] = set()
+    topo: list[str] = []
+    pending = list(pkg_order)
+    while pending:
+        progressed = False
+        remaining = []
+        for pkg in pending:
+            if all(file_pkg[d] in emitted for d in deps[pkg]):
+                topo.append(pkg)
+                emitted.add(pkg)
+                progressed = True
+            else:
+                remaining.append(pkg)
+        if not progressed:  # dependency cycle between packages
+            topo.extend(remaining)  # emit anyway; pool load will report
+            break
+        pending = remaining
+
     files = []
-    for pkg in pkg_order:
+    for pkg in topo:
         msgs, enums_ = by_pkg[pkg]
         files.append(
             Message(

@@ -232,6 +232,23 @@ def test_proto2_optional_scalars_read_with_presence():
     assert messages["p3.Legacy"].fields[0].optional is False
 
 
+def test_files_emitted_in_topological_order():
+    """Sequential-Add consumers (descriptor_pool.Add, protoc) require
+    each FileDescriptorProto to appear AFTER the files it depends on.
+    EXAMPLE pulls in google.protobuf WKTs, so its own file must come
+    after the google.protobuf file in the set."""
+    fs = _parse_file_set(write_descriptor_set([fixtures.EXAMPLE]))
+    seen: set[str] = set()
+    for fp in fs.file:
+        for dep in fp.dependency:
+            assert dep in seen, (
+                f"{fp.name} emitted before its dependency {dep}"
+            )
+        seen.add(fp.name)
+    # the order is actually exercised: at least one file has a dep
+    assert any(fp.dependency for fp in fs.file)
+
+
 def test_written_set_loads_into_real_descriptor_pool():
     """When the real protobuf runtime is available, the written bytes
     must load into google.protobuf.descriptor_pool — the external
@@ -245,18 +262,9 @@ def test_written_set_loads_into_real_descriptor_pool():
     data = write_descriptor_set([fixtures.EXAMPLE])
     fds = descriptor_pb2.FileDescriptorSet.FromString(data)
     pool = descriptor_pool.DescriptorPool()
-    by_name = {f.name: f for f in fds.file}
-    loaded: set[str] = set()
-
-    def add(fp):
-        if fp.name in loaded:
-            return
-        for dep in fp.dependency:
-            add(by_name[dep])
-        pool.Add(fp)
-        loaded.add(fp.name)
-
+    # Sequential Add, NO dependency resolution on our side: the writer
+    # guarantees topological emission order, and this is the check.
     for fp in fds.file:
-        add(fp)
+        pool.Add(fp)
     desc = pool.FindMessageTypeByName(fixtures.EXAMPLE.full_name)
     assert desc is not None

@@ -311,6 +311,33 @@ def test_compiled_wire_decoder_expanded_repeated_and_unknown() -> None:
     assert fast(wire) == ([4, 5], "keep")
 
 
+def test_compiled_wire_decoder_packed_length_bounds() -> None:
+    """A corrupt PACKED length that overruns the buffer must raise the
+    uniform ValueError('truncated message') — same contract as every
+    other LEN path (strings, bytes, maps, nested messages) — not leak
+    an IndexError/struct.error from the inner scalar reads."""
+    import pytest
+
+    from protarrow_spark.conversion.distributed import compile_wire_to_row
+    from protarrow_spark.proto.message import serialize
+    from protarrow_spark.proto.model import Field, Kind
+
+    mt = MessageType("t.Packed", (Field("xs", 1, Kind.INT64, repeated=True),))
+    fast = compile_wire_to_row(mt, CFG)
+    wire = bytearray(serialize(Message(mt, xs=[1, 2, 3])))
+    assert wire[0] == (1 << 3) | 2  # field 1, LEN (packed)
+    wire[1] = 120  # declared packed length >> remaining bytes
+    with pytest.raises(ValueError, match="truncated"):
+        fast(bytes(wire))
+    # fixed-width packed too (I64 elements inside the packed blob)
+    mtd = MessageType("t.PackedD", (Field("ds", 1, Kind.DOUBLE, repeated=True),))
+    fastd = compile_wire_to_row(mtd, CFG)
+    wired = bytearray(serialize(Message(mtd, ds=[1.0, 2.0])))
+    wired[1] = 120
+    with pytest.raises(ValueError, match="truncated"):
+        fastd(bytes(wired))
+
+
 def test_compiled_wire_decoder_oneof_last_wins() -> None:
     from protarrow_spark.conversion.distributed import (
         compile_row_to_wire,
