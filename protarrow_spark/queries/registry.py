@@ -103,96 +103,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # conversion surface (reference public API parity + oneof)
-    "conv_roundtrip_events",
-    "conv_cast_conform",
-    "conv_encode_fixture",
-    "conv_oneof_roundtrip",
-    # multimodal real codecs: BMP anchor + the NEW baseline-JPEG and
-    # PNG decoders on their first appearance; scene cuts gets its
-    # first driver grading (audio fingerprint / PGM / WAV / phash /
-    # frame dedup rotate out or wait, same pandas-UDF decode family)
-    "mm_image_features_bmp",
-    "mm_image_features_jpeg",
-    "mm_image_features_png",
-    "mm_scene_cuts",
-    # dedup: exact + 3-stage verified anchors; the inverted-index
-    # containment variant and the NEW hash-sampled recall audit are
-    # first-time graded (incremental/banded variants rotate out)
-    "dedup_exact",
-    "dedup_lsh_verified",
-    "dedup_ngram_containment",
-    "dedup_lsh_recall_sampled",
-    # iterative exact graph + value-exact clustering anchors
-    "graph_pagerank",
-    "cluster_kmeans_int8_exact",
-    # text analysis: BPE training anchor + four first-time-graded
-    # members (pair counts, novelty, OOV, chunking); quality/
-    # repetition/decontam/PII/BM25/encode rotate out (r4/r5-green)
-    "text_bpe_train",
-    "text_bpe_pair_counts",
-    "text_novelty_score",
-    "text_oov_rate",
-    "text_chunk_overlap",
-    # table maintenance: snapshot diff + GDPR purge first-time graded
-    # (merge/SCD2/incremental-rollup rotate out, r5-green)
-    "table_snapshot_diff",
-    "table_purge_users",
-    # data-quality rules + MAD outliers, first-time graded
-    "dq_rule_violations",
-    "dq_outlier_mad",
-    # sampling: token-budget mix + train/val/test split, first-time
-    # graded (stratified rotates out, r4/r5-green)
-    "sample_token_budget_mix",
-    "sample_train_val_test",
-    # corpus reporting: vocab Gini + key-skew report, first-time graded
-    "report_vocab_gini",
-    "report_key_skew",
-    # model scoring / LM: greedy bigram generation + bigram surprisal,
-    # first-time graded (unigram surprisal rotates out, r5-green)
-    "lm_bigram_generate",
-    "score_bigram_surprisal",
-    # similarity search + sketch anchors (int8 ANN, equi-depth hist)
-    "ann_int8_topk",
-    "sketch_histogram_quantiles",
-    # embeddings: doc mean-pool + feature-hash chunks, first-time
-    # graded (random projection rotates out, r5-green)
-    "embed_doc_meanpool",
-    "embed_feature_hash_chunks",
-    # TPC-H: q2 (decorrelated-min pushdown anchor) + three shapes
-    # never driver-graded (q9 profit, q12 shipmode counts — r6 dtype
-    # alignment, q18 large orders); q1 rotates out (green since r1,
-    # still the entry() flagship + headline bench)
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q12_priority_lines",
-    "q18_large_orders",
-    # windows: funnel stages + percent_rank, first-time graded
-    # (EWMA/gap-fill/RANGE-frame rotate out, r5-green)
-    "window_funnel_stages",
-    "window_percent_rank_price",
-    # aggregations: exact correlation + cohort retention, first-time
-    # graded (linreg rotates out, r5-green)
-    "agg_corr_exact",
-    "agg_cohort_retention",
-    # joins: as-of anchor + SCD2-as-of and bloom-prefilter first-time
-    # graded (salted-skew rotates out, r4/r5-green)
-    "join_asof_events",
-    "join_scd2_asof",
-    "join_bloom_prefilter",
-    # layout: compaction binning first-time graded (z-order rotates
-    # out, r4/r5-green)
-    "layout_compaction_bins",
-    # end-to-end corpus pipeline anchor
-    "pipeline_training_corpus",
-    # structured streaming: the r6-fixed stateful readout MUST be
-    # re-graded; HLL sketch anchor; drift monitor + stream-static
-    # enrich first-time graded (CMS top-k / interval join rotate out,
-    # r5-green)
-    "stream_stateful_user_totals",
-    "stream_hll_sketch",
-    "stream_drift_l1",
-    "stream_static_enrich",
+    # ROUND-8 ROTATION: ALL 50 slots go to queries NEVER driver-graded
+    # in r1-r7 (cumulative driver coverage 134 -> 184 of 214; the
+    # rotated-out anchors stay oracle-verified every pytest run via
+    # tests/test_oracle_parity.py). Leads with the round-7 births,
+    # then the late-r6 set the r7 brief listed. Rehearsed green at
+    # sf0.01 via tools/gate_rehearsal.py before commit.
+    # -- round-7 births (scale/robustness variants)
+    "conv_encode_error_tolerance",
+    "dedup_threshold_sweep_sampled",
+    "dedup_semdedup_bounded",
+    # -- conversion: descriptor-set interchange + permissive decode
+    "conv_descset_roundtrip",
+    "conv_decode_corrupt_tolerance",
+    # -- multimodal: color JPEG + re-encode thumbnail (r6 codecs),
+    #    PGM/WAV decoders, perceptual-hash + frame dedup
+    "mm_image_features_jpeg_color",
+    "mm_thumbnail_jpeg",
+    "mm_image_features_pgm",
+    "mm_audio_windows_wav",
+    "mm_phash_dedup",
+    "mm_frame_dedup",
+    # -- dedup: the full threshold sweep + its r7 sampled sibling
+    #    (above), SemDeDup demo + bounded (above), exact recall audit,
+    #    boundary-overlap spans
+    "dedup_threshold_sweep",
+    "dedup_semdedup",
+    "dedup_lsh_recall_report",
+    "dedup_boundary_overlap",
+    # -- graph: k-core peeling, BFS hops, common-neighbors, Jaccard
+    "graph_kcore",
+    "graph_bfs_hops",
+    "graph_common_neighbors",
+    "graph_jaccard_similarity",
+    # -- ANN / retrieval audits + pair generation
+    "ann_quantization_error_report",
+    "ann_ivf_recall_report",
+    "retrieval_hybrid_rrf",
+    "pairgen_hard_negatives",
+    "pairgen_contrastive_negatives",
+    # -- embeddings: fixed-point PCA projection
+    "embed_pca_project",
+    # -- sketches: error audit vs exact
+    "sketch_error_report",
+    # -- composite pipeline: CCNet-style quality buckets
+    "pipeline_ccnet",
+    # -- sampling / ordering
+    "sample_perplexity_filter",
+    "sample_weighted_mix",
+    "order_curriculum_interleave",
+    # -- corpus reporting
+    "report_token_fertility",
+    "report_shard_manifest",
+    # -- data quality
+    "dq_benford",
+    "dq_referential_integrity",
+    "dq_drift_splithalf",
+    # -- aggregations
+    "agg_time_to_convert",
+    "agg_hhi_concentration",
+    "agg_mode_exact",
+    "agg_skew_kurtosis_exact",
+    # -- windows (incl. the r7 CUSUM-clamp fix on its first grading)
+    "window_cusum_changepoint",
+    "window_rolling_median",
+    "window_seasonal_baseline",
+    "window_attribution_last_touch",
+    # -- sequence mining
+    "mine_sequence_bigrams",
+    # -- joins: nearest-mode as-of + fuzzy blocked
+    "join_asof_nearest",
+    "join_fuzzy_blocked",
+    # -- TPC-H: the two trickiest never-graded shapes (view/max,
+    #    exists/not-exists); remaining 12 queue for r9
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    # -- structured streaming: tumbling counts, multimodal ingest
+    "stream_window_counts",
+    "stream_multimodal_ingest",
 ]
 
 
