@@ -359,17 +359,27 @@ def conv_encode_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: unterminated varint, invalid at the very first field tag, so the
 #: corruption is unambiguous on any parser.
 CORRUPT_MOD = 7
+#: Every 11th event (when not already varint-smashed) gets a SECOND
+#: corruption class: a length-delimited field whose declared length
+#: (127) overruns the buffer — X'327F' appended to otherwise-valid
+#: bytes (tag 0x32 = field 6 wire-type LEN, unknown to EVENT_MT).
+#: This exercises the _check_bounds truncation path (strict mode:
+#: uniform ValueError('truncated message'); permissive: null row) in
+#: the skip handler, mirroring tests/test_message.py's unit pins with
+#: oracle-backed value evidence at the distributed layer.
+TRUNC_MOD = 11
+_CORRUPT_SQL = f"(event_id % {CORRUPT_MOD} = 0 OR event_id % {TRUNC_MOD} = 0)"
 
 
 @query(
     "conv_decode_corrupt_tolerance",
     oracle=f"""
-SELECT CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN NULL ELSE event_type END
+SELECT CASE WHEN {_CORRUPT_SQL} THEN NULL ELSE event_type END
          AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN {_CORRUPT_SQL} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_corrupt,
-       CAST(SUM(CASE WHEN event_id % {CORRUPT_MOD} = 0 THEN NULL
+       CAST(SUM(CASE WHEN {_CORRUPT_SQL} THEN NULL
                      ELSE CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
          AS total_value
 FROM events
@@ -378,8 +388,12 @@ GROUP BY 1
 )
 def conv_decode_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE wire decode: events are encoded to proto bytes on
-    executors, every {CORRUPT_MOD}th record's bytes are then smashed
-    (an unterminated varint), and ``decode_proto_bytes(on_error=
+    executors, then corrupted in two distinct classes — every
+    {CORRUPT_MOD}th record's bytes are smashed (an unterminated
+    varint, dies at the first tag) and every {TRUNC_MOD}th gets a
+    truncated length-delimited field appended (declared length 127,
+    zero bytes present — the ``_check_bounds`` path added in r7) —
+    and ``decode_proto_bytes(on_error=
     "null")`` must turn exactly those records into all-null rows while
     decoding every healthy byte exactly — the one-bad-Kafka-record-
     cannot-kill-the-job contract a 100 TB ingest requires, with the
@@ -413,7 +427,14 @@ def conv_decode_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         "proto",
         F.when(
             F.col("src_id") % CORRUPT_MOD == 0, F.lit(b"\xff" * 11)
-        ).otherwise(F.col("proto")),
+        )
+        .when(
+            # truncation class: valid prefix + LEN field declaring 127
+            # bytes with zero present — the _check_bounds path
+            F.col("src_id") % TRUNC_MOD == 0,
+            F.concat(F.col("proto"), F.lit(b"\x32\x7f")),
+        )
+        .otherwise(F.col("proto")),
     )
     typed = decode_proto_bytes(
         corrupted,
