@@ -142,11 +142,26 @@ AC_HUFFVAL_CHROMA = [
     0xF9, 0xFA,
 ]
 
+#: Progressive-scan AC Huffman table: every symbol an AC band scan can
+#: emit — (run<<4)|size for run 0-15 / size 1-10, EOBn (r<<4) for
+#: r 0-14, ZRL 0xF0 — as a flat 9-bit code (176 codes < 2^9, all-ones
+#: prefix reserved, T.81 C.2-valid). Annex K's baseline AC tables lack
+#: the EOBn symbols for n > 0 (baseline only ever emits EOB0), so
+#: progressive encoders ship scan-specific tables; a fixed-length one
+#: keeps this encoder simple at some size cost.
+PROG_AC_HUFFVAL = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+PROG_AC_BITS = [0] * 8 + [len(PROG_AC_HUFFVAL)] + [0] * 7
+
 JPEG_MAGIC = b"\xff\xd8"  # SOI
 
 _M_SOI, _M_EOI, _M_SOS, _M_DQT, _M_DHT, _M_SOF0, _M_DRI = (
     0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xC0, 0xDD,
 )
+_M_SOF2 = 0xC2  # progressive DCT, Huffman (T.81 Annex G)
 
 
 def _dct_matrix():
@@ -359,6 +374,360 @@ def encode_jpeg_gray(pixels, quant=None, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Progressive DCT (T.81 Annex G) — encode side (scan-type coverage for
+# the decoder's hermetic round-trip tests; spec-valid output)
+# ---------------------------------------------------------------------------
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.1 — NOT an arithmetic shift for negatives)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_dc_first(writer, dc_codes, shifted_dcs):
+    """DC first scan (Ah=0): DPCM diffs of the point-transformed DCs."""
+    prev = 0
+    for dc in shifted_dcs:
+        diff = int(dc) - prev
+        prev = int(dc)
+        s = _category(diff)
+        code, length = dc_codes[s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_ac_first(writer, ac_codes, rows, ss, se, al):
+    """AC first scan for band [ss, se] at approximation Al, with EOBn
+    run coding across blocks (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            r = chunk.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(chunk - (1 << r), r)
+            eobrun -= chunk
+
+    zrl_code, zrl_len = ac_codes[0xF0]
+    for row in rows:
+        band = [_pt_ac(int(row[k]), al) for k in range(ss, se + 1)]
+        last_nz = -1
+        for i in range(len(band) - 1, -1, -1):
+            if band[i]:
+                last_nz = i
+                break
+        if last_nz < 0:
+            eobrun += 1
+            continue
+        flush_eobrun()
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.write(zrl_code, zrl_len)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < len(band) - 1:
+            eobrun += 1
+    flush_eobrun()
+
+
+def _enc_ac_refine(writer, ac_codes, rows, ss, se, al):
+    """AC refinement scan (T.81 G.1.2.3 encode side, the cjpeg
+    structure): newly-significant coefficients emit (run<<4)|1 + a
+    sign bit; already-significant ones owe a correction bit, buffered
+    and flushed after the next emitted symbol; all-insignificant
+    tails fold into an EOBn run whose buffered correction bits flush
+    with it."""
+    # Two correction-bit buffers (the jcphuff.c structure): ``be`` =
+    # bits owed to the PENDING EOB RUN (completed blocks' tails,
+    # emitted right after the EOBn symbol), ``br`` = the CURRENT
+    # block's in-flight bits (emitted right after the next ZRL /
+    # newly-significant symbol). Conflating them interleaves another
+    # block's bits into this block's symbol stream — decoder desync.
+    eobrun = 0
+    be: list[int] = []
+    br: list[int] = []
+
+    def emit_bits(buf):
+        for b in buf:
+            writer.write(b, 1)
+        buf.clear()
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            r = chunk.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(chunk - (1 << r), r)
+            eobrun -= chunk
+        emit_bits(be)
+
+    zrl_code, zrl_len = ac_codes[0xF0]
+    for row in rows:
+        vals = [int(row[k]) for k in range(ss, se + 1)]
+        absvals = [(v if v >= 0 else -v) >> al for v in vals]
+        eob = -1  # last newly-significant position in the band
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob = i
+        r = 0
+        for i, t in enumerate(absvals):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eobrun()
+                writer.write(zrl_code, zrl_len)
+                r -= 16
+                emit_bits(br)
+            if t > 1:  # significant before this scan: correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            flush_eobrun()
+            code, length = ac_codes[(r << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if vals[i] >= 0 else 0, 1)
+            emit_bits(br)
+            r = 0
+        if r > 0 or br:  # trailing zeros/bits fold into an EOB run
+            eobrun += 1
+            be.extend(br)
+            br.clear()
+            if eobrun == 32767:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _enc_dc_refine(writer, shifted_dcs, al_bit):
+    for dc in shifted_dcs:
+        writer.write((int(dc) >> al_bit) & 1, 1)
+
+
+def encode_jpeg_progressive_gray(pixels, quant=None) -> bytes:
+    """Grayscale (h, w) uint8 raster -> a GENUINE progressive JPEG
+    (SOF2) exercising all four scan types: DC first (Al=1), AC first
+    for two spectral bands (Al=1), AC refinement for both bands
+    (Ah=1, Al=0), DC refinement (Ah=1, Al=0). Fully refined, so the
+    decoded image is bit-identical to the baseline encoding at the
+    same quantization table."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    q = np.asarray(quant if quant is not None else QUANT_ANNEX_K, dtype=np.int32)
+    bh, bw = -(-h // 8), -(-w // 8)
+    rows = _plane_zigzag_coefs(px, q, bh, bw)
+    dcs = rows[:, 0]
+
+    dc_codes = _build_codes(DC_BITS, DC_HUFFVAL)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_HUFFVAL)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits, huffval) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(huffval)
+
+    def sos(comp_tbl, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_tbl)])
+        for cid, td, ta in comp_tbl:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(_M_SOS, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(_M_DQT, bytes([0x00]) + bytes(int(q[ZIGZAG[i]]) for i in range(64)))
+    out += seg(_M_SOF2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(_M_DHT, dht(0x00, DC_BITS, DC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x10, PROG_AC_BITS, PROG_AC_HUFFVAL))
+
+    def scan(enc, ss, se, ah, al):
+        nonlocal out
+        out += sos([(1, 0, 0)], ss, se, ah, al)
+        wtr = _BitWriter()
+        enc(wtr)
+        out += wtr.flush()
+
+    shifted = dcs >> 1  # numpy arithmetic shift (DC point transform)
+    scan(lambda wr: _enc_dc_first(wr, dc_codes, shifted), 0, 0, 0, 1)
+    scan(lambda wr: _enc_ac_first(wr, ac_codes, rows, 1, 5, 1), 1, 5, 0, 1)
+    scan(lambda wr: _enc_ac_first(wr, ac_codes, rows, 6, 63, 1), 6, 63, 0, 1)
+    scan(lambda wr: _enc_ac_refine(wr, ac_codes, rows, 1, 5, 0), 1, 5, 1, 0)
+    scan(lambda wr: _enc_ac_refine(wr, ac_codes, rows, 6, 63, 0), 6, 63, 1, 0)
+    scan(lambda wr: _enc_dc_refine(wr, dcs, 0), 0, 0, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_color(
+    y, cb, cr, quant_luma=None, quant_chroma=None, subsample=False
+) -> bytes:
+    """YCbCr planes -> a progressive (SOF2) color JPEG: interleaved
+    DC first scan over all three components, per-component AC first +
+    AC refinement scans (progressive AC scans are single-component by
+    G.1.1.1.1), interleaved DC refinement. ``subsample=True`` encodes
+    4:2:0 (luma 2x2, chroma 1x1 on a half-resolution grid)."""
+    import numpy as np
+
+    ql = np.asarray(
+        quant_luma if quant_luma is not None else QUANT_ANNEX_K, dtype=np.int32
+    )
+    qc = np.asarray(
+        quant_chroma if quant_chroma is not None else QUANT_ANNEX_K_CHROMA,
+        dtype=np.int32,
+    )
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    if subsample:
+        hy, vy = 2, 2
+
+        def shrink(p):
+            p = np.asarray(p, dtype=np.float64)
+            # average 2x2 cells over an edge-padded even grid
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+            pad = np.empty((eh, ew), dtype=np.float64)
+            pad[:h, :w] = p
+            pad[h:, :w] = p[h - 1 : h, :]
+            pad[:, w:] = pad[:, w - 1 : w]
+            return (
+                pad.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            ).round().astype(np.uint8)
+
+        cb_p, cr_p = shrink(cb), shrink(cr)
+    else:
+        hy, vy = 1, 1
+        cb_p = np.asarray(cb, dtype=np.uint8)
+        cr_p = np.asarray(cr, dtype=np.uint8)
+
+    hmax, vmax = hy, vy
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        {"px": y, "hv": (hy, vy), "q": ql, "tq": 0, "cid": 1},
+        {"px": cb_p, "hv": (1, 1), "q": qc, "tq": 1, "cid": 2},
+        {"px": cr_p, "hv": (1, 1), "q": qc, "tq": 1, "cid": 3},
+    ]
+    for p in planes:
+        hi, vi = p["hv"]
+        p["bw"], p["bh"] = mcux * hi, mcuy * vi
+        p["rows"] = _plane_zigzag_coefs(p["px"], p["q"], p["bh"], p["bw"])
+
+    dc_codes = _build_codes(DC_BITS, DC_HUFFVAL)
+    dc_codes_c = _build_codes(DC_BITS_CHROMA, DC_HUFFVAL_CHROMA)
+    # one shared progressive AC table (has the EOBn symbols Annex K
+    # lacks); luma and chroma scans both reference table id 0
+    ac_codes = ac_codes_c = _build_codes(PROG_AC_BITS, PROG_AC_HUFFVAL)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits, huffval) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(huffval)
+
+    def sos(comp_tbl, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_tbl)])
+        for cid, td, ta in comp_tbl:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(_M_SOS, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(_M_DQT, bytes([0x00]) + bytes(int(ql[ZIGZAG[i]]) for i in range(64)))
+    out += seg(_M_DQT, bytes([0x01]) + bytes(int(qc[ZIGZAG[i]]) for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for p in planes:
+        hi, vi = p["hv"]
+        sof += bytes([p["cid"], (hi << 4) | vi, p["tq"]])
+    out += seg(_M_SOF2, sof)
+    out += seg(_M_DHT, dht(0x00, DC_BITS, DC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x10, PROG_AC_BITS, PROG_AC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x01, DC_BITS_CHROMA, DC_HUFFVAL_CHROMA))
+
+    # interleaved DC first (Al=1): per-component DPCM in MCU order
+    wtr = _BitWriter()
+    prev = [0, 0, 0]
+    al = 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, p in enumerate(planes):
+                hi, vi = p["hv"]
+                codes = dc_codes if ci == 0 else dc_codes_c
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * p["bw"] + mx * hi + hh
+                        dc = int(p["rows"][bi][0]) >> al
+                        diff = dc - prev[ci]
+                        prev[ci] = dc
+                        s = _category(diff)
+                        code, length = codes[s]
+                        wtr.write(code, length)
+                        if s:
+                            wtr.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    out += wtr.flush()
+
+    def comp_rows(p):
+        """Blocks the single-component scans cover, row-major over the
+        COMPONENT's own grid (matches the decoder's _block_units)."""
+        hi, vi = p["hv"]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield p["rows"][by * p["bw"] + bx]
+
+    for ci, p in enumerate(planes):
+        codes = ac_codes if ci == 0 else ac_codes_c
+        ta = 0  # shared progressive AC table
+        out += sos([(p["cid"], 0, ta)], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        _enc_ac_first(wtr, codes, list(comp_rows(p)), 1, 63, 1)
+        out += wtr.flush()
+    for ci, p in enumerate(planes):
+        codes = ac_codes if ci == 0 else ac_codes_c
+        ta = 0  # shared progressive AC table
+        out += sos([(p["cid"], 0, ta)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        _enc_ac_refine(wtr, codes, list(comp_rows(p)), 1, 63, 0)
+        out += wtr.flush()
+    # interleaved DC refinement (Ah=1, Al=0): raw bit 0 per block
+    wtr = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for p in planes:
+                hi, vi = p["hv"]
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * p["bw"] + mx * hi + hh
+                        wtr.write(int(p["rows"][bi][0]) & 1, 1)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _plane_zigzag_coefs(plane, quant, bh, bw):
     """Pad a uint8 plane to (bh*8, bw*8) by edge replication, DCT +
     quantize every block, and return the (bh*bw, 64) zigzag-ordered
@@ -552,18 +921,20 @@ def rgb_to_ycbcr(r, g, b):
 
 
 def decode_jpeg(data: bytes):
-    """Parse a REAL baseline JPEG into ``(width, height, planes)``
-    where ``planes`` is a list of row-major uint8 (h, w) arrays — one
-    for grayscale, three (Y, Cb, Cr, chroma upsampled to full size by
-    sample replication) for color. Handles interleaved baseline scans
-    with sampling factors 1-2 in each direction (4:4:4, 4:2:2, 4:2:0).
-    Returns ``None`` when the blob does not start with SOI (not a JPEG
-    — the operator's null path); raises ``NotImplementedError`` at the
-    codec's honest boundaries (progressive/extended frames, >2x
-    sampling factors, non-interleaved scans, 16-bit quant tables) and
-    ``ValueError`` on corrupt streams. Restart intervals (DRI/RSTn —
-    standard camera output) are fully supported: the entropy stream
-    resyncs and DC predictors reset at every RSTn."""
+    """Parse a REAL JPEG into ``(width, height, planes)`` where
+    ``planes`` is a list of row-major uint8 (h, w) arrays — one for
+    grayscale, three (Y, Cb, Cr, chroma upsampled to full size by
+    sample replication) for color. Handles baseline sequential (SOF0)
+    interleaved scans AND progressive (SOF2, T.81 Annex G: DC/AC
+    first + refinement scans, EOBn runs), with sampling factors 1-2
+    in each direction (4:4:4, 4:2:2, 4:2:0). Returns ``None`` when
+    the blob does not start with SOI (not a JPEG — the operator's
+    null path); raises ``NotImplementedError`` at the codec's honest
+    boundaries (lossless/hierarchical frames, 12-bit precision, >2x
+    sampling factors, baseline non-interleaved scans, 16-bit quant
+    tables) and ``ValueError`` on corrupt streams. Restart intervals
+    (DRI/RSTn — standard camera output) are fully supported: the
+    entropy stream resyncs and DC predictors reset at every RSTn."""
     import numpy as np
 
     if len(data) < 4 or data[:2] != JPEG_MAGIC:
@@ -572,8 +943,11 @@ def decode_jpeg(data: bytes):
     quant_tables: dict[int, list[int]] = {}
     huff_tables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    prog_state = None  # per frame component, persists across scans
+    saw_eoi = False
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
         marker = data[pos + 1]
@@ -584,7 +958,12 @@ def decode_jpeg(data: bytes):
             pos += 2
             continue
         if marker == _M_EOI:
+            if prog_state is not None:
+                saw_eoi = True
+                break  # all progressive scans landed; reconstruct below
             raise ValueError("EOI before SOS")
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated segment 0xFF{marker:02X}")
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         payload = data[pos + 4 : pos + 2 + seg_len]
         if seg_len < 2 or len(payload) != seg_len - 2:
@@ -618,13 +997,15 @@ def decode_jpeg(data: bytes):
                     (c, ln): sym for sym, (c, ln) in codes.items()
                 }
                 p += 17 + n
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0x{marker:02X}); "
-                "only baseline sequential (SOF0) is supported"
+                "baseline sequential (SOF0) and progressive (SOF2) "
+                "are supported"
             )
-        elif marker == _M_SOF0:
+        elif marker in (_M_SOF0, _M_SOF2):
+            progressive = marker == _M_SOF2
             if len(payload) < 6:
                 raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
@@ -656,44 +1037,117 @@ def decode_jpeg(data: bytes):
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == _M_SOS:
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             if len(payload) < 1:
                 raise ValueError("truncated SOS segment")
             ns = payload[0]
             w, h, comps = frame
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved scan (scan components != frame components)"
-                )
             if len(payload) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS segment")
-            scan_comps = []
             by_cid = {c["cid"]: c for c in comps}
-            for s in range(ns):
-                cs = payload[1 + 2 * s]
-                td, ta = payload[2 + 2 * s] >> 4, payload[2 + 2 * s] & 0x0F
-                c = by_cid.get(cs)
-                if c is None:
-                    raise ValueError(f"SOS component {cs} not in SOF0")
-                if c["tq"] not in quant_tables:
-                    raise ValueError(
-                        f"SOF references undefined DQT table {c['tq']}"
+
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved scan (scan components != frame components)"
                     )
-                if (0, td) not in huff_tables or (1, ta) not in huff_tables:
-                    raise ValueError(
-                        f"SOS references undefined DHT table (dc={td}, ac={ta})"
+                scan_comps = []
+                for s in range(ns):
+                    cs = payload[1 + 2 * s]
+                    td, ta = payload[2 + 2 * s] >> 4, payload[2 + 2 * s] & 0x0F
+                    c = by_cid.get(cs)
+                    if c is None:
+                        raise ValueError(f"SOS component {cs} not in SOF0")
+                    if c["tq"] not in quant_tables:
+                        raise ValueError(
+                            f"SOF references undefined DQT table {c['tq']}"
+                        )
+                    if (0, td) not in huff_tables or (1, ta) not in huff_tables:
+                        raise ValueError(
+                            f"SOS references undefined DHT table (dc={td}, ta={ta})"
+                        )
+                    scan_comps.append(
+                        {
+                            "h": c["h"],
+                            "v": c["v"],
+                            "quant": quant_tables[c["tq"]],
+                            "dc": huff_tables[(0, td)],
+                            "ac": huff_tables[(1, ta)],
+                        }
                     )
-                scan_comps.append(
-                    {
+                return _decode_scan(
+                    data, pos, w, h, scan_comps, restart_interval
+                )
+
+            # progressive: decode this scan into persistent coefficient
+            # state and continue the marker loop (DHT/DRI may redefine
+            # between scans) until EOI.
+            import numpy as np
+
+            if prog_state is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                prog_state = {}
+                for c in comps:
+                    if c["tq"] not in quant_tables:
+                        raise ValueError(
+                            f"SOF references undefined DQT table {c['tq']}"
+                        )
+                    bwc, bhc = mcux * c["h"], mcuy * c["v"]
+                    prog_state[c["cid"]] = {
+                        "coefs": np.zeros((bhc * bwc, 64), dtype=np.int64),
+                        "bw": bwc,
+                        "bh": bhc,
                         "h": c["h"],
                         "v": c["v"],
                         "quant": quant_tables[c["tq"]],
-                        "dc": huff_tables[(0, td)],
-                        "ac": huff_tables[(1, ta)],
+                        "prev_dc": 0,
+                        "dc_lut": None,
+                        "ac_lut": None,
                     }
-                )
-            return _decode_scan(data, pos, w, h, scan_comps, restart_interval)
+            ss_, se_ = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            approx = payload[3 + 2 * ns]
+            ah_, al_ = approx >> 4, approx & 0x0F
+            scan_states = []
+            for s in range(ns):
+                cs = payload[1 + 2 * s]
+                td, ta = payload[2 + 2 * s] >> 4, payload[2 + 2 * s] & 0x0F
+                st = prog_state.get(cs)
+                if st is None:
+                    raise ValueError(f"SOS component {cs} not in SOF")
+                if ss_ == 0 and ah_ == 0:  # DC first needs a DC table
+                    if (0, td) not in huff_tables:
+                        raise ValueError(
+                            f"SOS references undefined DC DHT table {td}"
+                        )
+                    st["dc_lut"] = _build_lut(huff_tables[(0, td)])
+                elif ss_ > 0:  # AC scans need an AC table
+                    if (1, ta) not in huff_tables:
+                        raise ValueError(
+                            f"SOS references undefined AC DHT table {ta}"
+                        )
+                    st["ac_lut"] = _build_lut(huff_tables[(1, ta)])
+                scan_states.append(st)
+            pos = _decode_scan_progressive(
+                data, pos, frame, scan_states, ss_, se_, ah_, al_,
+                restart_interval,
+            )
+            continue
         # else: APPn/COM/etc — skipped via seg_len
+    if prog_state is not None:
+        # Strict pipeline semantics: a progressive stream without its
+        # EOI is a truncated download, not a partially-refined preview
+        # — raise rather than silently return a lower-fidelity image.
+        if not saw_eoi:
+            raise ValueError("truncated progressive stream (no EOI)")
+        w, h, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        states = [prog_state[c["cid"]] for c in comps]
+        quants = [st["quant"] for st in states]
+        return w, h, _reconstruct(states, quants, w, h, hmax, vmax)
     raise ValueError("no SOS marker found")
 
 
@@ -844,10 +1298,21 @@ def _decode_scan(data, pos, w, h, comps, restart_interval: int = 0):
                             i += 1
     if bitpos > nbits_total:
         raise ValueError("entropy stream truncated")
+    quants = [c["quant"] for c in comps]
+    return w, h, _reconstruct(state, quants, w, h, hmax, vmax)
+
+
+def _reconstruct(state, quants, w, h, hmax, vmax):
+    """Dequantize + IDCT every component's zigzag coefficient blocks
+    and crop/upsample to (h, w) planes — shared by the baseline and
+    progressive paths (same math once all scans have landed)."""
+    import numpy as np
+
     a = _dct_matrix()
+    zz = np.asarray(ZIGZAG)
     planes = []
-    for c, st in zip(comps, state):
-        q = np.asarray(c["quant"], dtype=np.float64)
+    for q64, st in zip(quants, state):
+        q = np.asarray(q64, dtype=np.float64)
         dez = np.zeros((st["bh"] * st["bw"], 64), dtype=np.float64)
         dez[:, zz] = st["coefs"]  # de-zigzag, all blocks at once
         blocks = (dez * q).reshape(st["bh"], st["bw"], 8, 8)
@@ -857,13 +1322,253 @@ def _decode_scan(data, pos, w, h, comps, restart_interval: int = 0):
         )
         plane = np.clip(np.rint(raster) + 128, 0, 255).astype(np.uint8)
         # Upsample subsampled chroma by replication, then crop.
-        fy, fx = vmax // c["v"], hmax // c["h"]
+        fy, fx = vmax // st["v"], hmax // st["h"]
         if fy > 1:
             plane = np.repeat(plane, fy, axis=0)
         if fx > 1:
             plane = np.repeat(plane, fx, axis=1)
         planes.append(plane[:h, :w])
-    return w, h, planes
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (T.81 Annex G) — decode side
+# ---------------------------------------------------------------------------
+
+
+def _entropy_segments(data, pos, ri):
+    """Split a scan's entropy data at RSTn markers, unstuffing each
+    segment; returns ``(segments, end_pos)`` with ``end_pos`` the
+    offset of the first non-RST marker after the scan (where the
+    caller's marker loop resumes)."""
+    if ri <= 0:
+        m = _MARKER_RE.search(data, pos)
+        end = m.start() if m else len(data)
+        return [data[pos:end].replace(b"\xff\x00", b"\xff")], end
+    segments = []
+    start = p = pos
+    while True:
+        m = _MARKER_RE.search(data, p)
+        if m is None:
+            segments.append(data[start:].replace(b"\xff\x00", b"\xff"))
+            return segments, len(data)
+        segments.append(data[start : m.start()].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= data[m.start() + 1] <= 0xD7:
+            start = p = m.start() + 2
+        else:
+            return segments, m.start()
+
+
+class _ScanBits:
+    """MSB-first bit reader over RST-segmented unstuffed entropy data,
+    using the same 16-bit-window LUT peek as the baseline fast path.
+    ``restart()`` jumps to the next RST segment (byte-aligned by
+    construction) and ``finish()`` validates no segment over-read."""
+
+    __slots__ = ("segments", "idx", "buf", "nbits", "pos")
+
+    def __init__(self, segments):
+        self.segments = segments
+        self._load(0)
+
+    def _load(self, i):
+        if i >= len(self.segments):
+            raise ValueError("missing RSTn marker in scan")
+        self.idx = i
+        ent = self.segments[i]
+        self.buf = ent + b"\x00\x00\x00\x00"
+        self.nbits = len(ent) * 8
+        self.pos = 0
+
+    def restart(self):
+        self.finish()
+        self._load(self.idx + 1)
+
+    def finish(self):
+        if self.pos > self.nbits:
+            raise ValueError("entropy stream truncated")
+
+    def decode(self, lut):
+        byteidx = self.pos >> 3
+        chunk = int.from_bytes(self.buf[byteidx : byteidx + 4], "big")
+        ent = lut[(chunk >> (16 - (self.pos & 7))) & 0xFFFF]
+        if ent == 0:
+            raise ValueError("invalid Huffman code in scan")
+        self.pos += ent & 31
+        return ent >> 5
+
+    def bits(self, n):
+        if n == 0:
+            return 0
+        byteidx = self.pos >> 3
+        chunk = int.from_bytes(self.buf[byteidx : byteidx + 4], "big")
+        v = (chunk >> (32 - n - (self.pos & 7))) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def bit(self):
+        return self.bits(1)
+
+
+def _block_units(scan_states, mcux, mcuy, w, h, hmax, vmax):
+    """Yield the scan's block sequence, grouped per restart-countable
+    unit (T.81 G: one MCU for interleaved scans, one block for
+    single-component scans). Each unit is a list of (state, block_idx).
+
+    Single-component scans iterate the COMPONENT's own block grid
+    (ceil of its scaled dimensions), row-major — narrower than the
+    padded interleaved grid when the image is not an exact multiple
+    of the MCU size."""
+    if len(scan_states) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for st in scan_states:
+                    for v in range(st["v"]):
+                        for hh in range(st["h"]):
+                            unit.append(
+                                (st, (my * st["v"] + v) * st["bw"] + mx * st["h"] + hh)
+                            )
+                yield unit
+    else:
+        st = scan_states[0]
+        cw = -(-(w * st["h"]) // hmax)
+        ch = -(-(h * st["v"]) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(st, by * st["bw"] + bx)]
+
+
+def _decode_scan_progressive(
+    data, pos, frame, scan_states, ss, se, ah, al, ri
+):
+    """Entropy-decode ONE progressive scan into the frame's persistent
+    coefficient state (T.81 G.2): DC first / DC refinement (interleaved
+    or single-component) and AC first / AC refinement (single-component
+    only, per G.1.1.1.1). Returns the stream position after the scan's
+    entropy data."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    segments, end = _entropy_segments(data, pos, ri)
+    rd = _ScanBits(segments)
+    units = _block_units(scan_states, mcux, mcuy, w, h, hmax, vmax)
+
+    if ss == 0:  # DC scan (Se must be 0 per G.1.1.1.1)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        for st in scan_states:
+            st["prev_dc"] = 0
+        if ah == 0:  # first pass: Huffman diffs, shifted left Al
+            for i, unit in enumerate(units):
+                if ri and i and i % ri == 0:
+                    rd.restart()
+                    for st in scan_states:
+                        st["prev_dc"] = 0
+                for st, bi in unit:
+                    s = rd.decode(st["dc_lut"])
+                    st["prev_dc"] += _extend(rd.bits(s), s) if s else 0
+                    st["coefs"][bi][0] = st["prev_dc"] << al
+        else:  # refinement: one raw bit per block, OR into bit Al
+            p1 = 1 << al
+            for i, unit in enumerate(units):
+                if ri and i and i % ri == 0:
+                    rd.restart()
+                for st, bi in unit:
+                    if rd.bit():
+                        st["coefs"][bi][0] |= p1
+        rd.finish()
+        return end
+
+    # AC scan: single component only
+    if len(scan_states) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    st = scan_states[0]
+    ac_lut = st["ac_lut"]
+    coefs = st["coefs"]
+    eobrun = 0
+    if ah == 0:  # AC first pass for this band
+        for i, unit in enumerate(units):
+            if ri and i and i % ri == 0:
+                rd.restart()
+                eobrun = 0
+            if eobrun:
+                eobrun -= 1
+                continue
+            block = coefs[unit[0][1]]
+            k = ss
+            while k <= se:
+                rs = rd.decode(ac_lut)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:  # EOBn: run of (1<<r) + extra blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                block[k] = _extend(rd.bits(s), s) << al
+                k += 1
+    else:  # AC refinement (G.1.2.3)
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(block, k):
+            if rd.bit() and not (block[k] & p1):
+                block[k] += p1 if block[k] >= 0 else m1
+
+        for i, unit in enumerate(units):
+            if ri and i and i % ri == 0:
+                rd.restart()
+                eobrun = 0
+            block = coefs[unit[0][1]]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.decode(ac_lut)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.bits(r)
+                            break  # rest of block handled as EOB below
+                        # r == 15, s == 0: skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid refinement magnitude in AC scan"
+                            )
+                        newval = p1 if rd.bit() else m1
+                    # advance past r zero-history coefficients, emitting
+                    # correction bits for nonzero-history ones passed
+                    while k <= se:
+                        if block[k] != 0:
+                            correct(block, k)
+                        else:
+                            if r == 0:
+                                if newval:
+                                    block[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                # inside an EOB run: correction bits only, for every
+                # nonzero-history coefficient left in the band
+                while k <= se:
+                    if block[k] != 0:
+                        correct(block, k)
+                    k += 1
+                eobrun -= 1
+    rd.finish()
+    return end
 
 
 def decode_jpeg_gray(data: bytes):

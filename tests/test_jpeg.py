@@ -157,12 +157,14 @@ def test_truncated_raises_value_error():
         decode_jpeg_gray(blob[:150])
 
 
-def test_progressive_and_sampling_boundaries():
+def test_nonbaseline_and_sampling_boundaries():
     blob = bytearray(encode_jpeg_gray(GOLDEN_PIXELS, quant=QUANT_UNITY))
     sof = blob.find(b"\xff\xc0")
-    prog = bytes(blob[:sof]) + b"\xff\xc2" + bytes(blob[sof + 2 :])
+    # progressive (SOF2) is SUPPORTED since r8 — tests/test_jpeg_progressive.py;
+    # lossless (SOF3) stays an honest boundary
+    lossless = bytes(blob[:sof]) + b"\xff\xc3" + bytes(blob[sof + 2 :])
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg_gray(prog)
+        decode_jpeg_gray(lossless)
     # Claiming 3 components without supplying their SOF entries is now
     # a CORRUPT stream (color itself is supported).
     color = bytearray(blob)

@@ -2,8 +2,8 @@
 plain-vs-salted wall ratio on a Zipf-hot-key fact table at sf1 scale
 and prove result invariance + straggler elimination.
 
-Dataset: benchmarks/data/sf1 lineitem (~6M rows) with 20% of rows
-REMAPPED onto ONE hot order key (deterministic: l_orderkey % 5 == 0
+Dataset: benchmarks/data/sf1 lineitem (~6M rows) with HALF the rows
+REMAPPED onto ONE hot order key (deterministic: l_orderkey % 2 == 0
 -> HOT_KEY), joined to sf1 orders. That is the shape AQE's skew split
 handles only when it may split (sort-merge, post-shuffle); salting is
 the result-invariant insurance when it can't (single key above any
@@ -13,7 +13,7 @@ the same hot key downstream).
 Measured variants (each best-of-2, noop sink):
   plain_aqe_skew   — plain equi-join, AQE skew-join ON (the default)
   plain_no_skew    — plain equi-join, AQE skew-join OFF (the
-                     1000-executor straggler case: one task owns 20%
+                     1000-executor straggler case: one task owns half
                      of the shuffle)
   salted           — operators.temporal.salted_join, AQE skew-join OFF
 
@@ -57,10 +57,13 @@ def main() -> None:
         li = spark.read.parquet(f"{sf1}/lineitem.parquet").select(
             "l_orderkey", "l_extendedprice"
         )
-        # one hot key owns ~20% of the fact side
+        # one hot key owns ~half the fact side — at 100 TB that is a
+        # multi-TB single shuffle partition; at sf1 it is 3M rows in
+        # one task, enough for the straggler to dominate the join
+        # stage wall on local[32]
         return li.withColumn(
             "o_orderkey",
-            F.when(F.col("l_orderkey") % 5 == 0, F.lit(HOT_KEY)).otherwise(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(HOT_KEY)).otherwise(
                 F.col("l_orderkey")
             ),
         ).drop("l_orderkey")
