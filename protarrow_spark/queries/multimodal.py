@@ -526,6 +526,90 @@ def mm_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg_progressive_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixture geometry as ``_jpeg_blobs`` but encoded PROGRESSIVE
+    (SOF2): full successive-approximation scan script — DC first/refine,
+    AC first/refine over two spectral bands. Unity quant + block-
+    constant rasters keep the decode EXACT, so the identical oracle
+    pins every pixel through the progressive path."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import jpeg
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    bh = max(1, -(-len(data) // _JPG_BW))
+                    grid = np.zeros(bh * _JPG_BW, dtype=np.uint8)
+                    grid[: len(data)] = np.frombuffer(data, np.uint8)
+                    px = np.kron(
+                        grid.reshape(bh, _JPG_BW),
+                        np.ones((8, 8), dtype=np.uint8),
+                    )
+                    blobs.append(
+                        jpeg.encode_jpeg_progressive_gray(
+                            px, quant=jpeg.QUANT_UNITY
+                        )
+                    )
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_jpeg_progressive",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_JPG_BW * 8} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(8 * GREATEST(1, CAST(ceil(nb / {_JPG_BW}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_JPG_BW * 64} * GREATEST(1, CAST(ceil(nb / {_JPG_BW}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(64 * coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over GENUINE PROGRESSIVE JPEG bytes (SOF2,
+    T.81 Annex G — the most common non-baseline variant in real
+    corpora). The distributed path decodes multi-scan successive-
+    approximation streams: DC first + refinement, AC first + refinement
+    per spectral band, EOBn run coding. Unity quant + block-constant
+    rasters make the format exact here, so the oracle pins every
+    decoded pixel from the source text — any defect in scan sequencing,
+    the correction-bit protocol, or coefficient accumulation
+    hash-fails. Odd ids exercise the null path.
+
+    Scale: identical Arrow-batched ``mapInPandas`` topology to the
+    baseline-JPEG query — partition-local, no shuffle."""
+    return multimodal.decode_image_features(
+        _jpeg_progressive_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 def _wav_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, blob): ids ≡ 1 (mod 4) become GENUINE
     RIFF/WAVE mono PCM16 files (sample_i = (byte_i - 128) * 256);
