@@ -175,6 +175,8 @@ HEADLINE = [
     "dedup_threshold_sweep_sampled",
     "dedup_semdedup_bounded",
     "conv_encode_error_tolerance",
+    # progressive JPEG (r8): multi-scan SOF2 through the distributed path
+    "mm_image_features_jpeg_progressive",
 ]
 
 

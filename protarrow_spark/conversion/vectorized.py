@@ -1,0 +1,466 @@
+"""Vectorized (numpy) wire ENCODE for flat messages.
+
+``compile_row_to_wire`` walks Python objects per row (~40k rows/s on
+a 5-field message — enum dispatch, per-field closures, a Message
+allocation per Timestamp). At 100 TB the executor-side codec IS the
+conversion surface, so this module compiles a BATCH encoder that does
+the same work columnar: two's-complement/zigzag mapping, varint byte
+classes, default-skip masks, and Timestamp submessage bodies are all
+numpy array ops; the only per-row Python left is one buffer slice per
+row and a memcpy per string/bytes cell. ~10-20x the row path on
+numeric-heavy messages.
+
+Byte-compatibility contract: for every supported message shape the
+output is BIT-IDENTICAL to ``compile_row_to_wire`` (differential-
+tested in tests/test_vectorized_encode.py over the random matrix).
+
+Scope (v1): non-repeated, non-map fields of kinds INT32/64, UINT32/64,
+SINT32/64, FIXED/SFIXED 32/64, BOOL, ENUM, DOUBLE, FLOAT, STRING,
+BYTES, plus google.protobuf.Timestamp message fields. Anything else →
+``compile_batch_to_wire`` returns None and callers keep the row path.
+Runtime surprises (unexpected dtypes) raise :class:`Unvectorizable`
+and the caller falls back per batch — the row path stays the
+semantics oracle.
+
+Reference parity: the reference's encode direction is
+``proto_to_arrow.py`` (pyarrow-native columnar appends); this is the
+same columnar idea pointed the other way (Spark/pandas columns ->
+wire bytes) for the distributed codec.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+from protarrow_spark.proto.message import _VARINT_RANGE
+
+
+class Unvectorizable(Exception):
+    """Batch shape the vectorized path cannot handle; use the row path."""
+
+
+_VARINT_SIGNED = {Kind.INT32, Kind.INT64, Kind.ENUM}
+_VARINT_UNSIGNED = {Kind.UINT32, Kind.UINT64}
+_ZIGZAG = {Kind.SINT32, Kind.SINT64}
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+#: Thresholds 2^7, 2^14 ... 2^63 — a uint64 v needs 1 + #(v >= t) varint bytes.
+_VARINT_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]
+
+
+def _tag_bytes(number: int, wt: int) -> bytes:
+    out = bytearray()
+    v = (number << 3) | wt
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint_nbytes(u):
+    """Per-row varint byte count for a uint64 array."""
+    import numpy as np
+
+    nb = np.ones(len(u), dtype=np.int64)
+    for t in _VARINT_THRESHOLDS:
+        nb += (u >= np.uint64(t)).astype(np.int64)
+    return nb
+
+
+def _fill_varint(buf, pos, u, nb, active):
+    """Write varints for ``active`` rows: value u[i] (uint64), nb[i]
+    bytes, starting at buf[pos[i]]."""
+    import numpy as np
+
+    maxnb = int(nb[active].max()) if active.any() else 0
+    for j in range(maxnb):
+        m = active & (nb > j)
+        if not m.any():
+            break
+        byte = ((u[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] - 1) > j
+        byte = byte | (cont.astype(np.uint8) << 7)
+        buf[pos[m] + j] = byte
+
+
+def _fill_fixed(buf, pos, u, nbytes, active):
+    """Little-endian fixed-width dump of uint64/uint32 array u."""
+    import numpy as np
+
+    for j in range(nbytes):
+        byte = ((u[active] >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+        buf[pos[active] + j] = byte
+
+
+def _range_check(kind: Kind, v, valid, bad=None):
+    """Strict mode (``bad`` is None): raise on the first out-of-range
+    value, like the row path's wire writer. Permissive mode: OR the
+    violating rows into ``bad`` instead — the caller nulls exactly
+    those rows (the vectorized twin of the per-row try/except)."""
+    import numpy as np
+
+    lo, hi = _VARINT_RANGE[kind]
+    if kind in (Kind.INT64, Kind.SINT64):
+        return  # int64 array cannot leave int64 range
+    if kind is Kind.UINT64:
+        return  # two's-complement view covers the full range
+    viol = valid & ((v < lo) | (v > hi))
+    if not viol.any():
+        return
+    if bad is None:
+        first = v[viol][0]
+        raise ValueError(
+            f"{kind.name} value {int(first)} out of range [{lo}, {hi}]"
+        )
+    bad |= viol
+
+
+def _is_timestamp_field(field: Field) -> bool:
+    return (
+        field.kind is Kind.MESSAGE
+        and not field.repeated
+        and not field.is_map
+        and field.message is not None
+        and field.message.full_name == TIMESTAMP.full_name
+    )
+
+
+_SUPPORTED_SCALARS = (
+    _VARINT_SIGNED
+    | _VARINT_UNSIGNED
+    | _ZIGZAG
+    | {
+        Kind.BOOL,
+        Kind.DOUBLE,
+        Kind.FLOAT,
+        Kind.FIXED64,
+        Kind.SFIXED64,
+        Kind.FIXED32,
+        Kind.SFIXED32,
+        Kind.STRING,
+        Kind.BYTES,
+    }
+)
+
+
+def compile_batch_to_wire(
+    mtype: MessageType,
+    config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
+    permissive: bool = False,
+) -> Callable[[list], list] | None:
+    """Compile ``[column arrays in SCHEMA field order] -> [bytes per
+    row]`` for a supported flat message, or return None.
+
+    Output is byte-identical to ``compile_row_to_wire`` applied to the
+    zipped rows (fields emitted in field-number order, proto3 default
+    skipping, presence semantics, varint range validation).
+
+    ``permissive=True`` mirrors ``on_error="null"``: rows whose values
+    violate the contract (range checks) come back as None instead of
+    raising — the vectorized twin of the row loop\'s per-row
+    try/except, without re-encoding the whole batch row-wise."""
+    import numpy as np
+
+    index_of = {f.name: i for i, f in enumerate(mtype.fields)}
+    plan = []
+    for field in mtype.fields_number_order:
+        if field.is_map or field.repeated or field.oneof is not None:
+            # oneofs excluded: the row path enforces later-member-wins
+            # interactions we don't replicate columnar
+            return None
+        if _is_timestamp_field(field):
+            if config.timestamp_type not in ("timestamp", "long_nanos"):
+                return None
+            plan.append(("timestamp", field, index_of[field.name]))
+            continue
+        if field.kind not in _SUPPORTED_SCALARS:
+            return None
+        if field.kind is Kind.ENUM and config.enum_type != "int":
+            # string enum mode: vectorized via by_name map
+            plan.append(("enum_name", field, index_of[field.name]))
+            continue
+        if field.kind in (Kind.UINT64, Kind.FIXED64) and config.uint64_type == "decimal":
+            # decimal-mode uint64: Decimal cells, full 0..2^64-1 range
+            # (doesn't fit int64) — dedicated object->uint64 pass
+            plan.append(("u64_decimal", field, index_of[field.name]))
+            continue
+        plan.append(("scalar", field, index_of[field.name]))
+
+    def encode_batch(cols: list) -> list:
+        import pandas as pd
+
+        n = len(cols[0]) if cols else 0
+        if n == 0:
+            return []
+        # Per-field precomputation pass: masks, numeric forms, lengths.
+        bad = np.zeros(n, dtype=bool) if permissive else None
+        total_len = np.zeros(n, dtype=np.int64)
+        fields_rt: list[dict] = []
+        for klass, field, idx in plan:
+            col = cols[idx]
+            s = col if isinstance(col, pd.Series) else pd.Series(col)
+            null = pd.isna(s)
+            if null.values.ndim != 1:  # array-typed cell slipped through
+                raise Unvectorizable("non-scalar cell")
+            null = null.to_numpy(dtype=bool)
+            rt: dict[str, Any] = {"field": field, "klass": klass}
+            kind = field.kind
+
+            if klass == "timestamp":
+                try:
+                    if config.timestamp_type == "long_nanos":
+                        nanos_total = s.fillna(0).to_numpy(dtype=np.int64)
+                        sec = nanos_total // 1_000_000_000
+                        nano = nanos_total - sec * 1_000_000_000
+                    else:
+                        if getattr(s.dtype, "tz", None) is not None:
+                            # tz-aware: same ns-since-epoch the row path
+                            # reads via pd.Timestamp.value
+                            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                        vals = s.to_numpy()
+                        if not np.issubdtype(vals.dtype, np.datetime64):
+                            raise Unvectorizable(f"timestamp dtype {vals.dtype}")
+                        unit = np.datetime_data(vals.dtype)[0]
+                        ints = vals.astype(np.int64)  # NaT -> INT64_MIN, masked
+                        # FLOOR to micros (pd.Timestamp.value // 1000
+                        # semantics — numpy's astype truncates toward
+                        # zero for pre-epoch values, which would be off
+                        # by one for negative sub-us remainders)
+                        if unit == "ns":
+                            us = np.floor_divide(ints, 1000)
+                        elif unit == "us":
+                            us = ints
+                        elif unit == "ms":
+                            us = ints * 1_000
+                        elif unit == "s":
+                            us = ints * 1_000_000
+                        else:
+                            raise Unvectorizable(f"timestamp unit {unit}")
+                        us = np.where(null, 0, us)
+                        sec = us // 1_000_000
+                        nano = (us - sec * 1_000_000) * 1_000
+                except (TypeError, ValueError) as exc:
+                    raise Unvectorizable(str(exc)) from exc
+                sec_u = sec.view(np.uint64)
+                nano_u = nano.view(np.uint64)
+                sec_nb = _varint_nbytes(sec_u)
+                nano_nb = _varint_nbytes(nano_u)
+                sec_on = sec != 0
+                nano_on = nano != 0
+                body_len = (
+                    np.where(sec_on, 1 + sec_nb, 0)
+                    + np.where(nano_on, 1 + nano_nb, 0)
+                )
+                blen_u = body_len.view(np.uint64)
+                blen_nb = _varint_nbytes(blen_u)
+                tag = _tag_bytes(field.number, _WT_LEN)
+                rt.update(
+                    tag=tag,
+                    skip=null,
+                    sec_u=sec_u, sec_nb=sec_nb, sec_on=sec_on,
+                    nano_u=nano_u, nano_nb=nano_nb, nano_on=nano_on,
+                    body_len=body_len, blen_u=blen_u, blen_nb=blen_nb,
+                )
+                flen = np.where(
+                    null, 0, len(tag) + blen_nb + body_len
+                )
+            elif klass == "u64_decimal":
+                vals = s.to_numpy(dtype=object)
+                u = np.zeros(n, dtype=np.uint64)
+                hi = (1 << 64) - 1
+                try:
+                    for i in np.flatnonzero(~null):
+                        x = int(vals[i])
+                        if not 0 <= x <= hi:
+                            if bad is None:
+                                raise ValueError(
+                                    f"{kind.name} value {x} out of range [0, {hi}]"
+                                )
+                            bad[i] = True
+                            continue
+                        u[i] = x
+                except TypeError as exc:
+                    raise Unvectorizable(str(exc)) from exc
+                skip = null if field.has_presence else (null | (u == 0))
+                if kind is Kind.UINT64:
+                    nb = _varint_nbytes(u)
+                    tag = _tag_bytes(field.number, _WT_VARINT)
+                    rt.update(tag=tag, skip=skip, u=u, nb=nb, klass="varint")
+                    flen = np.where(skip, 0, len(tag) + nb)
+                else:  # FIXED64
+                    tag = _tag_bytes(field.number, _WT_I64)
+                    rt.update(tag=tag, skip=skip, u=u, width=8, klass="fixed")
+                    flen = np.where(skip, 0, len(tag) + 8)
+            elif kind in (Kind.STRING, Kind.BYTES) or klass == "enum_name":
+                if klass == "enum_name":
+                    by_name = field.enum.by_name
+                    nums = s.map(lambda v: by_name.get(v, 0)).where(~null, 0)
+                    v = nums.to_numpy(dtype=np.int64)
+                    _range_check(Kind.ENUM, v, ~null, bad)
+                    u = v.view(np.uint64)
+                    nb = _varint_nbytes(u)
+                    skip = null | (v == 0 if not field.has_presence else False)
+                    if field.has_presence:
+                        skip = null
+                    tag = _tag_bytes(field.number, _WT_VARINT)
+                    rt.update(tag=tag, skip=skip, u=u, nb=nb, klass="varint")
+                    flen = np.where(skip, 0, len(tag) + nb)
+                else:
+                    try:
+                        if kind is Kind.STRING:
+                            payloads = [
+                                b"" if isnull else str(x).encode("utf-8")
+                                for x, isnull in zip(s.to_numpy(), null)
+                            ]
+                        else:
+                            payloads = [
+                                b"" if isnull else bytes(x)
+                                for x, isnull in zip(s.to_numpy(), null)
+                            ]
+                    except (TypeError, ValueError) as exc:
+                        raise Unvectorizable(str(exc)) from exc
+                    plen = np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int64, count=n
+                    )
+                    skip = null | (
+                        (plen == 0) if not field.has_presence else False
+                    )
+                    if field.has_presence:
+                        skip = null
+                    lnb = _varint_nbytes(plen.view(np.uint64))
+                    tag = _tag_bytes(field.number, _WT_LEN)
+                    rt.update(
+                        tag=tag, skip=skip, payloads=payloads,
+                        plen=plen, lnb=lnb, klass="len",
+                    )
+                    flen = np.where(skip, 0, len(tag) + lnb + plen)
+            elif kind is Kind.BOOL:
+                try:
+                    v = s.fillna(False).to_numpy(dtype=bool)
+                except (TypeError, ValueError) as exc:
+                    raise Unvectorizable(str(exc)) from exc
+                u = v.astype(np.uint64)
+                skip = null if field.has_presence else (null | ~v)
+                tag = _tag_bytes(field.number, _WT_VARINT)
+                nb = np.ones(n, dtype=np.int64)
+                rt.update(tag=tag, skip=skip, u=u, nb=nb, klass="varint")
+                flen = np.where(skip, 0, len(tag) + 1)
+            elif kind in (Kind.DOUBLE, Kind.FLOAT):
+                try:
+                    if kind is Kind.DOUBLE:
+                        f = s.to_numpy(dtype=np.float64, na_value=0.0)
+                        u = f.view(np.uint64)
+                        width = 8
+                        wt = _WT_I64
+                    else:
+                        f = s.to_numpy(dtype=np.float64, na_value=0.0)
+                        u = f.astype(np.float32).view(np.uint32).astype(np.uint64)
+                        width = 4
+                        wt = _WT_I32
+                except (TypeError, ValueError) as exc:
+                    raise Unvectorizable(str(exc)) from exc
+                # proto3 default skip: exactly +0.0 (bits == 0); -0.0 emits
+                skip = null if field.has_presence else (null | (u == 0))
+                tag = _tag_bytes(field.number, wt)
+                rt.update(tag=tag, skip=skip, u=u, width=width, klass="fixed")
+                flen = np.where(skip, 0, len(tag) + width)
+            elif kind in (Kind.FIXED64, Kind.SFIXED64, Kind.FIXED32, Kind.SFIXED32):
+                try:
+                    v = s.fillna(0).to_numpy(dtype=np.int64)
+                except (TypeError, ValueError) as exc:
+                    raise Unvectorizable(str(exc)) from exc
+                if kind in (Kind.FIXED32, Kind.SFIXED32):
+                    width, wt = 4, _WT_I32
+                    u = (v.view(np.uint64) & np.uint64(0xFFFFFFFF))
+                else:
+                    width, wt = 8, _WT_I64
+                    u = v.view(np.uint64)
+                skip = null if field.has_presence else (null | (v == 0))
+                tag = _tag_bytes(field.number, wt)
+                rt.update(tag=tag, skip=skip, u=u, width=width, klass="fixed")
+                flen = np.where(skip, 0, len(tag) + width)
+            else:  # varint family: int32/64, uint32/64, sint32/64, enum(int)
+                try:
+                    v = s.fillna(0).to_numpy(dtype=np.int64)
+                except (TypeError, ValueError) as exc:
+                    raise Unvectorizable(str(exc)) from exc
+                _range_check(kind, v, ~null, bad)
+                if kind in _ZIGZAG:
+                    u = ((v << 1) ^ (v >> 63)).view(np.uint64)
+                else:
+                    u = v.view(np.uint64)
+                nb = _varint_nbytes(u)
+                skip = null if field.has_presence else (null | (v == 0))
+                tag = _tag_bytes(field.number, _WT_VARINT)
+                rt.update(tag=tag, skip=skip, u=u, nb=nb, klass="varint")
+                flen = np.where(skip, 0, len(tag) + nb)
+            rt["flen"] = flen
+            total_len += flen
+            fields_rt.append(rt)
+
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(total_len, out=offsets[1:])
+        buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+        pos = offsets[:-1].copy()
+
+        for rt in fields_rt:
+            active = ~rt["skip"]
+            if not active.any():
+                continue
+            tag = rt["tag"]
+            for j, tb in enumerate(tag):
+                buf[pos[active] + j] = tb
+            p = pos + len(tag)
+            klass = rt["klass"]
+            if klass == "varint":
+                _fill_varint(buf, p, rt["u"], rt["nb"], active)
+            elif klass == "fixed":
+                _fill_fixed(buf, p, rt["u"], rt["width"], active)
+            elif klass == "len":
+                _fill_varint(
+                    buf, p, rt["plen"].view(np.uint64), rt["lnb"], active
+                )
+                starts = p + rt["lnb"]
+                payloads = rt["payloads"]
+                for i in np.flatnonzero(active):
+                    data = payloads[i]
+                    if data:
+                        st = int(starts[i])
+                        buf[st : st + len(data)] = np.frombuffer(
+                            data, dtype=np.uint8
+                        )
+            else:  # timestamp submessage body
+                _fill_varint(buf, p, rt["blen_u"], rt["blen_nb"], active)
+                p2 = p + rt["blen_nb"]
+                sec_active = active & rt["sec_on"]
+                if sec_active.any():
+                    buf[p2[sec_active]] = 0x08  # field 1, varint
+                    _fill_varint(
+                        buf, p2 + 1, rt["sec_u"], rt["sec_nb"], sec_active
+                    )
+                p3 = p2 + np.where(rt["sec_on"], 1 + rt["sec_nb"], 0)
+                nano_active = active & rt["nano_on"]
+                if nano_active.any():
+                    buf[p3[nano_active]] = 0x10  # field 2, varint
+                    _fill_varint(
+                        buf, p3 + 1, rt["nano_u"], rt["nano_nb"], nano_active
+                    )
+            pos = pos + np.where(active, rt["flen"], 0)
+
+        raw = buf.tobytes()
+        if bad is not None and bad.any():
+            return [
+                None if bad[i] else raw[offsets[i] : offsets[i + 1]]
+                for i in range(n)
+            ]
+        return [
+            raw[offsets[i] : offsets[i + 1]] for i in range(n)
+        ]
+
+    return encode_batch

@@ -1,0 +1,260 @@
+"""Vectorized batch wire encoder (conversion/vectorized.py):
+byte-identical to compile_row_to_wire on every supported shape, None /
+runtime-fallback on unsupported ones. The row path is the semantics
+oracle (itself differential-tested against Message serialize), so
+these tests pin the vectorized path to it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion.distributed import compile_row_to_wire
+from protarrow_spark.conversion.vectorized import compile_batch_to_wire
+from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+
+CFG = ProtarrowSparkConfig()
+
+
+def _assert_identical(mt, df, cfg=CFG):
+    be = compile_batch_to_wire(mt, cfg)
+    assert be is not None
+    re_ = compile_row_to_wire(mt, cfg)
+    names = [f.name for f in mt.fields]
+    fast = be([df[c] for c in names])
+    slow = [re_(rec) for rec in zip(*(df[c] for c in names))]
+    bad = [i for i, (a, b) in enumerate(zip(fast, slow)) if a != b]
+    assert not bad, (
+        f"{len(bad)} mismatches, first row {bad[0]}: "
+        f"{df.iloc[bad[0]].to_dict()} fast={fast[bad[0]].hex()} "
+        f"slow={slow[bad[0]].hex()}"
+    )
+
+
+SCALAR_MT = MessageType(
+    "vec.Scalars",
+    (
+        Field("i64", 1, Kind.INT64),
+        Field("i32", 2, Kind.INT32),
+        Field("u32", 3, Kind.UINT32),
+        Field("u64", 4, Kind.UINT64),
+        Field("s32", 5, Kind.SINT32),
+        Field("s64", 6, Kind.SINT64),
+        Field("f64", 7, Kind.FIXED64),
+        Field("sf64", 8, Kind.SFIXED64),
+        Field("f32", 9, Kind.FIXED32),
+        Field("sf32", 10, Kind.SFIXED32),
+        Field("b", 11, Kind.BOOL),
+        Field("d", 12, Kind.DOUBLE),
+        Field("fl", 13, Kind.FLOAT),
+        Field("s", 14, Kind.STRING),
+        Field("by", 15, Kind.BYTES),
+        Field("opt_i", 16, Kind.INT64, optional=True),
+        Field("opt_s", 17, Kind.STRING, optional=True),
+        Field("big", 1234, Kind.INT64),  # multi-byte tag
+    ),
+)
+
+
+def _random_scalar_df(n, seed=0):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "i64": rng.integers(-(2**62), 2**62, n),
+            "i32": rng.integers(-(2**31), 2**31, n).astype(np.int64),
+            "u32": rng.integers(0, 2**32, n).astype(np.int64),
+            # uint64 in the DEFAULT decimal mode: object cells holding
+            # the full range incl. values above 2^63
+            "u64": pd.Series(
+                [int(x) + (2**63 + 17 if i % 9 == 0 else 0)
+                 for i, x in enumerate(rng.integers(0, 2**62, n))],
+                dtype=object,
+            ),
+            "s32": rng.integers(-(2**31), 2**31, n).astype(np.int64),
+            "s64": rng.integers(-(2**62), 2**62, n),
+            "f64": pd.Series(
+                [int(x) + (2**63 + 5 if i % 11 == 0 else 0)
+                 for i, x in enumerate(rng.integers(0, 2**62, n))],
+                dtype=object,
+            ),
+            "sf64": rng.integers(-(2**62), 2**62, n),
+            "f32": rng.integers(0, 2**32, n).astype(np.int64),
+            "sf32": rng.integers(-(2**31), 2**31, n).astype(np.int64),
+            "b": pd.Series(list(rng.integers(0, 2, n).astype(bool)), dtype=object),
+            "d": np.where(rng.integers(0, 8, n) == 0, 0.0, rng.normal(size=n)),
+            "fl": rng.normal(size=n),
+            "s": pd.Series(["", "a", "héllo", "x" * 300] * (n // 4 + 1))[:n].reset_index(drop=True),
+            "by": pd.Series([b"", b"\x00\xff", b"abc", b"z" * 200] * (n // 4 + 1))[:n].reset_index(drop=True),
+            "opt_i": np.zeros(n, dtype=np.int64),  # presence: 0 still emits
+            "opt_s": pd.Series([""] * n),
+            "big": rng.integers(-(2**30), 2**30, n),
+        }
+    )
+    # zeros exercise proto3 default-skip on the no-presence fields
+    zero_rows = rng.integers(0, n, n // 6)
+    for c in ("i64", "i32", "u32", "u64", "s32", "s64", "f64", "sf64",
+              "f32", "sf32", "big"):
+        df.loc[zero_rows, c] = 0
+    # nulls everywhere
+    for c in df.columns:
+        df.loc[rng.integers(0, n, n // 10), c] = None
+    return df
+
+
+def test_all_scalar_kinds_random_matrix():
+    _assert_identical(SCALAR_MT, _random_scalar_df(4000))
+
+
+def test_negative_zero_double_emits():
+    mt = MessageType("vec.D", (Field("d", 1, Kind.DOUBLE),))
+    df = pd.DataFrame({"d": [0.0, -0.0, 1.5, None]})
+    _assert_identical(mt, df)
+    be = compile_batch_to_wire(mt, CFG)
+    out = be([df["d"]])
+    assert out[0] == b""  # +0.0 skipped (proto3 default)
+    assert out[1] != b""  # -0.0 emitted
+    assert out[3] == b""  # null skipped
+
+
+TS_MT = MessageType(
+    "vec.Ev",
+    (
+        Field("id", 1, Kind.INT64),
+        Field("ts", 2, Kind.MESSAGE, message=TIMESTAMP),
+    ),
+)
+
+
+def test_timestamps_incl_pre_epoch_floor():
+    # pre-epoch with sub-us remainders exercises the FLOOR contract
+    # (pd.Timestamp.value // 1000); epoch exactly -> empty submessage
+    ts = pd.to_datetime(
+        pd.Series(
+            [0, 1, -1, 999, -999, 10**15, -(10**15) + 7, None],
+            dtype="float64",
+        ),
+        unit="ns",
+    )
+    df = pd.DataFrame({"id": range(8), "ts": ts})
+    _assert_identical(TS_MT, df)
+
+
+def test_timestamps_us_unit_and_tz():
+    ts_us = pd.Series(
+        np.array([0, 123456789, -987654321], dtype="datetime64[us]")
+    )
+    _assert_identical(TS_MT, pd.DataFrame({"id": [1, 2, 3], "ts": ts_us}))
+    ts_tz = pd.to_datetime(
+        pd.Series([10**12, 5 * 10**14, None]), unit="ns", utc=True
+    )
+    _assert_identical(TS_MT, pd.DataFrame({"id": [1, 2, 3], "ts": ts_tz}))
+
+
+def test_timestamp_long_nanos_mode():
+    cfg = ProtarrowSparkConfig(timestamp_type="long_nanos")
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "ts": pd.Series([0, 1_500_000_000, -1, None], dtype="float64"),
+        }
+    )
+    _assert_identical(TS_MT, df, cfg)
+
+
+ENUM_MT = MessageType(
+    "vec.E",
+    (
+        Field(
+            "e",
+            1,
+            Kind.ENUM,
+            enum=__import__(
+                "protarrow_spark.proto.model", fromlist=["EnumType"]
+            ).EnumType("vec.Side", ((0, "UNKNOWN"), (1, "BUY"), (2, "SELL"))),
+        ),
+    ),
+)
+
+
+def test_enum_both_config_modes():
+    # int mode: numbers straight through (0 skipped as default)
+    cfg_int = ProtarrowSparkConfig(enum_type="int")
+    dfi = pd.DataFrame({"e": pd.Series([0, 1, 2, None], dtype="float64")})
+    _assert_identical(ENUM_MT, dfi, cfg_int)
+    # string mode: names mapped via by_name, unknowns -> 0
+    for mode in ("string", getattr(CFG, "enum_type", "string")):
+        cfg_s = ProtarrowSparkConfig(enum_type=mode) if mode != "int" else None
+        if cfg_s is None:
+            continue
+        dfs = pd.DataFrame({"e": ["BUY", "SELL", "UNKNOWN", "bogus", None]})
+        _assert_identical(ENUM_MT, dfs, cfg_s)
+
+
+def test_range_violation_raises_like_row_path():
+    mt = MessageType("vec.U", (Field("u", 1, Kind.UINT32),))
+    be = compile_batch_to_wire(mt, CFG)
+    with pytest.raises(ValueError, match="out of range"):
+        be([pd.Series([1, 2**32])])
+
+
+def test_unsupported_shapes_return_none():
+    rep = MessageType("vec.R", (Field("xs", 1, Kind.INT64, repeated=True),))
+    assert compile_batch_to_wire(rep, CFG) is None
+    oneof = MessageType(
+        "vec.O",
+        (
+            Field("a", 1, Kind.STRING, oneof="p"),
+            Field("b", 2, Kind.INT64, oneof="p"),
+        ),
+    )
+    assert compile_batch_to_wire(oneof, CFG) is None
+    nested = MessageType(
+        "vec.N",
+        (
+            Field(
+                "m",
+                1,
+                Kind.MESSAGE,
+                message=MessageType("vec.Sub", (Field("x", 1, Kind.INT64),)),
+            ),
+        ),
+    )
+    assert compile_batch_to_wire(nested, CFG) is None
+
+
+def test_distributed_encode_uses_identical_bytes(spark):
+    """End-to-end: encode_proto_bytes output (which now takes the
+    vectorized path for EVENT_MT) decodes back to the source exactly —
+    and matches a row-path-only encoding bit for bit."""
+    import pyspark.sql.functions as F
+
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+    from protarrow_spark.queries.conversion import EVENT_MT
+
+    src = (
+        spark.createDataFrame(
+            [
+                (1, 10, "click", 1.5, "2024-01-02 03:04:05.123456"),
+                (2, 0, "", 0.0, None),
+                (3, -7, "view", -2.25, "1969-12-31 23:59:59.999999"),
+            ],
+            "event_id long, user_id long, event_type string, value double, ts_s string",
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withColumn("src_id", F.col("event_id"))
+        .drop("ts_s")
+    )
+    wire = encode_proto_bytes(src, EVENT_MT, CFG, keep_cols=["src_id"])
+    back = decode_proto_bytes(
+        wire.select(F.col("proto")), "proto", EVENT_MT, CFG
+    )
+    got = {r.event_id: r for r in back.collect()}
+    assert got[1].event_type == "click" and got[1].value == 1.5
+    assert got[3].user_id == -7
+    assert got[2].event_type == "" and got[2].ts is None
