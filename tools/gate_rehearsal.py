@@ -6,7 +6,12 @@ driver's SF (0.01), and write CORRECTNESS_LOCAL.json in the driver's
 row format. Run before closing a round: a red row here is a red row
 in CORRECTNESS_r{N}.json.
 
-Usage: PYTHONPATH=. python tools/gate_rehearsal.py [sf_dir]
+Usage: PYTHONPATH=. python tools/gate_rehearsal.py [sf_dir] [--all]
+
+``--all`` rehearses EVERY registered query (not just the graded
+window) — run before a rotation so the next round's window can be
+drawn from a fully sf0.01-validated pool; writes
+CORRECTNESS_LOCAL_ALL.json instead.
 """
 
 from __future__ import annotations
@@ -21,7 +26,9 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from protarrow_spark.queries import all_oracles, all_queries
     from protarrow_spark.queries.registry import GRADED_FIRST
@@ -30,9 +37,10 @@ def main() -> None:
 
     spark = get_spark("gate-rehearsal", cpus=16)
     queries, oracles = all_queries(), all_oracles()
+    names = list(queries) if run_all else list(GRADED_FIRST)
     results: dict[str, dict] = {}
     n_green = 0
-    for name in GRADED_FIRST:
+    for name in names:
         if name not in queries:
             results[name] = {"err": "NOT REGISTERED"}
             continue
@@ -56,11 +64,11 @@ def main() -> None:
             results[name] = {"err": f"{type(exc).__name__}: {exc}"}
             print(f"RED   {name}: {exc}")
             traceback.print_exc(limit=2)
-    out = REPO / "CORRECTNESS_LOCAL.json"
+    out = REPO / ("CORRECTNESS_LOCAL_ALL.json" if run_all else "CORRECTNESS_LOCAL.json")
     out.write_text(json.dumps(results, indent=1))
-    print(f"\n{n_green}/{len(GRADED_FIRST)} green -> {out}")
+    print(f"\n{n_green}/{len(names)} green -> {out}")
     spark.stop()
-    sys.exit(0 if n_green == len(GRADED_FIRST) else 1)
+    sys.exit(0 if n_green == len(names) else 1)
 
 
 if __name__ == "__main__":
