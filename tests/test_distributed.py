@@ -338,6 +338,58 @@ def test_compiled_wire_decoder_packed_length_bounds() -> None:
         fastd(bytes(wired))
 
 
+def test_compiled_wire_decoder_timestamp_merge_and_oneof() -> None:
+    """The specialized Timestamp handler (r8: direct two-varint parse,
+    no Message allocation) must keep the exact merge semantics of the
+    generic path: concatenated occurrences MERGE (seconds from one,
+    nanos from another), later oneof siblings clear it, unknown
+    subfields skip."""
+    import datetime as dt
+
+    from protarrow_spark.conversion.distributed import compile_wire_to_row
+    from protarrow_spark.proto.message import Message, parse, serialize
+    from protarrow_spark.proto.model import TIMESTAMP, Field, Kind
+
+    mt = MessageType(
+        "t.TsWire",
+        (
+            Field("id", 1, Kind.INT64),
+            Field("ts", 2, Kind.MESSAGE, message=TIMESTAMP),
+            Field("alt", 3, Kind.STRING, oneof="p"),
+            Field("when", 4, Kind.MESSAGE, message=TIMESTAMP, oneof="p"),
+        ),
+    )
+    dec = compile_wire_to_row(mt, CFG)
+    slow = row_builder(mt, CFG)
+
+    def wire(**kw):
+        m = Message(mt)
+        for k, v in kw.items():
+            setattr(m, k, v)
+        return serialize(m)
+
+    ts_a = Message(TIMESTAMP, seconds=100)
+    ts_b = Message(TIMESTAMP, nanos=123_456_000)
+    # merge: seconds from occurrence 1, nanos from occurrence 2
+    merged = wire(id=1, ts=ts_a) + wire(ts=ts_b)
+    assert dec(merged) == slow(parse(merged, mt))
+    got = dec(merged)
+    assert got[1] == dt.datetime(
+        1970, 1, 1, 0, 1, 40, 123456, tzinfo=dt.timezone.utc
+    )
+    # oneof: timestamp member set, then string sibling wins
+    w = wire(when=ts_a) + wire(alt="later")
+    assert dec(w) == slow(parse(w, mt)) == (0, None, "later", None)
+    # and the reverse: timestamp wins over the string
+    w2 = wire(alt="early") + wire(when=ts_b)
+    assert dec(w2) == slow(parse(w2, mt))
+    assert dec(w2)[3] is not None and dec(w2)[2] is None
+    # unknown subfield inside the Timestamp body skips cleanly
+    body = serialize(ts_a) + bytes([(9 << 3) | 0, 7])  # field 9 varint
+    raw = bytes([(2 << 3) | 2, len(body)]) + body
+    assert dec(raw) == slow(parse(raw, mt))
+
+
 def test_compiled_wire_decoder_oneof_last_wins() -> None:
     from protarrow_spark.conversion.distributed import (
         compile_row_to_wire,

@@ -98,9 +98,13 @@ def _random_scalar_df(n, seed=0):
     for c in ("i64", "i32", "u32", "u64", "s32", "s64", "f64", "sf64",
               "f32", "sf32", "big"):
         df.loc[zero_rows, c] = 0
-    # nulls everywhere
+    # nulls everywhere (cast to object first so pandas doesn't warn
+    # about implicit dtype changes; the encoders see the same values)
     for c in df.columns:
-        df.loc[rng.integers(0, n, n // 10), c] = None
+        idx = rng.integers(0, n, n // 10)
+        if df[c].dtype != object:
+            df[c] = df[c].astype(object)
+        df.loc[idx, c] = None
     return df
 
 
@@ -198,6 +202,34 @@ def test_range_violation_raises_like_row_path():
     be = compile_batch_to_wire(mt, CFG)
     with pytest.raises(ValueError, match="out of range"):
         be([pd.Series([1, 2**32])])
+
+
+def test_permissive_mode_nulls_exactly_the_bad_rows():
+    """permissive=True must null the same rows the row path's
+    try/except nulls, and encode every healthy row byte-identically."""
+    import struct as _struct
+
+    mt = MessageType(
+        "vec.P", (Field("u", 1, Kind.UINT32), Field("s", 2, Kind.STRING))
+    )
+    df = pd.DataFrame(
+        {
+            "u": pd.Series([1, 2**32, 0, 2**33, 7, None], dtype="object"),
+            "s": ["a", "b", "c", "d", "", None],
+        }
+    )
+    be = compile_batch_to_wire(mt, CFG, permissive=True)
+    re_ = compile_row_to_wire(mt, CFG)
+    fast = be([df["u"], df["s"]])
+    slow = []
+    for rec in zip(df["u"], df["s"]):
+        try:
+            slow.append(re_(rec))
+        except (ValueError, TypeError, OverflowError, _struct.error):
+            slow.append(None)
+    assert fast == slow
+    assert fast[1] is None and fast[3] is None  # the two range breaches
+    assert fast[0] is not None and fast[5] is not None
 
 
 def test_unsupported_shapes_return_none():
