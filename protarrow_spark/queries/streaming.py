@@ -878,3 +878,81 @@ def stream_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_pixel_sum"),
     )
     return _run_to_memory(agg, "mem_stream_multimodal_ingest")
+
+
+@query(
+    "stream_proto_decode_tolerance",
+    oracle="""
+SELECT CASE WHEN (event_id % 7 = 0 OR event_id % 11 = 0)
+            THEN NULL ELSE event_type END AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN (event_id % 7 = 0 OR event_id % 11 = 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN (event_id % 7 = 0 OR event_id % 11 = 0) THEN NULL
+                     ELSE CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def stream_proto_decode_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING permissive proto ingest — the Kafka shape this engine
+    exists for: a stream of wire bytes where some records are corrupt
+    (every 7th: unterminated-varint smash; every 11th: truncated
+    length-delimited field, the bounds-check path), decoded with
+    ``decode_proto_bytes(on_error="null")`` into typed columns inside
+    the stream, dead letters counted in the same complete-mode rollup
+    as the survivors' exact value sums. One bad record cannot kill the
+    ingest, and the dead-letter rate is a first-class metric of the
+    running job.
+
+    The codec hops are stateless ``mapInPandas`` (the batch twin
+    ``conv_decode_corrupt_tolerance`` pins the identical byte-level
+    semantics); only the small per-type rollup is stateful. Swap the
+    file source for ``readStream.format("kafka")`` and drop the
+    fixture's encode half — the decode plan is byte-identical."""
+    from protarrow_spark.config import ProtarrowSparkConfig
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+    from protarrow_spark.queries.conversion import EVENT_MT
+
+    ev = _stream_events(spark, sf_dir).select(
+        F.col("event_id").alias("src_id"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+    )
+    wire = encode_proto_bytes(
+        ev, EVENT_MT, ProtarrowSparkConfig(), keep_cols=["src_id"]
+    )
+    corrupted = wire.withColumn(
+        "proto",
+        F.when(F.col("src_id") % 7 == 0, F.lit(b"\xff" * 11))
+        .when(
+            F.col("src_id") % 11 == 0,
+            F.concat(F.col("proto"), F.lit(b"\x32\x7f")),
+        )
+        .otherwise(F.col("proto")),
+    )
+    typed = decode_proto_bytes(
+        corrupted,
+        "proto",
+        EVENT_MT,
+        ProtarrowSparkConfig(),
+        keep_cols=["src_id"],
+        on_error="null",
+    )
+    agg = typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return _run_to_memory(agg, "mem_stream_proto_decode_tolerance")

@@ -46,12 +46,18 @@ def test_stream_query_invariant_to_microbatching(
     spark, sf_dir, split_sf_dir, name
 ) -> None:
     q = all_queries()[name]
-    expected = sorted(map(tuple, q(spark, sf_dir).collect()))
+
+    def canon(df):
+        # repr-keyed sort: canonical and total even with NULL group
+        # keys (None < str comparisons raise)
+        return sorted(map(tuple, df.collect()), key=repr)
+
+    expected = canon(q(spark, sf_dir))
     assert expected  # the single-batch baseline is non-trivial
 
     streaming_mod.FORCE_MAX_FILES_PER_TRIGGER = 1
     try:
-        got = sorted(map(tuple, q(spark, split_sf_dir).collect()))
+        got = canon(q(spark, split_sf_dir))
     finally:
         streaming_mod.FORCE_MAX_FILES_PER_TRIGGER = None
     assert got == expected
