@@ -10,7 +10,7 @@ decode(encode(x)) == x exactly and a SQL oracle can pin every pixel of
 a fixture from the source data.
 
 Honest boundaries (documented ``NotImplementedError``): interlaced
-images, local color tables, and transparency handling beyond ignoring
+images, and transparency handling beyond ignoring
 the extension; only the FIRST image of an animation is decoded (the
 metadata operator's contract is one gray raster per blob). Non-GIF
 blobs return ``None``; structural corruption raises ``ValueError``.
@@ -125,21 +125,30 @@ def _lzw_decompress(data: bytes, min_code_size: int, expect: int) -> bytearray:
     return out[:expect]
 
 
-def encode_gif_gray(pixels) -> bytes:
+def encode_gif_gray(pixels, local_palette: bool = False) -> bytes:
     """Grayscale (h, w) uint8 raster -> a GENUINE GIF89a: logical
-    screen descriptor, 256-entry gray global color table (index ==
+    screen descriptor, 256-entry gray color table (index ==
     intensity), image descriptor, real LZW-compressed indices in
-    sub-block framing, trailer."""
+    sub-block framing, trailer. ``local_palette=True`` ships the gray
+    table as the image's LOCAL color table and no global one — the
+    per-frame-palette layout animated GIFs use."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     out = bytearray(b"GIF89a")
-    # logical screen: size, GCT flag + 8-bit color resolution + size 256
-    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
-    for v in range(256):  # gray palette: r=g=b=index
-        out += bytes([v, v, v])
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    palette = bytes(v for x in range(256) for v in (x, x, x))
+    if local_palette:
+        # logical screen WITHOUT a global color table
+        out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)
+        # image descriptor: LCT flag set, table size 2^(7+1)=256
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x87)
+        out += palette
+    else:
+        # logical screen: GCT flag + 8-bit color resolution + size 256
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        out += palette
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # descriptor
     min_code_size = 8
     out.append(min_code_size)
     lzw = _lzw_compress(px.reshape(-1), min_code_size)
@@ -195,9 +204,16 @@ def decode_gif_gray(data: bytes):
         pos += 9
         if ipacked & 0x40:
             raise NotImplementedError("interlaced GIF")
-        if ipacked & 0x80:
-            raise NotImplementedError("local color table")
-        if gct is None:
+        ct = gct
+        if ipacked & 0x80:  # local color table overrides the global
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated local color table")
+            ct = np.frombuffer(
+                data, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
             raise ValueError("image without any color table")
         if w == 0 or h == 0:
             raise ValueError("degenerate image dimensions")
@@ -221,9 +237,9 @@ def decode_gif_gray(data: bytes):
             pos += size
         indices = _lzw_decompress(bytes(lzw), min_code_size, w * h)
         idx = np.frombuffer(bytes(indices), np.uint8).reshape(h, w)
-        if int(idx.max()) >= len(gct):
+        if int(idx.max()) >= len(ct):
             raise ValueError("pixel index outside color table")
-        rgb = gct[idx].astype(np.int64)
+        rgb = ct[idx].astype(np.int64)
         gray = (
             (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
         ).astype(np.uint8)

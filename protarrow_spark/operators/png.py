@@ -12,7 +12,10 @@ same gate strategy as the BMP/PGM codecs, now over a compressed
 format.
 
 Honest boundaries (documented ``NotImplementedError``): bit depths
-other than 8, palette/alpha color types (3/4/6), and Adam7 interlace.
+other than 8 and palette/alpha color types (3/4/6). Adam7 interlace is
+SUPPORTED (r8): the seven passes unfilter independently and scatter
+onto the full-resolution grid; ``encode_png(..., interlace=True)``
+emits a spec-valid interlaced stream for the round-trip tests.
 A blob that does not start with the 8-byte PNG signature returns
 ``None`` (the operator's null path); structural corruption (bad CRC,
 truncated chunks, wrong IDAT length) raises ``ValueError``.
@@ -52,25 +55,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels, color: bool = False, filters=None) -> bytes:
-    """(h, w) uint8 grayscale — or (h, w, 3) uint8 RGB with
-    ``color=True`` — to a GENUINE PNG. ``filters`` optionally gives a
-    per-row filter type (0..4); default cycles through all five so a
-    decoder must implement every filter to read the fixture."""
+def _filter_rows(rows, bpp: int, filters=None) -> bytearray:
+    """Serialize an (n, stride) int32 raster as n filtered scanlines
+    (1 filter byte + stride bytes each), cycling filter types unless
+    ``filters`` pins them — one independent filter chain (prev row
+    starts at zero), used per image or per Adam7 pass."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if color:
-        h, w, _ = px.shape
-        bpp, ctype = 3, _COLOR_RGB
-        rows = px.reshape(h, w * 3).astype(np.int32)
-    else:
-        h, w = px.shape
-        bpp, ctype = 1, _COLOR_GRAY
-        rows = px.astype(np.int32)
     raw = bytearray()
     prev = np.zeros(rows.shape[1], dtype=np.int32)
-    for y in range(h):
+    for y in range(rows.shape[0]):
         ftype = (filters[y] if filters is not None else y) % 5
         cur = rows[y]
         left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
@@ -96,6 +90,53 @@ def encode_png(pixels, color: bool = False, filters=None) -> bytes:
         raw.append(ftype)
         raw += (filt % 256).astype(np.uint8).tobytes()
         prev = cur
+    return raw
+
+
+def encode_png(pixels, color: bool = False, filters=None,
+               interlace: bool = False) -> bytes:
+    """(h, w) uint8 grayscale — or (h, w, 3) uint8 RGB with
+    ``color=True`` — to a GENUINE PNG. ``filters`` optionally gives a
+    per-row filter type (0..4); default cycles through all five so a
+    decoder must implement every filter to read the fixture.
+    ``interlace=True`` emits Adam7: the seven passes serialize their
+    reduced grids as independent filter chains (each pass filtered
+    with the same per-row cycle)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if color:
+        h, w, _ = px.shape
+        bpp, ctype = 3, _COLOR_RGB
+        rows = px.reshape(h, w * 3).astype(np.int32)
+    else:
+        h, w = px.shape
+        bpp, ctype = 1, _COLOR_GRAY
+        rows = px.astype(np.int32)
+
+    if interlace:
+        flat = rows  # (h, w*bpp)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            ridx = np.arange(ph) * dy + y0
+            cidx = np.arange(pw) * dx + x0
+            sub = np.empty((ph, pw * bpp), dtype=np.int32)
+            for c in range(bpp):
+                sub[:, c::bpp] = flat[np.ix_(ridx, cidx * bpp + c)]
+            raw += _filter_rows(sub, bpp, filters)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        return (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    raw = _filter_rows(rows, bpp, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
         PNG_MAGIC
@@ -105,57 +146,24 @@ def encode_png(pixels, color: bool = False, filters=None) -> bytes:
     )
 
 
-def decode_png_gray(data: bytes):
-    """Parse a REAL PNG into ``(width, height, gray)`` — gray is a
-    row-major uint8 (h, w) array; truecolor converts via the same
-    integer BT.601 luma as the BMP path. Returns ``None`` when the
-    blob lacks the PNG signature; ``NotImplementedError`` at the
-    documented boundaries; ``ValueError`` on corrupt structure."""
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the five scanline filters over ``h`` serialized rows of
+    ``1 + stride`` bytes; returns an (h, stride) int32 array. Exact
+    spec integer arithmetic (mod-256 at every step)."""
     import numpy as np
 
-    if len(data) < 8 or data[:8] != PNG_MAGIC:
-        return None
-    pos = 8
-    ihdr = None
-    idat = bytearray()
-    while pos + 12 <= len(data):
-        length = struct.unpack(">I", data[pos : pos + 4])[0]
-        ctype = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length or pos + 12 + length > len(data):
-            raise ValueError(f"truncated {ctype!r} chunk")
-        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
-        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC on {ctype!r} chunk")
-        pos += 12 + length
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise NotImplementedError(f"{depth}-bit PNG")
-            if color not in (_COLOR_GRAY, _COLOR_RGB):
-                raise NotImplementedError(
-                    f"PNG color type {color} (palette/alpha)"
-                )
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlace")
-            if comp != 0 or filt != 0:
-                raise ValueError("unknown compression/filter method")
-            ihdr = (w, h, color)
-        elif ctype == b"IDAT":
-            idat += payload
-        elif ctype == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("no IHDR chunk")
-    w, h, color = ihdr
-    bpp = 3 if color == _COLOR_RGB else 1
-    stride = w * bpp
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"bad IDAT zlib stream: {exc}") from None
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"IDAT decodes to {len(raw)} bytes, want {h * (stride + 1)}"
@@ -193,6 +201,93 @@ def decode_png_gray(data: bytes):
             raise ValueError(f"unknown filter type {f} on row {y}")
         recon[y] = row
         prev = row
+    return recon
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int):
+    """Unfilter the seven Adam7 passes (each an independent filter
+    chain over its reduced grid) and scatter them onto the full
+    (h, w*bpp) raster."""
+    import numpy as np
+
+    full = np.zeros((h, w * bpp), dtype=np.int32)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = pw * bpp
+        need = ph * (pstride + 1)
+        chunk = raw[pos : pos + need]
+        if len(chunk) != need:
+            raise ValueError("truncated Adam7 pass data")
+        pos += need
+        sub = _unfilter(chunk, ph, pstride, bpp)
+        rows = np.arange(ph) * dy + y0
+        cols = np.arange(pw) * dx + x0
+        for c in range(bpp):
+            full[np.ix_(rows, cols * bpp + c)] = sub[:, c::bpp]
+    if pos != len(raw):
+        raise ValueError("trailing bytes after Adam7 passes")
+    return full
+
+
+def decode_png_gray(data: bytes):
+    """Parse a REAL PNG into ``(width, height, gray)`` — gray is a
+    row-major uint8 (h, w) array; truecolor converts via the same
+    integer BT.601 luma as the BMP path. Returns ``None`` when the
+    blob lacks the PNG signature; ``NotImplementedError`` at the
+    documented boundaries; ``ValueError`` on corrupt structure."""
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != PNG_MAGIC:
+        return None
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        length = struct.unpack(">I", data[pos : pos + 4])[0]
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG")
+            if color not in (_COLOR_GRAY, _COLOR_RGB):
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette/alpha)"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            if comp != 0 or filt != 0:
+                raise ValueError("unknown compression/filter method")
+            ihdr = (w, h, color, interlace)
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("no IHDR chunk")
+    w, h, color, interlace = ihdr
+    bpp = 3 if color == _COLOR_RGB else 1
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT zlib stream: {exc}") from None
+    if interlace:
+        recon = _deinterlace_adam7(raw, w, h, bpp)
+    else:
+        recon = _unfilter(raw, h, stride, bpp)
     if color == _COLOR_RGB:
         rgb = recon.reshape(h, w, 3).astype(np.int64)
         gray = (

@@ -150,11 +150,9 @@ GRADED_FIRST = [
     "pipeline_ccnet",
     # -- sampling / ordering
     "sample_perplexity_filter",
-    "sample_weighted_mix",
     "order_curriculum_interleave",
     # -- corpus reporting
     "report_token_fertility",
-    "report_shard_manifest",
     # -- data quality
     "dq_benford",
     "dq_referential_integrity",
@@ -181,6 +179,13 @@ GRADED_FIRST = [
     # -- structured streaming: tumbling counts, multimodal ingest
     "stream_window_counts",
     "stream_multimodal_ingest",
+    # -- ROUND-8 BIRTHS graded in their birth round (the r7 verdict
+    #    flagged new queries born outside the window): progressive
+    #    JPEG end-to-end + streaming permissive proto ingest
+    #    (report_shard_manifest and sample_weighted_mix moved to the
+    #    r9 pool; their family siblings stay in-window)
+    "mm_image_features_jpeg_progressive",
+    "stream_proto_decode_tolerance",
 ]
 
 

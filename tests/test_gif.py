@@ -79,9 +79,17 @@ def test_boundaries_and_corruption():
     interlaced[_DESC + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_gif_gray(bytes(interlaced))
+    # local color tables are SUPPORTED since r8: a genuine local-
+    # palette encoding round-trips exactly...
+    w, h, gray = decode_gif_gray(encode_gif_gray(img, local_palette=True))
+    assert np.array_equal(gray, img)
+    # ...and the local-palette blob really has no global table
+    assert encode_gif_gray(img, local_palette=True)[10] & 0x80 == 0
+    # flipping the LCT bit on a blob with no actual table bytes makes
+    # the decoder eat LZW data as palette -> structural ValueError
     local_ct = bytearray(blob)
     local_ct[_DESC + 9] |= 0x80
-    with pytest.raises(NotImplementedError, match="local color"):
+    with pytest.raises(ValueError):
         decode_gif_gray(bytes(local_ct))
     with pytest.raises(ValueError):
         decode_gif_gray(bytes(blob[: len(blob) // 2]))

@@ -103,8 +103,33 @@ def test_boundaries_raise_not_implemented():
         decode_png_gray(patch_ihdr(8, 16))  # bit depth
     with pytest.raises(NotImplementedError, match="color type"):
         decode_png_gray(patch_ihdr(9, 3))  # palette
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png_gray(patch_ihdr(12, 1))  # Adam7
+    # Adam7 is SUPPORTED since r8 — claiming interlace on a stream
+    # serialized sequentially is CORRUPT (pass framing mismatch), and
+    # a genuinely unknown interlace method is structural
+    with pytest.raises(ValueError):
+        decode_png_gray(patch_ihdr(12, 1))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png_gray(patch_ihdr(12, 7))
+
+
+def test_adam7_interlace_roundtrips():
+    """Adam7 encode -> decode is lossless and equals the sequential
+    encoding of the same pixels, across odd sizes that leave some
+    passes empty, for gray AND truecolor."""
+    rng = np.random.default_rng(5)
+    for size in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 17), (33, 41)]:
+        g = rng.integers(0, 256, size).astype(np.uint8)
+        w, h, got = decode_png_gray(encode_png(g, interlace=True))
+        assert (w, h) == (size[1], size[0])
+        assert np.array_equal(got, g)
+        c = rng.integers(0, 256, size + (3,)).astype(np.uint8)
+        plain = decode_png_gray(encode_png(c, color=True))[2]
+        inter = decode_png_gray(encode_png(c, color=True, interlace=True))[2]
+        assert np.array_equal(plain, inter)
+    # truncated pass data raises, never a silently short image
+    blob = bytearray(encode_png(rng.integers(0, 256, (16, 16)).astype(np.uint8), interlace=True))
+    with pytest.raises(ValueError):
+        decode_png_gray(bytes(blob[:60]))
 
 
 def test_decode_real_image_dispatches_png():
