@@ -9,9 +9,9 @@ plain Python over the public specification. Grayscale rasters use a
 decode(encode(x)) == x exactly and a SQL oracle can pin every pixel of
 a fixture from the source data.
 
-Honest boundaries (documented ``NotImplementedError``): interlaced
-images, and transparency handling beyond ignoring
-the extension; only the FIRST image of an animation is decoded (the
+Interlace (the spec's 4-pass row ordering) and local color tables are
+SUPPORTED (r8). Honest boundaries: transparency handling beyond
+ignoring the extension; only the FIRST image of an animation is decoded (the
 metadata operator's contract is one gray raster per blob). Non-GIF
 blobs return ``None``; structural corruption raises ``ValueError``.
 
@@ -125,13 +125,25 @@ def _lzw_decompress(data: bytes, min_code_size: int, expect: int) -> bytearray:
     return out[:expect]
 
 
-def encode_gif_gray(pixels, local_palette: bool = False) -> bytes:
+def _gif_interlace_order(h: int):
+    import numpy as np
+
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in
+         ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
+def encode_gif_gray(pixels, local_palette: bool = False,
+                    interlace: bool = False) -> bytes:
     """Grayscale (h, w) uint8 raster -> a GENUINE GIF89a: logical
     screen descriptor, 256-entry gray color table (index ==
     intensity), image descriptor, real LZW-compressed indices in
     sub-block framing, trailer. ``local_palette=True`` ships the gray
     table as the image's LOCAL color table and no global one — the
-    per-frame-palette layout animated GIFs use."""
+    per-frame-palette layout animated GIFs use; ``interlace=True``
+    stores rows in the spec's 4-pass order with the interlace flag
+    set."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -142,16 +154,17 @@ def encode_gif_gray(pixels, local_palette: bool = False) -> bytes:
         # logical screen WITHOUT a global color table
         out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)
         # image descriptor: LCT flag set, table size 2^(7+1)=256
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x87)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0xC7 if interlace else 0x87)
         out += palette
     else:
         # logical screen: GCT flag + 8-bit color resolution + size 256
         out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
         out += palette
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # descriptor
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)  # descriptor
     min_code_size = 8
     out.append(min_code_size)
-    lzw = _lzw_compress(px.reshape(-1), min_code_size)
+    rows = px[_gif_interlace_order(h)] if interlace else px
+    lzw = _lzw_compress(rows.reshape(-1), min_code_size)
     for i in range(0, len(lzw), 255):  # sub-block framing
         chunk = lzw[i : i + 255]
         out.append(len(chunk))
@@ -202,8 +215,7 @@ def decode_gif_gray(data: bytes):
             raise ValueError("truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF")
+        interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:  # local color table overrides the global
             n = 2 << (ipacked & 0x07)
@@ -237,6 +249,16 @@ def decode_gif_gray(data: bytes):
             pos += size
         indices = _lzw_decompress(bytes(lzw), min_code_size, w * h)
         idx = np.frombuffer(bytes(indices), np.uint8).reshape(h, w)
+        if interlaced:
+            # GIF 4-pass interlace (89a spec appendix E): rows stored
+            # pass-by-pass; scatter them back to display order
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in
+                 ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            display = np.empty_like(idx)
+            display[order] = idx
+            idx = display
         if int(idx.max()) >= len(ct):
             raise ValueError("pixel index outside color table")
         rgb = ct[idx].astype(np.int64)

@@ -75,10 +75,23 @@ def test_non_gif_returns_none():
 def test_boundaries_and_corruption():
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     blob = bytearray(encode_gif_gray(img))
+    # interlace is SUPPORTED since r8: a genuine 4-pass encoding
+    # round-trips exactly (incl. heights that leave passes empty)
+    for shape in ((8, 8), (3, 5), (9, 4)):
+        im = np.arange(shape[0] * shape[1], dtype=np.uint8).reshape(shape)
+        _, _, got = decode_gif_gray(encode_gif_gray(im, interlace=True))
+        assert np.array_equal(got, im)
+    # flipping the flag on sequentially-stored rows decodes a
+    # row-permuted image — still structurally valid, so pin that the
+    # permutation is exactly the 4-pass scatter
     interlaced = bytearray(blob)
     interlaced[_DESC + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_gif_gray(bytes(interlaced))
+    _, _, perm = decode_gif_gray(bytes(interlaced))
+    from protarrow_spark.operators.gif import _gif_interlace_order
+
+    expect = np.empty_like(img)
+    expect[_gif_interlace_order(img.shape[0])] = img
+    assert np.array_equal(perm, expect)
     # local color tables are SUPPORTED since r8: a genuine local-
     # palette encoding round-trips exactly...
     w, h, gray = decode_gif_gray(encode_gif_gray(img, local_palette=True))
