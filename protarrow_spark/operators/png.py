@@ -12,8 +12,10 @@ same gate strategy as the BMP/PGM codecs, now over a compressed
 format.
 
 Honest boundaries (documented ``NotImplementedError``): bit depths
-other than 8 and palette/alpha color types (3/4/6). Adam7 interlace is
-SUPPORTED (r8): the seven passes unfilter independently and scatter
+other than 8. ALL five 8-bit color types are supported — gray,
+truecolor, palette (PLTE lookup + BT.601 luma), gray+alpha, RGBA
+(alpha ignored: the operator contract is a gray raster) — and Adam7
+interlace is SUPPORTED (r8): the seven passes unfilter independently and scatter
 onto the full-resolution grid; ``encode_png(..., interlace=True)``
 emits a spec-valid interlaced stream for the round-trip tests.
 A blob that does not start with the 8-byte PNG signature returns
@@ -33,6 +35,11 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _COLOR_GRAY = 0
 _COLOR_RGB = 2
+_COLOR_PALETTE = 3
+_COLOR_GRAY_ALPHA = 4
+_COLOR_RGBA = 6
+#: channels per pixel, by color type
+_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -94,18 +101,45 @@ def _filter_rows(rows, bpp: int, filters=None) -> bytearray:
 
 
 def encode_png(pixels, color: bool = False, filters=None,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False, color_type: int | None = None) -> bytes:
     """(h, w) uint8 grayscale — or (h, w, 3) uint8 RGB with
     ``color=True`` — to a GENUINE PNG. ``filters`` optionally gives a
     per-row filter type (0..4); default cycles through all five so a
     decoder must implement every filter to read the fixture.
     ``interlace=True`` emits Adam7: the seven passes serialize their
     reduced grids as independent filter chains (each pass filtered
-    with the same per-row cycle)."""
+    with the same per-row cycle). ``color_type`` overrides the layout:
+    3 = palette (the gray raster stored as indices over an identity
+    gray PLTE), 4 = gray+alpha, 6 = RGBA (alpha 255) — the fixtures
+    for the decoder's full color-type matrix."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if color:
+    plte_chunk = b""
+    if color_type == _COLOR_PALETTE:
+        h, w = px.shape
+        bpp, ctype = 1, _COLOR_PALETTE
+        rows = px.astype(np.int32)  # index == intensity
+        plte_chunk = _chunk(
+            b"PLTE", bytes(v for x in range(256) for v in (x, x, x))
+        )
+    elif color_type == _COLOR_GRAY_ALPHA:
+        h, w = px.shape
+        bpp, ctype = 2, _COLOR_GRAY_ALPHA
+        ga = np.empty((h, w * 2), dtype=np.int32)
+        ga[:, 0::2] = px
+        ga[:, 1::2] = 255
+        rows = ga
+    elif color_type == _COLOR_RGBA:
+        h, w, _ = px.shape
+        bpp, ctype = 4, _COLOR_RGBA
+        rgba = np.empty((h, w * 4), dtype=np.int32)
+        flat = px.reshape(h, w * 3)
+        for c in range(3):
+            rgba[:, c::4] = flat[:, c::3]
+        rgba[:, 3::4] = 255
+        rows = rgba
+    elif color:
         h, w, _ = px.shape
         bpp, ctype = 3, _COLOR_RGB
         rows = px.reshape(h, w * 3).astype(np.int32)
@@ -132,6 +166,7 @@ def encode_png(pixels, color: bool = False, filters=None,
         return (
             PNG_MAGIC
             + _chunk(b"IHDR", ihdr)
+            + plte_chunk
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _chunk(b"IEND", b"")
         )
@@ -141,6 +176,7 @@ def encode_png(pixels, color: bool = False, filters=None,
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
+        + plte_chunk
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -245,6 +281,7 @@ def decode_png_gray(data: bytes):
         return None
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(data):
         length = struct.unpack(">I", data[pos : pos + 4])[0]
@@ -262,15 +299,17 @@ def decode_png_gray(data: bytes):
             )
             if depth != 8:
                 raise NotImplementedError(f"{depth}-bit PNG")
-            if color not in (_COLOR_GRAY, _COLOR_RGB):
-                raise NotImplementedError(
-                    f"PNG color type {color} (palette/alpha)"
-                )
+            if color not in _BPP:
+                raise ValueError(f"invalid PNG color type {color}")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("unknown compression/filter method")
             ihdr = (w, h, color, interlace)
+        elif ctype == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
@@ -278,7 +317,9 @@ def decode_png_gray(data: bytes):
     if ihdr is None:
         raise ValueError("no IHDR chunk")
     w, h, color, interlace = ihdr
-    bpp = 3 if color == _COLOR_RGB else 1
+    if color == _COLOR_PALETTE and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    bpp = _BPP[color]
     stride = w * bpp
     try:
         raw = zlib.decompress(bytes(idat))
@@ -290,9 +331,26 @@ def decode_png_gray(data: bytes):
         recon = _unfilter(raw, h, stride, bpp)
     if color == _COLOR_RGB:
         rgb = recon.reshape(h, w, 3).astype(np.int64)
-        gray = (
-            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
-        ).astype(np.uint8)
+        gray = _luma(rgb)
+    elif color == _COLOR_RGBA:
+        rgba = recon.reshape(h, w, 4).astype(np.int64)
+        gray = _luma(rgba[..., :3])  # alpha ignored (metadata contract)
+    elif color == _COLOR_GRAY_ALPHA:
+        gray = recon.reshape(h, w, 2)[..., 0].astype(np.uint8)
+    elif color == _COLOR_PALETTE:
+        idx = recon.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index outside PLTE")
+        gray = _luma(plte[idx].astype(np.int64))
     else:
         gray = recon.astype(np.uint8)
     return w, h, gray
+
+
+def _luma(rgb):
+    """Integer BT.601 luma, same coefficients as the BMP/GIF paths."""
+    import numpy as np
+
+    return (
+        (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    ).astype(np.uint8)

@@ -101,8 +101,12 @@ def test_boundaries_raise_not_implemented():
 
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_png_gray(patch_ihdr(8, 16))  # bit depth
-    with pytest.raises(NotImplementedError, match="color type"):
-        decode_png_gray(patch_ihdr(9, 3))  # palette
+    # color type 3 is SUPPORTED since r8 — claiming it without a PLTE
+    # chunk is structural corruption; an invalid type code likewise
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_gray(patch_ihdr(9, 3))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_gray(patch_ihdr(9, 5))
     # Adam7 is SUPPORTED since r8 — claiming interlace on a stream
     # serialized sequentially is CORRUPT (pass framing mismatch), and
     # a genuinely unknown interlace method is structural
@@ -138,3 +142,31 @@ def test_decode_real_image_dispatches_png():
     out = decode_real_image(encode_png(GOLDEN_PIXELS))
     assert out["width"] == 8 and out["height"] == 6
     assert np.array_equal(out["gray"], GOLDEN_PIXELS)
+
+
+def test_all_color_types_roundtrip():
+    """Color types 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA) are
+    supported since r8 — each round-trips to the same gray raster as
+    its plain counterpart, sequential AND Adam7."""
+    rng = np.random.default_rng(9)
+    for size in [(1, 1), (7, 5), (9, 17)]:
+        g = rng.integers(0, 256, size).astype(np.uint8)
+        c = rng.integers(0, 256, size + (3,)).astype(np.uint8)
+        plain_rgb = decode_png_gray(encode_png(c, color=True))[2]
+        for il in (False, True):
+            assert np.array_equal(
+                decode_png_gray(encode_png(g, color_type=3, interlace=il))[2], g
+            )
+            assert np.array_equal(
+                decode_png_gray(encode_png(g, color_type=4, interlace=il))[2], g
+            )
+            assert np.array_equal(
+                decode_png_gray(encode_png(c, color_type=6, interlace=il))[2],
+                plain_rgb,
+            )
+    # palette PNG without a PLTE chunk is structurally corrupt
+    blob = bytearray(encode_png(np.zeros((4, 4), np.uint8), color_type=3))
+    plte = blob.find(b"PLTE")
+    stripped = bytes(blob[: plte - 4]) + bytes(blob[plte + 8 + 768 :])
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_gray(stripped)
