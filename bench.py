@@ -177,6 +177,8 @@ HEADLINE = [
     "conv_encode_error_tolerance",
     # progressive JPEG (r8): multi-scan SOF2 through the distributed path
     "mm_image_features_jpeg_progressive",
+    # bottom-k quantile sketch + rank audit (r8)
+    "sketch_quantile_bottomk",
 ]
 
 

@@ -687,3 +687,95 @@ SELECT {group_col}, n_zero_registers, hll_sum,
        {HLL_NUMERATOR!r} / CAST(hll_sum AS DOUBLE) AS est_distinct
 FROM totals
 """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample-quantile sketch (r8)
+# ---------------------------------------------------------------------------
+
+#: Default bottom-k sample size for the quantile sketch.
+BOTTOMK_K = 256
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = BOTTOMK_K,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Quantile estimates from a BOTTOM-K uniform sample sketch.
+
+    The sketch state per group is the k rows whose ``md5(id)`` hashes
+    are smallest — a deterministic uniform sample that is genuinely
+    MERGEABLE (bottom-k of a union = bottom-k of the merged bottom-ks,
+    the same property KMV exploits), so shards sketch independently and
+    a coordinator merges k-sized states. The q-quantile estimate is
+    the ceil(q*m)-th smallest value in the sample (m = min(n, k)),
+    giving rank error O(sqrt(q(1-q)/k)) — the classical sample-quantile
+    bound — with NO data-dependent merge order: unlike t-digest/KLL,
+    every step is reproducible bit-for-bit on an independent engine,
+    which is what lets the gate hash-verify it.
+
+    Plan shape: one WindowGroupLimit (the same rewrite the hash/top-k
+    samplers lean on — rank <= k prunes per partition before the
+    shuffle) + one k-bounded per-group sort. The full column is never
+    collected anywhere.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    sample = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    per_group = sample.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.col(value_col).cast("double"))
+        ).alias("_vs"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    outs = [
+        F.element_at(
+            F.col("_vs"),
+            F.greatest(
+                F.lit(1), F.ceil(F.lit(q) * F.col("_m")).cast("int")
+            ),
+        ).alias(f"est_q{int(q * 100)}")
+        for q in qs
+    ]
+    return per_group.select(F.col(group_col), *outs)
+
+
+def bottomk_quantiles_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = BOTTOMK_K,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> str:
+    """DuckDB SQL reproducing the identical bottom-k estimates."""
+    est_cols = ",\n       ".join(
+        f"_vs[greatest(1, CAST(ceil({q} * _m) AS INT))] AS est_q{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+WITH ranked AS (
+  SELECT {group_col}, CAST({value_col} AS DOUBLE) AS _v,
+         ROW_NUMBER() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS _rn
+  FROM {table}
+),
+grp AS (
+  SELECT {group_col}, list_sort(list(_v)) AS _vs, COUNT(*) AS _m
+  FROM ranked WHERE _rn <= {k}
+  GROUP BY {group_col}
+)
+SELECT {group_col},
+       {est_cols}
+FROM grp
+"""

@@ -9,7 +9,7 @@ can only ever be checked against loose error bounds.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from protarrow_spark.operators import sketches
 from protarrow_spark.queries.registry import query
@@ -216,5 +216,121 @@ def sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_est",
             ((F.col("hll_est") - exd) / exd).alias("hll_rel_err"),
             ((F.col("kmv_est") - exd) / exd).alias("kmv_rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_quantile_bottomk — mergeable sample-quantile sketch + rank audit
+# ---------------------------------------------------------------------------
+
+
+def _bottomk_quantile_oracle() -> str:
+    est = sketches.bottomk_quantiles_oracle_sql(
+        "(SELECT * FROM events WHERE value IS NOT NULL)",
+        "event_type", "value", "event_id",
+    )
+    return f"""
+WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v, event_id
+            FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+exact AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS exact_q50,
+         MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS exact_q90
+  FROM ranked GROUP BY event_type
+),
+est AS ({est}),
+err AS (
+  SELECT e.event_type,
+         SUM(CASE WHEN ev.v <= e.est_q50 THEN 1 ELSE 0 END) AS le50,
+         SUM(CASE WHEN ev.v <= e.est_q90 THEN 1 ELSE 0 END) AS le90
+  FROM est e JOIN ev ON ev.event_type = e.event_type
+  GROUP BY e.event_type
+)
+SELECT x.event_type,
+       CAST(x.n AS BIGINT) AS n_rows,
+       x.exact_q50, s.est_q50,
+       CAST(r.le50 AS DOUBLE) / x.n - 0.5 AS rank_err_q50,
+       x.exact_q90, s.est_q90,
+       CAST(r.le90 AS DOUBLE) / x.n - 0.9 AS rank_err_q90
+FROM exact x
+JOIN est s ON s.event_type = x.event_type
+JOIN err r ON r.event_type = x.event_type
+"""
+
+
+@query("sketch_quantile_bottomk", oracle=_bottomk_quantile_oracle())
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sample-quantile sketch + its rank-error audit (r8,
+    completing the sketch family: distinct -> KMV/HLL, frequency ->
+    CMS, quantiles -> fixed-bin histogram and now BOTTOM-K).
+
+    The sketch keeps the k=256 rows with smallest md5(id) per group —
+    a deterministic uniform sample whose bottom-k-of-union merge is
+    exactly KMV's (shards sketch independently; a coordinator merges
+    k-sized states), and whose q-quantile estimate is the ceil(q*m)-th
+    smallest sampled value: rank error O(sqrt(q(1-q)/k)) with no
+    data-dependent merge order, so the oracle reproduces every
+    estimate bit-for-bit where t-digest/KLL could not be hash-gated.
+    Next to the estimates, the audit computes the EXACT q50/q90 (one
+    windowed rank per group) and the realized rank error of each
+    estimate (share of values <= estimate, minus q) — the measurement
+    that says whether the k=256 budget holds on THIS distribution
+    before trusting it at 100 TB.
+
+    Scale: the sketch side is one WindowGroupLimit (rank <= k prunes
+    partition-locally before the shuffle) + k-bounded per-group sorts;
+    the exact side is the audit's truth (one full sort per group —
+    run it on a sampled stratum at scale, as with the other audits);
+    the rank-error join broadcasts |groups| rows."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("v"), "event_id")
+    )
+    est = sketches.bottomk_quantiles(ev, "event_type", "v", "event_id")
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("v")
+            )
+        ).alias("exact_q50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("v")
+            )
+        ).alias("exact_q90"),
+    )
+    err = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("est_q50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("v") <= F.col("est_q90"), 1).otherwise(0)).alias("le90"),
+        )
+    )
+    return (
+        exact.join(F.broadcast(est), "event_type")
+        .join(F.broadcast(err), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            "exact_q50",
+            "est_q50",
+            (F.col("le50").cast("double") / F.col("n") - 0.5).alias("rank_err_q50"),
+            "exact_q90",
+            "est_q90",
+            (F.col("le90").cast("double") / F.col("n") - 0.9).alias("rank_err_q90"),
         )
     )
