@@ -580,6 +580,135 @@ def encode_jpeg_progressive_gray(pixels, quant=None) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_color_multiscan(
+    y, cb, cr, quant_luma=None, quant_chroma=None, subsample=False
+) -> bytes:
+    """YCbCr planes -> a BASELINE (SOF0) color JPEG whose components
+    arrive in THREE single-component sequential scans (T.81 A.2
+    non-interleaved order) instead of one interleaved scan — the
+    multi-scan baseline layout some encoders emit. Every block is
+    fully coded (DC diff + run-length AC, Annex-K tables); per-scan
+    DC predictors."""
+    import numpy as np
+
+    ql = np.asarray(
+        quant_luma if quant_luma is not None else QUANT_ANNEX_K, dtype=np.int32
+    )
+    qc = np.asarray(
+        quant_chroma if quant_chroma is not None else QUANT_ANNEX_K_CHROMA,
+        dtype=np.int32,
+    )
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    if subsample:
+        hy, vy = 2, 2
+
+        def shrink(p):
+            p = np.asarray(p, dtype=np.float64)
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+            pad = np.empty((eh, ew), dtype=np.float64)
+            pad[:h, :w] = p
+            pad[h:, :w] = p[h - 1 : h, :]
+            pad[:, w:] = pad[:, w - 1 : w]
+            return (
+                pad.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            ).round().astype(np.uint8)
+
+        cb_p, cr_p = shrink(cb), shrink(cr)
+    else:
+        hy, vy = 1, 1
+        cb_p = np.asarray(cb, dtype=np.uint8)
+        cr_p = np.asarray(cr, dtype=np.uint8)
+
+    hmax, vmax = hy, vy
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        {"px": y, "hv": (hy, vy), "q": ql, "tq": 0, "cid": 1},
+        {"px": cb_p, "hv": (1, 1), "q": qc, "tq": 1, "cid": 2},
+        {"px": cr_p, "hv": (1, 1), "q": qc, "tq": 1, "cid": 3},
+    ]
+    for p in planes:
+        hi, vi = p["hv"]
+        p["bw"], p["bh"] = mcux * hi, mcuy * vi
+        p["rows"] = _plane_zigzag_coefs(p["px"], p["q"], p["bh"], p["bw"])
+
+    dc_l = _build_codes(DC_BITS, DC_HUFFVAL)
+    ac_l = _build_codes(AC_BITS, AC_HUFFVAL)
+    dc_c = _build_codes(DC_BITS_CHROMA, DC_HUFFVAL_CHROMA)
+    ac_c = _build_codes(AC_BITS_CHROMA, AC_HUFFVAL_CHROMA)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits, huffval) -> bytes:
+        return bytes([tc_th]) + bytes(bits) + bytes(huffval)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(_M_DQT, bytes([0x00]) + bytes(int(ql[ZIGZAG[i]]) for i in range(64)))
+    out += seg(_M_DQT, bytes([0x01]) + bytes(int(qc[ZIGZAG[i]]) for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for p in planes:
+        hi, vi = p["hv"]
+        sof += bytes([p["cid"], (hi << 4) | vi, p["tq"]])
+    out += seg(_M_SOF0, sof)
+    out += seg(_M_DHT, dht(0x00, DC_BITS, DC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x10, AC_BITS, AC_HUFFVAL))
+    out += seg(_M_DHT, dht(0x01, DC_BITS_CHROMA, DC_HUFFVAL_CHROMA))
+    out += seg(_M_DHT, dht(0x11, AC_BITS_CHROMA, AC_HUFFVAL_CHROMA))
+
+    for ci, p in enumerate(planes):
+        dc_codes = dc_l if ci == 0 else dc_c
+        ac_codes = ac_l if ci == 0 else ac_c
+        td = ta = 0 if ci == 0 else 1
+        out += seg(
+            _M_SOS,
+            bytes([1, p["cid"], (td << 4) | ta, 0, 63, 0]),
+        )
+        wtr = _BitWriter()
+        prev = 0
+        hi, vi = p["hv"]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        eob_code, eob_len = ac_codes[0x00]
+        zrl_code, zrl_len = ac_codes[0xF0]
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                row = p["rows"][by * p["bw"] + bx]
+                dc = int(row[0])
+                diff = dc - prev
+                prev = dc
+                s = _category(diff)
+                code, length = dc_codes[s]
+                wtr.write(code, length)
+                if s:
+                    wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                last_nz = 0
+                for i in range(63, 0, -1):
+                    if row[i]:
+                        last_nz = i
+                        break
+                run = 0
+                for i in range(1, last_nz + 1):
+                    v = int(row[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wtr.write(zrl_code, zrl_len)
+                        run -= 16
+                    s = _category(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    wtr.write(code, length)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    wtr.write(eob_code, eob_len)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive_color(
     y, cb, cr, quant_luma=None, quant_chroma=None, subsample=False
 ) -> bytes:
@@ -931,8 +1060,10 @@ def decode_jpeg(data: bytes):
     the blob does not start with SOI (not a JPEG — the operator's
     null path); raises ``NotImplementedError`` at the codec's honest
     boundaries (lossless/hierarchical frames, 12-bit precision, >2x
-    sampling factors, baseline non-interleaved scans, 16-bit quant
-    tables) and ``ValueError`` on corrupt streams. Restart intervals
+    sampling factors, 16-bit quant tables) and ``ValueError`` on
+    corrupt streams. Baseline multi-scan (non-interleaved) layouts
+    decode through the same persistent-state machinery as progressive
+    (r8). Restart intervals
     (DRI/RSTn — standard camera output) are fully supported: the
     entropy stream resyncs and DC predictors reset at every RSTn."""
     import numpy as np
@@ -1046,11 +1177,7 @@ def decode_jpeg(data: bytes):
                 raise ValueError("truncated SOS segment")
             by_cid = {c["cid"]: c for c in comps}
 
-            if not progressive:
-                if ns != len(comps):
-                    raise NotImplementedError(
-                        "non-interleaved scan (scan components != frame components)"
-                    )
+            if not progressive and ns == len(comps):
                 scan_comps = []
                 for s in range(ns):
                     cs = payload[1 + 2 * s]
@@ -1079,7 +1206,10 @@ def decode_jpeg(data: bytes):
                     data, pos, w, h, scan_comps, restart_interval
                 )
 
-            # progressive: decode this scan into persistent coefficient
+            # multi-scan path: progressive scans, or BASELINE
+            # non-interleaved scans (ns < frame components — each
+            # component's blocks arrive fully coded in its own scan,
+            # T.81 A.2.2). Both decode into persistent coefficient
             # state and continue the marker loop (DHT/DRI may redefine
             # between scans) until EOI.
             import numpy as np
@@ -1117,23 +1247,30 @@ def decode_jpeg(data: bytes):
                 st = prog_state.get(cs)
                 if st is None:
                     raise ValueError(f"SOS component {cs} not in SOF")
-                if ss_ == 0 and ah_ == 0:  # DC first needs a DC table
+                if not progressive or (ss_ == 0 and ah_ == 0):
+                    # sequential scans and progressive DC-first need DC
                     if (0, td) not in huff_tables:
                         raise ValueError(
                             f"SOS references undefined DC DHT table {td}"
                         )
                     st["dc_lut"] = _build_lut(huff_tables[(0, td)])
-                elif ss_ > 0:  # AC scans need an AC table
+                if not progressive or ss_ > 0:
+                    # sequential scans and progressive AC scans need AC
                     if (1, ta) not in huff_tables:
                         raise ValueError(
                             f"SOS references undefined AC DHT table {ta}"
                         )
                     st["ac_lut"] = _build_lut(huff_tables[(1, ta)])
                 scan_states.append(st)
-            pos = _decode_scan_progressive(
-                data, pos, frame, scan_states, ss_, se_, ah_, al_,
-                restart_interval,
-            )
+            if progressive:
+                pos = _decode_scan_progressive(
+                    data, pos, frame, scan_states, ss_, se_, ah_, al_,
+                    restart_interval,
+                )
+            else:
+                pos = _decode_scan_sequential(
+                    data, pos, frame, scan_states, restart_interval
+                )
             continue
         # else: APPn/COM/etc — skipped via seg_len
     if prog_state is not None:
@@ -1437,6 +1574,51 @@ def _block_units(scan_states, mcux, mcuy, w, h, hmax, vmax):
         for by in range(-(-ch // 8)):
             for bx in range(-(-cw // 8)):
                 yield [(st, by * st["bw"] + bx)]
+
+
+def _decode_scan_sequential(data, pos, frame, scan_states, ri):
+    """Entropy-decode ONE baseline sequential scan over a SUBSET of
+    the frame's components (non-interleaved when ns == 1, partially
+    interleaved otherwise — T.81 A.2) into the persistent coefficient
+    state: every block arrives complete (DC diff + run-length AC),
+    DC predictors reset per scan and at RSTn. Returns the position
+    after the scan's entropy data."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    segments, end = _entropy_segments(data, pos, ri)
+    rd = _ScanBits(segments)
+    for st in scan_states:
+        st["prev_dc"] = 0
+    units = _block_units(scan_states, mcux, mcuy, w, h, hmax, vmax)
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0:
+            rd.restart()
+            for st in scan_states:
+                st["prev_dc"] = 0
+        for st, bi in unit:
+            block = st["coefs"][bi]
+            s = rd.decode(st["dc_lut"])
+            st["prev_dc"] += _extend(rd.bits(s), s) if s else 0
+            block[0] = st["prev_dc"]
+            k = 1
+            while k < 64:
+                rs = rd.decode(st["ac_lut"])
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                block[k] = _extend(rd.bits(sz), sz)
+                k += 1
+    rd.finish()
+    return end
 
 
 def _decode_scan_progressive(

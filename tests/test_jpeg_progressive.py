@@ -185,3 +185,29 @@ def test_progressive_through_multimodal_dispatch():
     assert out["width"] == 16 and out["height"] == 16
     base = decode_real_image(encode_jpeg_gray(img))
     assert np.array_equal(out["gray"], base["gray"])
+
+
+def test_baseline_noninterleaved_multiscan_equals_interleaved():
+    """BASELINE non-interleaved layout (three single-component SOF0
+    scans, T.81 A.2) decodes bit-identical to the interleaved encoding
+    of the same planes — it rides the same persistent-state multi-scan
+    machinery as progressive."""
+    from protarrow_spark.operators.jpeg import encode_jpeg_color_multiscan
+
+    rng = np.random.default_rng(23)
+    for size in [(16, 16), (37, 53)]:
+        for sub in (False, True):
+            y, cb, cr = (
+                rng.integers(0, 256, size).astype(np.uint8) for _ in range(3)
+            )
+            base = decode_jpeg(encode_jpeg_color(y, cb, cr, subsample=sub))[2]
+            multi = decode_jpeg(
+                encode_jpeg_color_multiscan(y, cb, cr, subsample=sub)
+            )[2]
+            for a, b in zip(base, multi):
+                assert np.array_equal(a, b)
+    # truncation: dropping the trailer (EOI) must raise, not return a
+    # partially-scanned image
+    blob = encode_jpeg_color_multiscan(y, cb, cr)
+    with pytest.raises(ValueError, match="EOI"):
+        decode_jpeg(blob[:-2])
