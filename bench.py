@@ -179,6 +179,8 @@ HEADLINE = [
     "mm_image_features_jpeg_progressive",
     # bottom-k quantile sketch + rank audit (r8)
     "sketch_quantile_bottomk",
+    # Adam7/palette/alpha PNG layouts through the distributed path (r8)
+    "mm_image_features_png_adam7",
 ]
 
 

@@ -407,6 +407,96 @@ def mm_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _png_adam7_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob): the Adam7 + exotic-color-type
+    counterpart of ``_png_blobs`` — ids ≡ 0 (mod 8) PALETTE (type 3,
+    identity gray PLTE) interlaced, ≡ 2 RGBA (type 6, alpha 255)
+    interlaced, ≡ 4 gray+alpha (type 4) sequential, ≡ 6 grayscale
+    interlaced; all four reproduce the text bytes exactly (lossless +
+    identity luma). Odd ids stay raw text (null path)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.operators import png
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        for b in batches:
+            blobs = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    h = max(1, -(-len(data) // _BMP_W))
+                    px = np.zeros(h * _BMP_W, dtype=np.uint8)
+                    px[: len(data)] = np.frombuffer(data, np.uint8)
+                    px = px.reshape(h, _BMP_W)
+                    m = doc_id % 8
+                    if m == 0:
+                        blobs.append(
+                            png.encode_png(px, color_type=3, interlace=True)
+                        )
+                    elif m == 2:
+                        rgb = np.repeat(px[..., None], 3, axis=2)
+                        blobs.append(
+                            png.encode_png(rgb, color_type=6, interlace=True)
+                        )
+                    elif m == 4:
+                        blobs.append(png.encode_png(px, color_type=4))
+                    else:
+                        blobs.append(png.encode_png(px, interlace=True))
+                else:
+                    blobs.append(data)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(build, "doc_id long, blob binary")
+
+
+@query(
+    "mm_image_features_png_adam7",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS ph, len(hex(encode(text))) // 2 AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN {_BMP_W} END AS width,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST({_BMP_W} * GREATEST(1, CAST(ceil(nb / {_BMP_W}.0) AS INT)) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_sum(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS BIGINT)
+       END AS pixel_sum,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(coalesce(list_max(
+         [{_byteval('ph', 'i')} FOR i IN range(1, nb + 1)]), 0) AS INT)
+       END AS pixel_max
+FROM t
+""",
+)
+def mm_image_features_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the PNG layouts real corpora actually
+    contain beyond plain gray/truecolor (r8): Adam7-INTERLACED palette
+    (PLTE lookup), interlaced RGBA, gray+alpha, and interlaced
+    grayscale blobs — four layouts per corpus, every decoded pixel
+    oracle-pinned from the source text through losslessness + identity
+    luma. Distributed end-to-end evidence for the r8 decoder
+    extensions (pass scattering, PLTE, alpha channels), on top of
+    their round-trip matrices in tests/test_png.py.
+
+    Scale: identical Arrow-batched ``mapInPandas`` topology to
+    mm_image_features_png — partition-local, no shuffle."""
+    return multimodal.decode_image_features(
+        _png_adam7_blobs(spark, sf_dir), "doc_id", "blob"
+    )
+
+
 def _gif_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, blob): even ids become GENUINE GIF89a
     files through the real LZW compressor (gray palette, index ==
