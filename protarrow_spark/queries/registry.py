@@ -141,7 +141,6 @@ GRADED_FIRST = [
     "ann_ivf_recall_report",
     "retrieval_hybrid_rrf",
     "pairgen_hard_negatives",
-    "pairgen_contrastive_negatives",
     # -- embeddings: fixed-point PCA projection
     "embed_pca_project",
     # -- sketches: error audit vs exact
@@ -186,6 +185,7 @@ GRADED_FIRST = [
     #    r9 pool; their family siblings stay in-window)
     "mm_image_features_jpeg_progressive",
     "stream_proto_decode_tolerance",
+    "mm_image_features_png_adam7",
 ]
 
 
