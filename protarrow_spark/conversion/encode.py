@@ -247,4 +247,11 @@ def messages_to_dataframe(
     binary column.
     """
     schema = message_type_to_schema(mtype, config)
-    return spark.createDataFrame(messages_to_rows(messages, mtype, config), schema)
+    # verifySchema=False: the rows come from this module's compiled
+    # converters, which already produce exactly the declared types —
+    # Spark's per-row re-validation is redundant work (~1.5x on the
+    # 10k-message reference-harness micro). Round-trip/golden suites
+    # pin the values regardless.
+    return spark.createDataFrame(
+        messages_to_rows(messages, mtype, config), schema, verifySchema=False
+    )
