@@ -956,3 +956,66 @@ def stream_proto_decode_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("total_value"),
     )
     return _run_to_memory(agg, "mem_stream_proto_decode_tolerance")
+
+
+def _stream_bottomk_oracle() -> str:
+    from protarrow_spark.operators import sketches
+
+    est = sketches.bottomk_quantiles_oracle_sql(
+        "(SELECT * FROM events WHERE value IS NOT NULL)",
+        "event_type", "value", "event_id",
+    )
+    return f"""
+WITH cnt AS (
+  SELECT event_type, COUNT(*) AS n_seen
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+est AS ({est})
+SELECT c.event_type, CAST(c.n_seen AS BIGINT) AS n_seen,
+       e.est_q50, e.est_q90
+FROM cnt c JOIN est e ON e.event_type = c.event_type
+"""
+
+
+@query("stream_quantile_bottomk", oracle=_stream_bottomk_oracle())
+def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING bottom-k sample-quantile sketch: the mergeable sketch
+    from ``operators.sketches.bottomk_quantiles`` maintained as
+    ``applyInPandasWithState`` streaming state — the state per key is
+    the k=256 rows with smallest md5(id) seen so far (bottom-k of a
+    union merges, so any micro-batch split converges to the identical
+    sample), and every micro-batch emits the key's current q50/q90
+    estimates with a monotone n_seen counter. The completed output
+    equals the BATCH sketch bit-for-bit, which is exactly what the
+    oracle pins — running quantile monitoring over an unbounded stream
+    with constant per-key state.
+
+    Scale: k (hash, id, value) triples per key of state; one grouped
+    shuffle, same as a batch groupBy."""
+    from protarrow_spark.streaming.stateful import bottomk_quantile_state
+
+    ev = _stream_events(spark, sf_dir).where(F.col("value").isNotNull())
+    est = bottomk_quantile_state(
+        ev.select("event_type", "value", "event_id"),
+        "event_type", "value", "event_id",
+    )
+    q = (
+        est.writeStream.format("memory")
+        .queryName("mem_stream_quantile_bottomk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("mem_stream_quantile_bottomk")
+    last = F.max(F.struct("n_seen", "est_q50", "est_q90")).alias("s")
+    return (
+        sink.groupBy("event_type")
+        .agg(last)
+        .select(
+            "event_type",
+            F.col("s.n_seen").alias("n_seen"),
+            F.col("s.est_q50").alias("est_q50"),
+            F.col("s.est_q90").alias("est_q90"),
+        )
+    )

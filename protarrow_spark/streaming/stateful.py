@@ -78,3 +78,78 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bottomk_quantile_state(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    qs: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Per-key BOTTOM-K sample-quantile sketch maintained in streaming
+    state (``applyInPandasWithState``, update mode): the state is the
+    k rows with smallest ``md5(id)`` seen so far — exactly the batch
+    ``operators.sketches.bottomk_quantiles`` state, kept incrementally
+    because bottom-k-of-union merges (the KMV property). Each
+    micro-batch emits the key's current quantile estimates plus a
+    monotone ``n_seen`` counter (the last-emission selector for the
+    update-mode sink readout).
+
+    Deterministic end-to-end: Python's ``hashlib.md5`` hex equals the
+    SQL engines' md5, the (hash, id) order is total, and the estimate
+    is an array index — so the completed stream output hash-matches
+    the batch oracle bit-for-bit, under ANY micro-batch split.
+
+    Scale: state is k (hash, id, value) triples per key — constant;
+    the grouped shuffle is a batch groupBy's."""
+    import hashlib
+
+    est_cols = ", ".join(f"est_q{int(q * 100)} double" for q in qs)
+    out_schema = f"{key_col} string, n_seen long, {est_cols}"
+    state_schema = "n long, h array<string>, i array<long>, v array<double>"
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, hs, ids, vs = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        triples = list(zip(hs, ids, vs))
+        for pdf in pdfs:
+            n += len(pdf)
+            for rid, val in zip(pdf[id_col], pdf[value_col]):
+                rid = int(rid)
+                triples.append(
+                    (hashlib.md5(str(rid).encode()).hexdigest(), rid, float(val))
+                )
+        triples.sort(key=lambda t: (t[0], t[1]))
+        triples = triples[:k]
+        state.update(
+            (
+                n,
+                [t[0] for t in triples],
+                [t[1] for t in triples],
+                [t[2] for t in triples],
+            )
+        )
+        import math
+
+        sample = sorted(t[2] for t in triples)
+        m = len(sample)
+        row = {key_col: [key[0]], "n_seen": [n]}
+        for q in qs:
+            idx = max(1, math.ceil(q * m))
+            row[f"est_q{int(q * 100)}"] = [sample[idx - 1] if m else None]
+        yield pd.DataFrame(row)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
