@@ -149,7 +149,6 @@ GRADED_FIRST = [
     "pipeline_ccnet",
     # -- sampling / ordering
     "sample_perplexity_filter",
-    "order_curriculum_interleave",
     # -- corpus reporting
     "report_token_fertility",
     # -- data quality
@@ -186,6 +185,7 @@ GRADED_FIRST = [
     "mm_image_features_jpeg_progressive",
     "stream_proto_decode_tolerance",
     "mm_image_features_png_adam7",
+    "stream_quantile_bottomk",
 ]
 
 
