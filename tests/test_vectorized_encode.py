@@ -290,3 +290,53 @@ def test_distributed_encode_uses_identical_bytes(spark):
     assert got[1].event_type == "click" and got[1].value == 1.5
     assert got[3].user_id == -7
     assert got[2].event_type == "" and got[2].ts is None
+
+
+# --- hypothesis property: batch == row on arbitrary scalar values ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40
+    ),
+    strs=st.lists(
+        st.one_of(st.none(), st.text(max_size=24)), min_size=1, max_size=40
+    ),
+    dbls=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_property_batch_equals_row(ids, strs, dbls):
+    """Any combination of int64/string/double cells (incl. None, ±inf,
+    ±0.0, empty strings, astral-plane text) encodes byte-identically
+    through the vectorized and row paths."""
+    n = max(len(ids), len(strs), len(dbls))
+
+    def pad(xs, fill):
+        return (xs * ((n // len(xs)) + 1))[:n] if xs else [fill] * n
+
+    mt = MessageType(
+        "vec.H",
+        (
+            Field("i", 1, Kind.INT64),
+            Field("s", 2, Kind.STRING),
+            Field("d", 3, Kind.DOUBLE),
+        ),
+    )
+    df = pd.DataFrame(
+        {
+            "i": pd.Series(pad(ids, 0), dtype=object),
+            "s": pd.Series(pad(strs, None), dtype=object),
+            "d": pd.Series(pad(dbls, None), dtype=object),
+        }
+    )
+    _assert_identical(mt, df)
