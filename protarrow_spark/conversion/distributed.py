@@ -39,6 +39,10 @@ from protarrow_spark.proto.message import Message, parse
 from protarrow_spark.proto.model import MessageType
 from protarrow_spark.schema import message_type_to_schema
 
+#: Consecutive Unvectorizable batches before the encoder stops
+#: retrying the vectorized path for the rest of the partition.
+_VEC_MAX_STRIKES = 3
+
 
 def decode_proto_bytes(
     df: DataFrame,
@@ -82,11 +86,23 @@ def decode_proto_bytes(
     src = df.select(*keep, bytes_col)
     null_row = (None,) * len(schema.fields)
 
+    decoded_names = [f.name for f in schema.fields]
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # compiled wire -> row-tuple path (no top-level Message),
-        # compiled once per partition
+        from protarrow_spark.conversion.vectorized import Unvectorizable
+        from protarrow_spark.conversion.vectorized_decode import (
+            compile_wire_to_batch,
+        )
+
+        # Vectorized columnar fast path for flat messages
+        # (conversion/vectorized_decode.py: the transposed numpy wire
+        # parser, value-identical by differential + corrupt-bytes fuzz
+        # test). The compiled row path stays the semantics oracle and
+        # the fallback for unsupported shapes and runtime surprises.
+        decode_batch = compile_wire_to_batch(mtype, config, permissive=permissive)
         decode_wire = compile_wire_to_row(mtype, config)
-        for batch in batches:
+
+        def decode_rowwise(batch):
             rows = []
             raw = batch[bytes_col]
             kept = [batch[c] for c in keep]
@@ -103,7 +119,26 @@ def decode_proto_bytes(
                 else:
                     decoded = decode_wire(bytes(cell))
                 rows.append(kept_vals + decoded)
-            yield pd.DataFrame.from_records(rows, columns=out_names)
+            return pd.DataFrame.from_records(rows, columns=out_names)
+
+        strikes = 0
+        for batch in batches:
+            if decode_batch is not None:
+                try:
+                    cols, _bad = decode_batch(list(batch[bytes_col]))
+                except Unvectorizable:
+                    strikes += 1
+                    if strikes >= _VEC_MAX_STRIKES:
+                        decode_batch = None
+                    yield decode_rowwise(batch)
+                    continue
+                strikes = 0
+                out = {c: batch[c].reset_index(drop=True) for c in keep}
+                for name, col in zip(decoded_names, cols):
+                    out[name] = col
+                yield pd.DataFrame(out, columns=out_names)
+                continue
+            yield decode_rowwise(batch)
 
     return src.mapInPandas(decode, out_schema)
 
@@ -191,26 +226,69 @@ def encode_proto_bytes(
                     )
             return pd.DataFrame.from_records(rows, columns=out_names)
 
-        for batch in batches:
-            kept = [batch[c] for c in keep]
-            if encode_batch is not None:
-                try:
-                    cells = encode_batch([batch[c] for c in field_names])
-                except Unvectorizable:
-                    encode_batch = None  # dtype shape won't change mid-stream
-                except (ValueError, TypeError, OverflowError, struct.error):
-                    if not permissive:
-                        raise
-                    yield encode_rowwise(batch, kept)
-                    continue
-                else:
-                    out = {c: batch[c].reset_index(drop=True) for c in keep}
-                    out[output_col] = cells
-                    yield pd.DataFrame(out, columns=out_names)
-                    continue
-            yield encode_rowwise(batch, kept)
+        yield from _encode_stream(
+            batches,
+            encode_batch,
+            encode_rowwise,
+            field_names=field_names,
+            keep=keep,
+            out_names=out_names,
+            output_col=output_col,
+            permissive=permissive,
+        )
 
     return src.mapInPandas(encode, out_schema)
+
+
+def _encode_stream(
+    batches,
+    encode_batch,
+    encode_rowwise,
+    *,
+    field_names,
+    keep,
+    out_names,
+    output_col,
+    permissive,
+):
+    """Per-partition encode loop: vectorized fast path with row-path
+    fallback.
+
+    Unvectorizable usually means a partition-wide dtype shape (Arrow
+    hands every batch of a partition the same schema), but object-dtype
+    columns can confine the offending VALUE to one batch — so retry the
+    vectorized path on subsequent batches and only disable it for the
+    rest of the partition after :data:`_VEC_MAX_STRIKES` consecutive
+    failures (bounding the wasted precompute at a constant, not
+    per-batch forever)."""
+    import pandas as pd
+
+    from protarrow_spark.conversion.vectorized import Unvectorizable
+
+    strikes = 0
+    for batch in batches:
+        kept = [batch[c] for c in keep]
+        if encode_batch is not None:
+            try:
+                cells = encode_batch([batch[c] for c in field_names])
+            except Unvectorizable:
+                strikes += 1
+                if strikes >= _VEC_MAX_STRIKES:
+                    encode_batch = None
+                yield encode_rowwise(batch, kept)
+                continue
+            except (ValueError, TypeError, OverflowError, struct.error):
+                if not permissive:
+                    raise
+                yield encode_rowwise(batch, kept)
+                continue
+            else:
+                strikes = 0
+                out = {c: batch[c].reset_index(drop=True) for c in keep}
+                out[output_col] = cells
+                yield pd.DataFrame(out, columns=out_names)
+                continue
+        yield encode_rowwise(batch, kept)
 
 
 def proto_roundtrip(
@@ -237,19 +315,23 @@ def proto_roundtrip(
     src = df.select(*out_names)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # both halves compiled: row-tuple -> wire bytes -> row-tuple,
-        # no top-level Message objects; columnar tuple iteration — no
-        # per-row dict materialization. The encode half takes the
-        # vectorized columnar path when the message shape supports it
-        # (conversion/vectorized.py — byte-identical by differential
-        # test), leaving the wire->row half as the per-row cost.
+        # both halves compiled AND vectorized when the message shape
+        # supports it: columns -> wire bytes (conversion/vectorized.py,
+        # byte-identical by differential test) -> columns
+        # (conversion/vectorized_decode.py, value-identical by
+        # differential + corrupt-fuzz test). Row paths remain the
+        # semantics oracle and the fallback on either half.
         from protarrow_spark.conversion.vectorized import (
             Unvectorizable,
             compile_batch_to_wire,
         )
+        from protarrow_spark.conversion.vectorized_decode import (
+            compile_wire_to_batch,
+        )
 
         encode_batch = compile_batch_to_wire(mtype, config)
         encode_row = compile_row_to_wire(mtype, config)
+        decode_batch = compile_wire_to_batch(mtype, config)
         decode_wire = compile_wire_to_row(mtype, config)
         for batch in batches:
             wires = None
@@ -259,10 +341,20 @@ def proto_roundtrip(
                 except Unvectorizable:
                     encode_batch = None
             if wires is None:
-                wires = (
+                wires = [
                     encode_row(rec)
                     for rec in zip(*(batch[c] for c in out_names))
-                )
+                ]
+            if decode_batch is not None:
+                try:
+                    cols, _bad = decode_batch(wires)
+                except Unvectorizable:
+                    decode_batch = None
+                else:
+                    yield pd.DataFrame(
+                        dict(zip(out_names, cols)), columns=out_names
+                    )
+                    continue
             rows = [decode_wire(w) for w in wires]
             yield pd.DataFrame.from_records(rows, columns=out_names)
 

@@ -236,6 +236,7 @@ def messages_to_dataframe(
     messages: Iterable[Message],
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
+    verify_schema: bool = False,
 ) -> DataFrame:
     """Encode proto messages into a DataFrame (reference
     ``messages_to_table``, ``proto_to_arrow.py:705-713``).
@@ -245,13 +246,21 @@ def messages_to_dataframe(
     data already on the cluster is
     :func:`protarrow_spark.conversion.decode_proto_bytes` over a
     binary column.
+
+    ``verify_schema`` defaults to False: the rows come from this
+    module's compiled converters, which already produce exactly the
+    declared types — Spark's per-row re-validation is redundant work
+    (~1.5x on the 10k-message reference-harness micro), and the
+    round-trip/golden suites pin the values regardless. Pass
+    ``verify_schema=True`` to restore Spark's per-row type check as a
+    last line of defence when feeding messages from an untrusted
+    converter/config combination: a mismatch then raises a clear
+    ``createDataFrame`` error instead of surfacing as corrupt column
+    data downstream.
     """
     schema = message_type_to_schema(mtype, config)
-    # verifySchema=False: the rows come from this module's compiled
-    # converters, which already produce exactly the declared types —
-    # Spark's per-row re-validation is redundant work (~1.5x on the
-    # 10k-message reference-harness micro). Round-trip/golden suites
-    # pin the values regardless.
     return spark.createDataFrame(
-        messages_to_rows(messages, mtype, config), schema, verifySchema=False
+        messages_to_rows(messages, mtype, config),
+        schema,
+        verifySchema=verify_schema,
     )

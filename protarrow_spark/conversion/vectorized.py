@@ -98,14 +98,24 @@ def _fill_fixed(buf, pos, u, nbytes, active):
         buf[pos[active] + j] = byte
 
 
+#: Fixed-width kinds whose struct.pack codes reject out-of-range input
+#: in the row path (``<I`` / ``<i``); the vectorized path must match
+#: rather than silently mask to the low 32 bits. FIXED64 is absent on
+#: purpose: the row path re-wraps negative int64 via the uint64
+#: decoder (decode.py ``_uint64_decoder``), which equals the
+#: two's-complement view, so all int64 inputs are in-contract.
+_FIXED_RANGE = {
+    Kind.FIXED32: (0, (1 << 32) - 1),
+    Kind.SFIXED32: (-(1 << 31), (1 << 31) - 1),
+}
+
+
 def _range_check(kind: Kind, v, valid, bad=None):
     """Strict mode (``bad`` is None): raise on the first out-of-range
     value, like the row path's wire writer. Permissive mode: OR the
     violating rows into ``bad`` instead — the caller nulls exactly
     those rows (the vectorized twin of the per-row try/except)."""
-    import numpy as np
-
-    lo, hi = _VARINT_RANGE[kind]
+    lo, hi = _VARINT_RANGE[kind] if kind in _VARINT_RANGE else _FIXED_RANGE[kind]
     if kind in (Kind.INT64, Kind.SINT64):
         return  # int64 array cannot leave int64 range
     if kind is Kind.UINT64:
@@ -119,6 +129,16 @@ def _range_check(kind: Kind, v, valid, bad=None):
             f"{kind.name} value {int(first)} out of range [{lo}, {hi}]"
         )
     bad |= viol
+
+
+def _encode_str_cell(x) -> bytes:
+    """UTF-8 encode one STRING cell, refusing non-str cells: the row
+    path raises AttributeError there (an encoder bug, deliberately
+    fatal even in permissive mode — distributed.py's except list), so
+    the vectorized path must not paper over it with ``str(x)``."""
+    if isinstance(x, str):
+        return x.encode("utf-8")
+    raise Unvectorizable(f"STRING cell of type {type(x).__name__}")
 
 
 def _is_timestamp_field(field: Field) -> bool:
@@ -315,7 +335,7 @@ def compile_batch_to_wire(
                     try:
                         if kind is Kind.STRING:
                             payloads = [
-                                b"" if isnull else str(x).encode("utf-8")
+                                b"" if isnull else _encode_str_cell(x)
                                 for x, isnull in zip(s.to_numpy(), null)
                             ]
                         else:
@@ -376,6 +396,10 @@ def compile_batch_to_wire(
                 except (TypeError, ValueError) as exc:
                     raise Unvectorizable(str(exc)) from exc
                 if kind in (Kind.FIXED32, Kind.SFIXED32):
+                    # Row path packs '<I'/'<i' which raises struct.error
+                    # out of range; masking to the low 32 bits here would
+                    # silently write a DIFFERENT number to the wire.
+                    _range_check(kind, v, ~null, bad)
                     width, wt = 4, _WT_I32
                     u = (v.view(np.uint64) & np.uint64(0xFFFFFFFF))
                 else:

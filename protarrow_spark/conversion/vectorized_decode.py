@@ -1,0 +1,574 @@
+"""Vectorized (numpy) wire DECODE for flat messages.
+
+The symmetric half of :mod:`protarrow_spark.conversion.vectorized`
+(the r8 batch encoder): ``compile_wire_to_row`` walks bytes per row in
+Python — a varint loop, a dict dispatch, and a handler call per field
+occurrence. At 100 TB the executor-side codec IS the conversion
+surface, so this module compiles a BATCH decoder that parses every row
+of an Arrow batch simultaneously, TRANSPOSED: one loop step advances
+every row's cursor past one field occurrence, with the per-step work
+(varint reads, fixed-width gathers, tag grouping, sign/zigzag
+mapping) done as numpy array ops. The only per-row Python left is one
+slice per string/bytes cell and the object-mode converters the row
+path also pays (Decimal, enum-name lookup).
+
+Wire streams of a flat message are highly regular — every row emits
+fields in number order, skipping defaults — so at each step almost all
+rows sit on the SAME tag and the per-step ``np.unique`` grouping
+degenerates to one or two groups. Step count ~= field count, not row
+count.
+
+Value-compatibility contract: for every supported message shape the
+decoded cells are IDENTICAL to ``compile_wire_to_row`` (differential-
+tested in tests/test_vectorized_decode.py over the random matrix, the
+config modes, and a corrupt-bytes fuzz: rows where the row path raises
+must raise here in strict mode and null identically in permissive
+mode).
+
+Scope (v1, mirrors the encoder): non-repeated, non-map, non-oneof
+fields of the scalar kinds plus google.protobuf.Timestamp message
+fields. Anything else -> ``compile_wire_to_batch`` returns None and
+callers keep the row path. Runtime surprises (wire values outside the
+shapes the numpy dtypes can mirror exactly, e.g. >=2^63 varints in a
+uint32 field from corrupt bytes) raise :class:`Unvectorizable` and the
+caller falls back per batch — the row path stays the semantics oracle.
+
+Reference parity: the reference's decode direction is
+``arrow_to_proto.py:608-656`` (columnar extraction from pyarrow
+buffers); this is the same columnar idea for the Spark distributed
+codec (wire bytes -> pandas columns).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion.vectorized import Unvectorizable
+from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+#: datetime.datetime(1,1,1)..(9999,12,31 23:59:59.999999) as
+#: microseconds since epoch — the row path's datetime arithmetic
+#: raises OverflowError outside this window (in BOTH error modes:
+#: OverflowError is not in the permissive catch list), and
+#: datetime64[us] would wrap silently, so the batch path must
+#: range-check and raise the same way.
+_DT_US_MIN = -62_135_596_800_000_000
+_DT_US_MAX = 253_402_300_799_999_999
+
+_VARINT_KINDS = {
+    Kind.INT32,
+    Kind.INT64,
+    Kind.UINT32,
+    Kind.UINT64,
+    Kind.SINT32,
+    Kind.SINT64,
+    Kind.BOOL,
+    Kind.ENUM,
+}
+_FIXED_WIDTH = {
+    Kind.DOUBLE: 8,
+    Kind.FIXED64: 8,
+    Kind.SFIXED64: 8,
+    Kind.FLOAT: 4,
+    Kind.FIXED32: 4,
+    Kind.SFIXED32: 4,
+}
+_LEN_KINDS = {Kind.STRING, Kind.BYTES}
+
+
+class _WireError(Exception):
+    """Internal: a row-local wire violation (truncated varint/payload,
+    over-long varint, unskippable wire type). Translated to a strict
+    raise or a permissive null-row by the caller."""
+
+
+def _is_timestamp_field(field: Field) -> bool:
+    return (
+        field.kind is Kind.MESSAGE
+        and not field.repeated
+        and not field.is_map
+        and field.message is not None
+        and field.message.full_name == TIMESTAMP.full_name
+    )
+
+
+def _read_varints_at(buf, cur, limit, active):
+    """Vectorized ``_read_varint`` for every ``active`` row: read the
+    varint at buf[cur[i]] bounded by limit[i]. Returns
+    ``(val uint64, newcur, err)`` where err marks rows that overran
+    their limit or exceeded 10 bytes (the row path's
+    'varint too long'). Non-active rows pass through untouched."""
+    import numpy as np
+
+    n = len(cur)
+    val = np.zeros(n, dtype=np.uint64)
+    p = cur.copy()
+    err = np.zeros(n, dtype=bool)
+    idx = np.flatnonzero(active)
+    shift = 0
+    while len(idx):
+        oob = p[idx] >= limit[idx]
+        if oob.any():
+            err[idx[oob]] = True
+            idx = idx[~oob]
+            if not len(idx):
+                break
+        b = buf[p[idx]].astype(np.uint64)
+        # shift <= 63 always (loop exits below); uint64 << drops
+        # overflow bits mod 2^64, matching the row path's & (2^64-1)
+        val[idx] |= (b & np.uint64(0x7F)) << np.uint64(shift)
+        p[idx] += 1
+        more = (b & np.uint64(0x80)) != 0
+        idx = idx[more]
+        shift += 7
+        if shift > 63 and len(idx):
+            err[idx] = True  # varint too long
+            break
+    return val, p, err
+
+
+def _read_fixed_at(buf, cur, limit, active, width):
+    """Vectorized fixed-width little-endian read. Returns
+    ``(val uint64, newcur, err)``; err marks rows whose payload
+    overruns their limit (the row path's struct.unpack IndexError /
+    _check_bounds)."""
+    import numpy as np
+
+    n = len(cur)
+    val = np.zeros(n, dtype=np.uint64)
+    err = np.zeros(n, dtype=bool)
+    p = cur.copy()
+    idx = np.flatnonzero(active)
+    oob = p[idx] + width > limit[idx]
+    if oob.any():
+        err[idx[oob]] = True
+        idx = idx[~oob]
+    if len(idx):
+        acc = np.zeros(len(idx), dtype=np.uint64)
+        base = p[idx]
+        for j in range(width):
+            acc |= buf[base + j].astype(np.uint64) << np.uint64(8 * j)
+        val[idx] = acc
+        p[idx] += width
+    return val, p, err
+
+
+def _skip_at(buf, cur, limit, active, wt):
+    """Vectorized ``_skip`` for one wire type. Returns (newcur, err).
+    Groups (wt 3/4) error like the row path raises."""
+    import numpy as np
+
+    n = len(cur)
+    err = np.zeros(n, dtype=bool)
+    if wt == _WT_VARINT:
+        _, p, err = _read_varints_at(buf, cur, limit, active)
+        return p, err
+    if wt in (_WT_I64, _WT_I32):
+        width = 8 if wt == _WT_I64 else 4
+        p = cur.copy()
+        idx = np.flatnonzero(active)
+        oob = p[idx] + width > limit[idx]
+        err[idx[oob]] = True
+        ok = idx[~oob]
+        p[ok] += width
+        return p, err
+    if wt == _WT_LEN:
+        ln, p, verr = _read_varints_at(buf, cur, limit, active)
+        err |= verr
+        idx = np.flatnonzero(active & ~err)
+        # a declared length may exceed int64 only via a corrupt 10-byte
+        # varint; comparing in int64 after capping keeps it an error
+        lni = np.minimum(ln[idx], np.uint64(1 << 62)).astype(np.int64)
+        oob = p[idx] + lni > limit[idx]
+        err[idx[oob]] = True
+        ok = idx[~oob]
+        p[ok] += lni[~oob]
+        return p, err
+    # groups / reserved wire types: the row path raises
+    err[active] = True
+    return cur.copy(), err
+
+
+def compile_wire_to_batch(
+    mtype: MessageType,
+    config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
+    permissive: bool = False,
+) -> Callable[[list], tuple] | None:
+    """Compile ``[bytes-or-None per row] -> (columns, bad)`` for a
+    supported flat message, or return None.
+
+    ``columns`` is a list of per-field cell arrays (numpy array or
+    Python list, length n) in ``mtype.fields`` order — value-identical
+    to ``compile_wire_to_row`` applied per row. ``bad`` is None in
+    strict mode; in permissive mode it is a bool mask of rows that
+    failed to parse (the caller nulls the whole row, the dead-letter
+    convention). Strict mode raises on the first malformed row like
+    the row path.
+    """
+    import numpy as np
+
+    fields = list(mtype.fields)
+    plan: dict[int, tuple] = {}
+    for idx, field in enumerate(fields):
+        if field.is_map or field.repeated or field.oneof is not None:
+            return None
+        if _is_timestamp_field(field):
+            if config.timestamp_type not in ("timestamp", "long_nanos"):
+                return None
+            plan[field.number] = ("timestamp", field, idx)
+            continue
+        if field.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
+            return None
+        plan[field.number] = ("scalar", field, idx)
+
+    enum_name_mode = config.enum_type != "int"
+    u64_decimal = config.uint64_type == "decimal"
+    ts_long_nanos = config.timestamp_type == "long_nanos"
+
+    def decode_batch(cells: list) -> tuple:
+        n = len(cells)
+        bad = np.zeros(n, dtype=bool)
+        if permissive:
+            # the row path wraps bytes(cell) in its per-row try, so a
+            # None or unconvertible cell nulls that row, not the batch
+            norm = []
+            for i, c in enumerate(cells):
+                if c is None:
+                    norm.append(b"")
+                    bad[i] = True
+                    continue
+                try:
+                    norm.append(bytes(c))
+                except (TypeError, ValueError):
+                    norm.append(b"")
+                    bad[i] = True
+        else:
+            # strict: bytes(None) raises TypeError like the row path
+            norm = [bytes(c) for c in cells]
+
+        buf = np.frombuffer(b"".join(norm), dtype=np.uint8)
+        lens = np.fromiter((len(c) for c in norm), dtype=np.int64, count=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        cur = offsets[:-1].copy()
+        rowend = offsets[1:].copy()
+
+        # per-field accumulators
+        raw_vals: dict[int, object] = {}
+        seen: dict[int, object] = {}
+        str_start: dict[int, object] = {}
+        str_len: dict[int, object] = {}
+        ts_sec: dict[int, object] = {}
+        ts_nano: dict[int, object] = {}
+        for number, (klass, field, idx) in plan.items():
+            if klass == "timestamp":
+                ts_sec[idx] = np.zeros(n, dtype=np.int64)
+                ts_nano[idx] = np.zeros(n, dtype=np.int64)
+                seen[idx] = np.zeros(n, dtype=bool)
+            elif field.kind in _LEN_KINDS:
+                str_start[idx] = np.zeros(n, dtype=np.int64)
+                str_len[idx] = np.zeros(n, dtype=np.int64)
+                seen[idx] = np.zeros(n, dtype=bool)
+            else:
+                raw_vals[idx] = np.zeros(n, dtype=np.uint64)
+                seen[idx] = np.zeros(n, dtype=bool)
+
+        def fail(mask, message):
+            """Translate row-local wire errors: permissive -> mark bad,
+            strict -> raise like the row path aborts the task."""
+            nonlocal bad
+            if not mask.any():
+                return
+            if not permissive:
+                raise ValueError(message)
+            bad |= mask
+
+        steps = 0
+        # Upper bound on well-formed steps: every step consumes >= 2
+        # bytes (tag + payload) for at least one active row, so a
+        # stream of L bytes yields <= L steps; the cap below only
+        # guards against a logic bug looping forever.
+        max_steps = int(lens.max(initial=0)) + 2
+        active = (cur < rowend) & ~bad
+        while active.any():
+            steps += 1
+            if steps > max_steps:  # pragma: no cover - defensive
+                raise Unvectorizable("decode step budget exceeded")
+            tags, p, verr = _read_varints_at(buf, cur, rowend, active)
+            fail(active & verr, "truncated or over-long tag varint")
+            active &= ~verr
+            cur = np.where(active, p, cur)
+            for tag in np.unique(tags[active]) if active.any() else ():
+                m = active & (tags == tag)
+                fn = int(tag) >> 3
+                wt = int(tag) & 7
+                entry = plan.get(fn)
+                if entry is None or fn == 0:
+                    # field number 0 is invalid on the wire; the row
+                    # path's handlers dict has no 0 key so it skips by
+                    # wire type, same as any unknown field
+                    p2, serr = _skip_at(buf, cur, rowend, m, wt)
+                    fail(m & serr, f"cannot skip field {fn} wt {wt}")
+                    ok = m & ~serr
+                    cur = np.where(ok, p2, cur)
+                    continue
+                klass, field, idx = entry
+                kind = field.kind
+                if klass == "timestamp":
+                    ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                    oob = np.zeros(n, dtype=bool)
+                    mok = m & ~verr
+                    lni = np.minimum(ln, np.uint64(1 << 62)).astype(np.int64)
+                    oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                    fail(m & (verr | oob), "truncated timestamp body")
+                    mok = mok & ~oob
+                    body_end = np.where(mok, p2 + lni, rowend)
+                    # first occurrence resets [0, 0] (the row path
+                    # allocates st = [0, 0]); later occurrences merge
+                    first = mok & ~seen[idx]
+                    ts_sec[idx][first] = 0
+                    ts_nano[idx][first] = 0
+                    seen[idx] |= mok
+                    # IMPORTANT: the row path's h_ts loop condition is
+                    # ``pos < body_end`` but its reads/skips are bounded
+                    # by the ROW end, and it returns body_end regardless
+                    # — a corrupt subfield may overrun the body into the
+                    # next field's bytes without erroring, then the
+                    # cursor clamps back. Mirror that: hard limit =
+                    # rowend, loop on body_end, clamp at exit.
+                    tcur = np.where(mok, p2, cur)
+                    tact = mok & (tcur < body_end)
+                    while tact.any():
+                        ttags, tp, terr = _read_varints_at(
+                            buf, tcur, rowend, tact
+                        )
+                        fail(tact & terr, "truncated timestamp subfield")
+                        tact &= ~terr
+                        mok &= ~terr
+                        tcur = np.where(tact, tp, tcur)
+                        for ttag in (
+                            np.unique(ttags[tact]) if tact.any() else ()
+                        ):
+                            tm = tact & (ttags == ttag)
+                            tfn = int(ttag) >> 3
+                            twt = int(ttag) & 7
+                            if tfn in (1, 2):
+                                v, tp2, tverr = _read_varints_at(
+                                    buf, tcur, rowend, tm
+                                )
+                                fail(tm & tverr, "truncated timestamp value")
+                                tmok = tm & ~tverr
+                                mok &= ~tverr
+                                tcur = np.where(tmok, tp2, tcur)
+                                if tfn == 1:
+                                    ts_sec[idx][tmok] = v[tmok].view(np.int64)
+                                else:
+                                    low = (
+                                        v & np.uint64(0xFFFFFFFF)
+                                    ).astype(np.int64)
+                                    nano32 = np.where(
+                                        low >= (1 << 31), low - (1 << 32), low
+                                    )
+                                    ts_nano[idx][tmok] = nano32[tmok]
+                            else:
+                                tp2, tserr = _skip_at(
+                                    buf, tcur, rowend, tm, twt
+                                )
+                                fail(
+                                    tm & tserr,
+                                    "unskippable timestamp subfield",
+                                )
+                                tmok = tm & ~tserr
+                                mok &= ~tserr
+                                tcur = np.where(tmok, tp2, tcur)
+                        tact = mok & (tcur < body_end)
+                    cur = np.where(mok, body_end, cur)
+                elif kind in _LEN_KINDS:
+                    ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                    oob = np.zeros(n, dtype=bool)
+                    mok = m & ~verr
+                    lni = np.minimum(ln, np.uint64(1 << 62)).astype(np.int64)
+                    oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                    fail(m & (verr | oob), "truncated LEN payload")
+                    mok = mok & ~oob
+                    str_start[idx][mok] = p2[mok]
+                    str_len[idx][mok] = lni[mok]
+                    seen[idx] |= mok
+                    cur = np.where(mok, p2 + lni, cur)
+                elif kind in _FIXED_WIDTH:
+                    v, p2, ferr = _read_fixed_at(
+                        buf, cur, rowend, m, _FIXED_WIDTH[kind]
+                    )
+                    fail(m & ferr, "truncated fixed-width payload")
+                    mok = m & ~ferr
+                    raw_vals[idx][mok] = v[mok]
+                    seen[idx] |= mok
+                    cur = np.where(mok, p2, cur)
+                else:  # varint family (readers ignore the observed wt,
+                    # exactly like the row handlers)
+                    v, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                    fail(m & verr, "truncated varint payload")
+                    mok = m & ~verr
+                    raw_vals[idx][mok] = v[mok]
+                    seen[idx] |= mok
+                    cur = np.where(mok, p2, cur)
+            active = (cur < rowend) & ~bad
+
+        # ---- finalize columns (field order) -----------------------------
+        # Pass 1: strings decode first so UnicodeDecodeError can still
+        # grow ``bad`` before other columns apply their null masks.
+        import pandas as pd
+
+        raw_bytes = buf.tobytes()  # one copy; python-bytes slicing is
+        # far cheaper per cell than ndarray.tobytes()
+        str_cells: dict[int, list] = {}
+        for idx, field in enumerate(fields):
+            if field.kind not in _LEN_KINDS or _is_timestamp_field(field):
+                continue
+            st, ln, sk = str_start[idx], str_len[idx], seen[idx]
+            out: list = [None] * n
+            if field.kind is Kind.STRING:
+                for i in np.flatnonzero(sk & ~bad):
+                    data = raw_bytes[st[i] : st[i] + ln[i]]
+                    try:
+                        out[i] = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        # ValueError subclass: permissive nulls the
+                        # row, strict aborts — same as the row path
+                        if not permissive:
+                            raise
+                        bad[i] = True
+            else:
+                for i in np.flatnonzero(sk & ~bad):
+                    out[i] = raw_bytes[st[i] : st[i] + ln[i]]
+            str_cells[idx] = out
+
+        columns: list = []
+        for idx, field in enumerate(fields):
+            kind = field.kind
+            if _is_timestamp_field(field):
+                sk = seen[idx]
+                null_mask = ~sk | bad
+                sec, nano = ts_sec[idx], ts_nano[idx]
+                if ts_long_nanos:
+                    # the row path computes sec*1e9 + nano in unbounded
+                    # Python ints; int64 would wrap past ~292 years of
+                    # nanos, so hand those rows back to the row path
+                    if (np.abs(sec[sk & ~bad]) > 9_200_000_000).any():
+                        raise Unvectorizable("long_nanos overflow risk")
+                    vals = sec * 1_000_000_000 + nano
+                    col = vals.astype(object)
+                    col[null_mask] = None
+                    columns.append(col)
+                else:
+                    us = sec * 1_000_000 + np.floor_divide(nano, 1_000)
+                    live = sk & ~bad
+                    over = live & (
+                        (sec > 260_000_000_000)
+                        | (sec < -260_000_000_000)
+                        | (us < _DT_US_MIN)
+                        | (us > _DT_US_MAX)
+                    )
+                    if over.any():
+                        # row path: datetime arithmetic OverflowError,
+                        # uncaught in BOTH modes
+                        raise OverflowError("timestamp out of datetime range")
+                    # stay a datetime64[us, UTC] Series (NaT = null):
+                    # object-boxing 32k pd.Timestamps costs more than
+                    # the whole wire parse. NaT goes into the numpy
+                    # array BEFORE the Series wrap (assigning into a
+                    # .dt-derived Series is silently discarded).
+                    arr = us.astype("datetime64[us]")
+                    if null_mask.any():
+                        arr[null_mask] = np.datetime64("NaT")
+                    ser = pd.Series(arr).dt.tz_localize("UTC")
+                    columns.append(ser)
+                continue
+            if kind in _LEN_KINDS:
+                sk = seen[idx]
+                out = str_cells[idx]
+                if not field.has_presence:
+                    default = "" if kind is Kind.STRING else b""
+                    for i in np.flatnonzero(~sk & ~bad):
+                        out[i] = default
+                columns.append(out)
+                continue
+            u = raw_vals[idx]
+            sk = seen[idx]
+            live = sk & ~bad
+            if kind in (Kind.INT64,):
+                vals = u.view(np.int64)
+            elif kind is Kind.ENUM:
+                signed = u.view(np.int64)
+                if enum_name_mode:
+                    by_number = field.enum.by_number
+                    fb = field.enum.fallback_name
+                    vals = np.array(
+                        [by_number.get(int(x), fb) for x in signed],
+                        dtype=object,
+                    )
+                else:
+                    vals = signed
+            elif kind is Kind.INT32:
+                low = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                vals = np.where(low >= (1 << 31), low - (1 << 32), low)
+            elif kind is Kind.UINT32:
+                if (u[live] >= np.uint64(1 << 63)).any():
+                    # corrupt wire can put any varint in a uint32
+                    # field; the row path keeps the unbounded int
+                    raise Unvectorizable("uint32 varint >= 2^63")
+                vals = u.astype(np.int64)
+            elif kind in (Kind.UINT64, Kind.FIXED64):
+                if u64_decimal:
+                    import decimal
+
+                    vals = np.array(
+                        [decimal.Decimal(int(x)) for x in u], dtype=object
+                    )
+                else:
+                    vals = u.view(np.int64)  # reinterpret wrap, like the
+                    # row path's v - 2^64 if v > I64_MAX
+            elif kind in (Kind.SINT32, Kind.SINT64):
+                half = (u >> np.uint64(1)).astype(np.int64)
+                vals = half ^ -(u & np.uint64(1)).astype(np.int64)
+            elif kind is Kind.BOOL:
+                vals = u != 0
+            elif kind is Kind.DOUBLE:
+                vals = u.view(np.float64)
+            elif kind is Kind.FLOAT:
+                vals = (
+                    (u & np.uint64(0xFFFFFFFF))
+                    .astype(np.uint32)
+                    .view(np.float32)
+                    .astype(np.float64)
+                )
+            elif kind is Kind.FIXED32:
+                vals = u.astype(np.int64)
+            elif kind is Kind.SFIXED32:
+                low = u.astype(np.int64)
+                vals = np.where(low >= (1 << 31), low - (1 << 32), low)
+            elif kind is Kind.SFIXED64:
+                vals = u.view(np.int64)
+            else:  # pragma: no cover - plan() filtered kinds already
+                raise Unvectorizable(f"kind {kind}")
+            null_mask = bad if not field.has_presence else (~sk | bad)
+            if null_mask.any():
+                col = vals.astype(object)
+                col[null_mask] = None
+                columns.append(col)
+            else:
+                # unseen no-presence rows already hold the kind's zero
+                columns.append(vals)
+        # bad rows: null every LEN/string cell too (numeric/timestamp
+        # columns handled their masks above)
+        if bad.any():
+            for idx in str_cells:
+                out = str_cells[idx]
+                for i in np.flatnonzero(bad):
+                    out[i] = None
+        return columns, (bad if permissive else None)
+
+    return decode_batch

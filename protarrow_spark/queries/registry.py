@@ -103,88 +103,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # ROUND-8 ROTATION: ALL 50 slots go to queries NEVER driver-graded
-    # in r1-r7 (cumulative driver coverage 134 -> 184 of 214; the
-    # rotated-out anchors stay oracle-verified every pytest run via
-    # tests/test_oracle_parity.py). Leads with the round-7 births,
-    # then the late-r6 set the r7 brief listed. Rehearsed green at
-    # sf0.01 via tools/gate_rehearsal.py before commit.
-    # -- round-7 births (scale/robustness variants)
+    # ROUND-9 ROTATION: the 35 queries NEVER driver-graded in r1-r8
+    # (set computed as registry minus the union of CORRECTNESS_r01-r08
+    # keys) take the first 35 slots — after this round CUMULATIVE
+    # driver coverage reaches 100% of the registry. The remaining
+    # slots go to r9 births (graded in their birth round, per the r7/r8
+    # convention) and to anchors on the surfaces r9 code touches
+    # (vectorized codec, permissive encode/decode, multimodal
+    # fixtures). Rotated-out queries stay oracle-verified every pytest
+    # run via tests/test_oracle_parity.py. Rehearsed green at sf0.01
+    # via tools/gate_rehearsal.py before commit.
+    # -- the 12 never-graded TPC-H shapes
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promo_part_suppliers",
+    "q22_dormant_balance",
+    # -- never-graded relational / SQL-entry shapes
+    "sql_revenue_by_nation",
+    "agg_time_rollup",
+    "agg_variance_exact",
+    "unpivot_order_amounts",
+    "window_ntile_bins",
+    # -- never-graded sampling / ordering / packing
+    "sample_hash_lineitem",
+    "sample_weighted_mix",
+    "sample_temperature_mix",
+    "order_length_buckets",
+    "order_curriculum_interleave",
+    "pairgen_contrastive_negatives",
+    # -- never-graded text / reporting / DQ
+    "text_boilerplate_ngrams",
+    "report_shard_manifest",
+    "report_source_quality",
+    "dq_k_anonymity",
+    "dq_freshness_lag",
+    # -- never-graded embeddings / sketches
+    "embed_pca_top1",
+    "sketch_quantile_bottomk",
+    # -- never-graded multimodal codecs (GIF, G.711 u-law)
+    "mm_image_features_gif",
+    "mm_audio_windows_ulaw",
+    # -- never-graded streaming
+    "stream_sliding_value",
+    "stream_dedup_keys",
+    "stream_freshness_lag",
+    # ---- end of the 35; cumulative coverage is 100% from here ----
+    # -- ROUND-9 BIRTHS (graded in their birth round)
+    "conv_roundtrip_repeated",
+    "cluster_kmeans_assign_counts",
+    # -- anchors on r9-touched surfaces: the vectorized wire codec
+    #    gained a batch DECODE half + repeated/packed encode and the
+    #    FIXED32 range fix (ADVICE r8 high); permissive twins and the
+    #    roundtrip run through the changed paths, so re-grade them
+    "conv_roundtrip_events",
     "conv_encode_error_tolerance",
+    "conv_decode_corrupt_tolerance",
+    "conv_cast_conform",
+    "conv_oneof_roundtrip",
+    "conv_descset_roundtrip",
+    # -- multimodal fixture pre-materialization changes this query's
+    #    measured path (decode-only); re-grade in the same round
+    "mm_image_features_jpeg_progressive",
+    "mm_image_features_png_adam7",
+    # -- kmeans oracle hardening touches the cluster family
+    "cluster_kmeans_embeddings",
+    # -- flagship + the two heaviest sweep queries as drift sentinels
+    "pipeline_training_corpus",
     "dedup_threshold_sweep_sampled",
     "dedup_semdedup_bounded",
-    # -- conversion: descriptor-set interchange + permissive decode
-    "conv_descset_roundtrip",
-    "conv_decode_corrupt_tolerance",
-    # -- multimodal: color JPEG + re-encode thumbnail (r6 codecs),
-    #    PGM/WAV decoders, perceptual-hash + frame dedup
-    "mm_image_features_jpeg_color",
-    "mm_thumbnail_jpeg",
-    "mm_image_features_pgm",
-    "mm_audio_windows_wav",
-    "mm_phash_dedup",
-    "mm_frame_dedup",
-    # -- dedup: the full threshold sweep + its r7 sampled sibling
-    #    (above), SemDeDup demo + bounded (above), exact recall audit,
-    #    boundary-overlap spans
-    "dedup_threshold_sweep",
-    "dedup_semdedup",
-    "dedup_lsh_recall_report",
-    "dedup_boundary_overlap",
-    # -- graph: k-core peeling, BFS hops, common-neighbors, Jaccard
-    "graph_kcore",
-    "graph_bfs_hops",
-    "graph_common_neighbors",
-    "graph_jaccard_similarity",
-    # -- ANN / retrieval audits + pair generation
-    "ann_quantization_error_report",
-    "ann_ivf_recall_report",
-    "retrieval_hybrid_rrf",
-    "pairgen_hard_negatives",
-    # -- embeddings: fixed-point PCA projection
-    "embed_pca_project",
-    # -- sketches: error audit vs exact
-    "sketch_error_report",
-    # -- composite pipeline: CCNet-style quality buckets
-    "pipeline_ccnet",
-    # -- sampling / ordering
-    "sample_perplexity_filter",
-    # -- corpus reporting
-    "report_token_fertility",
-    # -- data quality
-    "dq_benford",
-    "dq_referential_integrity",
-    "dq_drift_splithalf",
-    # -- aggregations
-    "agg_time_to_convert",
-    "agg_hhi_concentration",
-    "agg_mode_exact",
-    "agg_skew_kurtosis_exact",
-    # -- windows (incl. the r7 CUSUM-clamp fix on its first grading)
-    "window_cusum_changepoint",
-    "window_rolling_median",
-    "window_seasonal_baseline",
-    "window_attribution_last_touch",
-    # -- sequence mining
-    "mine_sequence_bigrams",
-    # -- joins: nearest-mode as-of + fuzzy blocked
-    "join_asof_nearest",
-    "join_fuzzy_blocked",
-    # -- TPC-H: the two trickiest never-graded shapes (view/max,
-    #    exists/not-exists); remaining 12 queue for r9
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    # -- structured streaming: tumbling counts, multimodal ingest
-    "stream_window_counts",
-    "stream_multimodal_ingest",
-    # -- ROUND-8 BIRTHS graded in their birth round (the r7 verdict
-    #    flagged new queries born outside the window): progressive
-    #    JPEG end-to-end + streaming permissive proto ingest
-    #    (report_shard_manifest and sample_weighted_mix moved to the
-    #    r9 pool; their family siblings stay in-window)
-    "mm_image_features_jpeg_progressive",
-    "stream_proto_decode_tolerance",
-    "mm_image_features_png_adam7",
     "stream_quantile_bottomk",
 ]
 

@@ -1,0 +1,439 @@
+"""Vectorized batch wire decoder (conversion/vectorized_decode.py):
+value-identical to compile_wire_to_row on every supported shape, None /
+runtime-fallback on unsupported ones, and corrupt-bytes-equivalent in
+both error modes (strict: both raise; permissive: both null the same
+rows). The row path is the semantics oracle (itself differential-
+tested against Message parse), so these tests pin the vectorized path
+to it cell-for-cell.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from protarrow_spark.config import ProtarrowSparkConfig
+from protarrow_spark.conversion.distributed import (
+    compile_row_to_wire,
+    compile_wire_to_row,
+)
+from protarrow_spark.conversion.vectorized import Unvectorizable
+from protarrow_spark.conversion.vectorized_decode import compile_wire_to_batch
+from protarrow_spark.proto.model import (
+    TIMESTAMP,
+    EnumType,
+    Field,
+    Kind,
+    MessageType,
+)
+
+CFG = ProtarrowSparkConfig()
+
+SIDE = EnumType("vd.Side", ((0, "UNKNOWN"), (1, "BUY"), (2, "SELL")))
+
+SCALAR_MT = MessageType(
+    "vd.Scalars",
+    (
+        Field("i64", 1, Kind.INT64),
+        Field("i32", 2, Kind.INT32),
+        Field("u32", 3, Kind.UINT32),
+        Field("u64", 4, Kind.UINT64),
+        Field("s32", 5, Kind.SINT32),
+        Field("s64", 6, Kind.SINT64),
+        Field("f64", 7, Kind.FIXED64),
+        Field("sf64", 8, Kind.SFIXED64),
+        Field("f32", 9, Kind.FIXED32),
+        Field("sf32", 10, Kind.SFIXED32),
+        Field("b", 11, Kind.BOOL),
+        Field("d", 12, Kind.DOUBLE),
+        Field("fl", 13, Kind.FLOAT),
+        Field("s", 14, Kind.STRING),
+        Field("by", 15, Kind.BYTES),
+        Field("opt_i", 16, Kind.INT64, optional=True),
+        Field("opt_s", 17, Kind.STRING, optional=True),
+        Field("ts", 18, Kind.MESSAGE, message=TIMESTAMP),
+        Field("e", 19, Kind.ENUM, enum=SIDE),
+        Field("big", 1234, Kind.INT64),  # multi-byte tag
+    ),
+)
+
+
+def _cell(col, i):
+    v = col.iloc[i] if isinstance(col, pd.Series) else col[i]
+    if v is pd.NaT:
+        return None
+    return v
+
+
+def _eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, (float, np.floating)) or isinstance(b, (float, np.floating)):
+        fa, fb = float(a), float(b)
+        return (math.isnan(fa) and math.isnan(fb)) or fa == fb
+    return a == b
+
+
+def _assert_identical(mt, wires, cfg=CFG):
+    db = compile_wire_to_batch(mt, cfg)
+    assert db is not None
+    dr = compile_wire_to_row(mt, cfg)
+    cols, bad = db(wires)
+    assert bad is None
+    slow = [dr(w) for w in wires]
+    for i in range(len(wires)):
+        for j, f in enumerate(mt.fields):
+            a, b = _cell(cols[j], i), slow[i][j]
+            assert _eq(a, b), (
+                f"row {i} field {f.name}: batch={a!r} row={b!r} "
+                f"wire={wires[i].hex()}"
+            )
+
+
+def _random_rows(n, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        ts = (
+            None
+            if i % 7 == 0
+            else dt.datetime(2015, 1, 1, tzinfo=dt.timezone.utc)
+            + dt.timedelta(
+                seconds=int(rng.integers(-(10**9), 10**9)),
+                microseconds=int(rng.integers(0, 10**6)),
+            )
+        )
+        rows.append(
+            (
+                int(rng.integers(-(2**62), 2**62)),
+                int(rng.integers(-(2**31), 2**31)),
+                int(rng.integers(0, 2**32)),
+                # default decimal-mode uint64: full 0..2^64-1 range
+                int(rng.integers(0, 2**63)) * 2 + int(rng.integers(0, 2)),
+                int(rng.integers(-(2**31), 2**31)),
+                int(rng.integers(-(2**62), 2**62)),
+                int(rng.integers(0, 2**63)) * 2 + int(rng.integers(0, 2)),
+                int(rng.integers(-(2**62), 2**62)),
+                int(rng.integers(0, 2**32)),
+                int(rng.integers(-(2**31), 2**31)),
+                bool(rng.integers(0, 2)),
+                float(rng.normal()) if i % 11 else -0.0,
+                float(np.float32(rng.normal())),
+                "" if i % 5 == 0 else f"str-{i}-é漢\U0001f600",
+                b""
+                if i % 6 == 0
+                else bytes(rng.integers(0, 256, size=i % 17).astype(np.uint8)),
+                None if i % 3 == 0 else int(rng.integers(-100, 100)),
+                None if i % 4 == 0 else f"opt{i}",
+                ts,
+                int(rng.integers(0, 4)),  # incl. unknown enum number 3
+                0 if i % 2 == 0 else int(rng.integers(-5, 5)),
+            )
+        )
+    return rows
+
+
+def test_all_scalar_kinds_random_matrix():
+    enc = compile_row_to_wire(SCALAR_MT, CFG)
+    wires = [enc(r) for r in _random_rows(600)]
+    _assert_identical(SCALAR_MT, wires)
+
+
+def test_empty_bytes_decodes_to_default_row():
+    db = compile_wire_to_batch(SCALAR_MT, CFG)
+    dr = compile_wire_to_row(SCALAR_MT, CFG)
+    cols, _ = db([b"", b""])
+    slow = dr(b"")
+    for j, f in enumerate(SCALAR_MT.fields):
+        assert _eq(_cell(cols[j], 0), slow[j]), f.name
+        assert _eq(_cell(cols[j], 1), slow[j]), f.name
+
+
+def test_config_modes_enum_name_u64_long_long_nanos():
+    mt = MessageType(
+        "vd.Cfg",
+        (
+            Field("u64", 1, Kind.UINT64),
+            Field("e", 2, Kind.ENUM, enum=SIDE),
+            Field("ts", 3, Kind.MESSAGE, message=TIMESTAMP),
+        ),
+    )
+    rng = np.random.default_rng(5)
+    for kw in (
+        dict(enum_type="string"),
+        dict(uint64_type="long"),
+        dict(timestamp_type="long_nanos"),
+        dict(enum_type="string", uint64_type="long", timestamp_type="long_nanos"),
+    ):
+        cfg = ProtarrowSparkConfig(**kw)
+        enc = compile_row_to_wire(mt, cfg)
+        rows = []
+        for i in range(200):
+            u = (
+                int(rng.integers(0, 2**63)) * 2 + int(rng.integers(0, 2))
+                if cfg.uint64_type == "decimal"
+                else int(rng.integers(-(2**62), 2**62))
+            )
+            e = (
+                ("BUY" if i % 2 else "UNKNOWN")
+                if cfg.enum_type != "int"
+                else int(rng.integers(0, 4))
+            )
+            ts = (
+                int(rng.integers(-(10**17), 10**17))
+                if cfg.timestamp_type == "long_nanos"
+                else dt.datetime(2015, 1, 1, tzinfo=dt.timezone.utc)
+                + dt.timedelta(seconds=int(rng.integers(0, 10**8)))
+            )
+            if i % 9 == 0:
+                ts = None
+            rows.append((u, e, ts))
+        wires = [enc(r) for r in rows]
+        _assert_identical(mt, wires, cfg)
+
+
+def test_unknown_fields_skip_and_merge_last_wins():
+    """Hand-built wire: unknown field numbers of every skippable wire
+    type interleave with known fields; duplicate scalar occurrences
+    must last-win; duplicate Timestamp occurrences must merge
+    per-subfield."""
+    mt = MessageType(
+        "vd.M",
+        (
+            Field("a", 1, Kind.INT64),
+            Field("ts", 2, Kind.MESSAGE, message=TIMESTAMP),
+        ),
+    )
+    # a=5 ; unknown varint f9 ; unknown LEN f10 ; a=7 (last wins) ;
+    # ts{sec=100} ; unknown I64 f11 ; ts{nanos=2000} (merges) ;
+    # unknown I32 f12
+    w = (
+        b"\x08\x05"
+        + b"\x48\x2a"
+        + b"\x52\x03abc"
+        + b"\x08\x07"
+        + b"\x12\x02\x08\x64"
+        + b"\x59" + b"\x00" * 8
+        + b"\x12\x03\x10\xd0\x0f"
+        + b"\x65" + b"\x00" * 4
+    )
+    _assert_identical(mt, [w, b"", w])
+
+
+def _mutate(wires, seed):
+    rng = np.random.default_rng(seed)
+    corrupt = []
+    for i, w in enumerate(wires):
+        b = bytearray(w)
+        k = i % 5
+        if k == 0 and b:
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        elif k == 1 and b:
+            b = b[: int(rng.integers(0, len(b)))]
+        elif k == 2:
+            b = bytearray(
+                rng.integers(0, 256, size=int(rng.integers(0, 30)))
+                .astype(np.uint8)
+                .tobytes()
+            )
+        elif k == 3 and b:
+            b[0] = 0x80
+        corrupt.append(bytes(b))
+    return corrupt
+
+
+@pytest.mark.parametrize("seed", [100, 101, 102, 103])
+def test_corrupt_bytes_permissive_nulls_the_same_rows(seed):
+    """PERMISSIVE twin over mutated wire: exactly the rows the row
+    path's try/except nulls come back bad (whole row None), every
+    surviving row decodes value-identically, and a row-path HARD error
+    (OverflowError — outside the permissive catch list) hard-raises
+    from the batch path too."""
+    enc = compile_row_to_wire(SCALAR_MT, CFG)
+    wires = _mutate([enc(r) for r in _random_rows(300, seed)], seed)
+    wires += [None, b"", b"\x00", b"\xff" * 12, b"\x12\x05\x08"]
+    dr = compile_wire_to_row(SCALAR_MT, CFG)
+    db = compile_wire_to_batch(SCALAR_MT, CFG, permissive=True)
+
+    slow: list = []
+    hard = False
+    for w in wires:
+        if w is None:
+            slow.append(None)
+            continue
+        try:
+            slow.append(dr(bytes(w)))
+        except (ValueError, TypeError, IndexError, struct.error):
+            slow.append(None)
+        except OverflowError:
+            slow.append("HARD")
+            hard = True
+    try:
+        cols, bad = db(wires)
+        fast_hard = False
+    except OverflowError:
+        fast_hard = True
+    assert fast_hard == hard
+    if hard:
+        return
+    nf = len(SCALAR_MT.fields)
+    for i, s in enumerate(slow):
+        if s is None:
+            assert bad[i], f"row {i}: row path nulled, batch kept it"
+            for j in range(nf):
+                assert _cell(cols[j], i) is None, (
+                    f"bad row {i} field {SCALAR_MT.fields[j].name} not null"
+                )
+            continue
+        assert not bad[i], f"row {i}: batch nulled, row path decoded {s}"
+        for j in range(nf):
+            assert _eq(_cell(cols[j], i), s[j]), (
+                f"row {i} field {SCALAR_MT.fields[j].name}: "
+                f"{_cell(cols[j], i)!r} != {s[j]!r}"
+            )
+
+
+def test_corrupt_bytes_strict_raises_like_row_path():
+    enc = compile_row_to_wire(SCALAR_MT, CFG)
+    good = [enc(r) for r in _random_rows(50, 9)]
+    db = compile_wire_to_batch(SCALAR_MT, CFG)
+    dr = compile_wire_to_row(SCALAR_MT, CFG)
+    # truncated tag varint; truncated LEN payload (field 14 = string,
+    # declared len 5, 2 bytes present); truncated fixed64; over-long
+    # varint
+    for w in (b"\x80", b"\x72\x05ab", b"\x61\x00\x00", b"\xff" * 12):
+        with pytest.raises((ValueError, IndexError, struct.error)):
+            dr(w)
+        with pytest.raises((ValueError, IndexError, struct.error)):
+            db(good + [w])
+    with pytest.raises(TypeError):
+        db(good + [None])  # bytes(None), like the row path
+
+
+def test_unsupported_shapes_return_none():
+    rep = MessageType("vd.R", (Field("xs", 1, Kind.INT64, repeated=True),))
+    assert compile_wire_to_batch(rep, CFG) is None
+    oneof = MessageType(
+        "vd.O",
+        (
+            Field("a", 1, Kind.STRING, oneof="p"),
+            Field("b", 2, Kind.INT64, oneof="p"),
+        ),
+    )
+    assert compile_wire_to_batch(oneof, CFG) is None
+    nested = MessageType(
+        "vd.N",
+        (
+            Field(
+                "m",
+                1,
+                Kind.MESSAGE,
+                message=MessageType("vd.Sub", (Field("x", 1, Kind.INT64),)),
+            ),
+        ),
+    )
+    assert compile_wire_to_batch(nested, CFG) is None
+
+
+def test_uint32_oversized_varint_is_unvectorizable():
+    """Corrupt wire can put a >=2^63 varint in a uint32 field; the row
+    path keeps the unbounded Python int, which no numpy dtype mirrors —
+    the batch path must hand the batch back, not truncate."""
+    mt = MessageType("vd.U32", (Field("u", 1, Kind.UINT32),))
+    w = b"\x08" + b"\xff" * 9 + b"\x01"  # maximal 10-byte varint
+    dr = compile_wire_to_row(mt, CFG)
+    assert dr(w)[0] == (1 << 64) - 1
+    db = compile_wire_to_batch(mt, CFG)
+    with pytest.raises(Unvectorizable):
+        db([w])
+
+
+def test_distributed_decode_uses_identical_values(spark):
+    """End-to-end through Spark: decode_proto_bytes (which now takes
+    the vectorized path for EVENT_MT) returns the same frame as a
+    forced row-path decode."""
+    import pyspark.sql.functions as F
+
+    from protarrow_spark.conversion.distributed import (
+        decode_proto_bytes,
+        encode_proto_bytes,
+    )
+    from protarrow_spark.queries.conversion import EVENT_MT
+
+    src = (
+        spark.createDataFrame(
+            [
+                (1, 10, "click", 1.5, "2024-01-02 03:04:05.123456"),
+                (2, 0, "", 0.0, None),
+                (3, -7, "view", -2.25, "1969-12-31 23:59:59.999999"),
+            ],
+            "event_id long, user_id long, event_type string, value double, ts_s string",
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    wire = encode_proto_bytes(src, EVENT_MT, CFG)
+    back = decode_proto_bytes(wire, "proto", EVENT_MT, CFG)
+    got = {r.event_id: r for r in back.collect()}
+    assert got[1].event_type == "click" and got[1].value == 1.5
+    assert got[3].user_id == -7
+    assert got[2].event_type == "" and got[2].ts is None
+    assert got[1].ts is not None
+
+
+# --- hypothesis property: batch == row on arbitrary wire bytes ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(blobs=st.lists(st.binary(max_size=40), min_size=1, max_size=25))
+def test_property_arbitrary_bytes_equivalent(blobs):
+    """ANY byte string: the batch path must null exactly the rows the
+    row path's permissive try/except nulls and decode the rest
+    cell-identically (or legitimately refuse via Unvectorizable)."""
+    mt = MessageType(
+        "vd.H",
+        (
+            Field("i", 1, Kind.INT64),
+            Field("s", 2, Kind.STRING),
+            Field("d", 3, Kind.DOUBLE),
+            Field("ts", 4, Kind.MESSAGE, message=TIMESTAMP),
+        ),
+    )
+    dr = compile_wire_to_row(mt, CFG)
+    db = compile_wire_to_batch(mt, CFG, permissive=True)
+    slow: list = []
+    hard = False
+    for w in blobs:
+        try:
+            slow.append(dr(w))
+        except (ValueError, TypeError, IndexError, struct.error):
+            slow.append(None)
+        except OverflowError:
+            slow.append("HARD")
+            hard = True
+    try:
+        cols, bad = db(blobs)
+    except OverflowError:
+        assert hard
+        return
+    except Unvectorizable:
+        return  # legitimate fallback; the row path handles the batch
+    assert not hard
+    for i, s in enumerate(slow):
+        if s is None:
+            assert bad[i]
+            continue
+        assert not bad[i], f"row {i}: batch bad, row decoded {s} ({blobs[i].hex()})"
+        for j in range(len(mt.fields)):
+            assert _eq(_cell(cols[j], i), s[j]), (
+                f"row {i} field {mt.fields[j].name}: "
+                f"{_cell(cols[j], i)!r} != {s[j]!r} ({blobs[i].hex()})"
+            )

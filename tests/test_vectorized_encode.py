@@ -340,3 +340,166 @@ def test_property_batch_equals_row(ids, strs, dbls):
         }
     )
     _assert_identical(mt, df)
+
+
+# --- ADVICE r8 regressions -------------------------------------------------
+
+
+def test_fixed32_out_of_range_raises_like_row_path():
+    """FIXED32 maps to LongType, so negative / >= 2**32 cells are
+    reachable; the row path raises struct.error ('<I'), so the
+    vectorized path must raise too — NOT mask to the low 32 bits and
+    silently write a different number to the wire (ADVICE r8 high)."""
+    import struct as _struct
+
+    mt = MessageType("vec.F32", (Field("f", 1, Kind.FIXED32),))
+    re_ = compile_row_to_wire(mt, CFG)
+    for bad_val in (2**32, -1, 2**40):
+        with pytest.raises(_struct.error):
+            re_((bad_val,))
+        be = compile_batch_to_wire(mt, CFG)
+        with pytest.raises(ValueError, match="out of range"):
+            be([pd.Series([1, bad_val], dtype=object)])
+
+
+def test_sfixed32_out_of_range_raises_like_row_path():
+    import struct as _struct
+
+    mt = MessageType("vec.SF32", (Field("f", 1, Kind.SFIXED32),))
+    re_ = compile_row_to_wire(mt, CFG)
+    for bad_val in (2**31, -(2**31) - 1):
+        with pytest.raises(_struct.error):
+            re_((bad_val,))
+        be = compile_batch_to_wire(mt, CFG)
+        with pytest.raises(ValueError, match="out of range"):
+            be([pd.Series([0, bad_val], dtype=object)])
+
+
+def test_fixed32_permissive_nulls_exactly_the_bad_rows():
+    """Permissive twin: out-of-range fixed32 rows come back None (the
+    dead-letter convention); in-range rows stay byte-identical to the
+    row path."""
+    import struct as _struct
+
+    mt = MessageType(
+        "vec.F32P", (Field("f", 1, Kind.FIXED32), Field("g", 2, Kind.SFIXED32))
+    )
+    df = pd.DataFrame(
+        {
+            "f": pd.Series([1, 2**32, 7, None, 2**33], dtype=object),
+            "g": pd.Series([0, 0, 2**31, -5, 0], dtype=object),
+        }
+    )
+    be = compile_batch_to_wire(mt, CFG, permissive=True)
+    re_ = compile_row_to_wire(mt, CFG)
+    fast = be([df["f"], df["g"]])
+    slow = []
+    for rec in zip(df["f"], df["g"]):
+        try:
+            slow.append(re_(rec))
+        except (ValueError, TypeError, OverflowError, _struct.error):
+            slow.append(None)
+    assert fast == slow
+    assert fast[1] is None and fast[2] is None and fast[4] is None
+    assert fast[0] is not None and fast[3] is not None
+
+
+def test_string_non_str_cell_is_unvectorizable_not_repr():
+    """A non-str cell in a STRING column must NOT be coerced with
+    str(x) (the old path silently encoded its repr); the row path
+    raises AttributeError — an encoder bug, deliberately fatal — so
+    the vectorized path hands the batch back via Unvectorizable and
+    keeps the row path as the semantics oracle (ADVICE r8 low)."""
+    from protarrow_spark.conversion.vectorized import Unvectorizable
+
+    mt = MessageType("vec.S", (Field("s", 1, Kind.STRING),))
+    be = compile_batch_to_wire(mt, CFG)
+    with pytest.raises(Unvectorizable):
+        be([pd.Series(["ok", 42, "also ok"], dtype=object)])
+    # permissive compiles must refuse too — a bad TYPE is an encoder
+    # bug, not a dead-letter value
+    bp = compile_batch_to_wire(mt, CFG, permissive=True)
+    with pytest.raises(Unvectorizable):
+        bp([pd.Series([b"bytes-not-str"], dtype=object)])
+
+
+def test_unvectorizable_retries_then_disables_after_strikes():
+    """_encode_stream retries the vectorized path after an
+    Unvectorizable batch (object dtypes can confine the offending value
+    to one batch) and only disables it after _VEC_MAX_STRIKES
+    consecutive failures (ADVICE r8 low)."""
+    from protarrow_spark.conversion.distributed import (
+        _VEC_MAX_STRIKES,
+        _encode_stream,
+    )
+    from protarrow_spark.conversion.vectorized import Unvectorizable
+
+    calls = {"vec": 0, "row": 0}
+
+    def fake_batch(cols):
+        calls["vec"] += 1
+        if cols[0].iloc[0] == "poison":
+            raise Unvectorizable("poison batch")
+        return [b"v"] * len(cols[0])
+
+    def fake_rowwise(batch, kept):
+        calls["row"] += 1
+        return pd.DataFrame({"proto": [b"r"] * len(batch["s"])})
+
+    def mk(tag):
+        return pd.DataFrame({"s": [tag, tag]})
+
+    # one poison batch mid-stream: vectorized resumes on the next batch
+    out = list(
+        _encode_stream(
+            iter([mk("a"), mk("poison"), mk("b")]),
+            fake_batch,
+            fake_rowwise,
+            field_names=["s"],
+            keep=[],
+            out_names=["proto"],
+            output_col="proto",
+            permissive=False,
+        )
+    )
+    assert [o["proto"].iloc[0] for o in out] == [b"v", b"r", b"v"]
+    assert calls == {"vec": 3, "row": 1}
+
+    # _VEC_MAX_STRIKES consecutive poisons: vectorized disabled for the
+    # rest of the partition — later healthy batches go row-wise without
+    # paying the failed precompute again
+    calls = {"vec": 0, "row": 0}
+    stream = [mk("poison")] * _VEC_MAX_STRIKES + [mk("c"), mk("d")]
+    out = list(
+        _encode_stream(
+            iter(stream),
+            fake_batch,
+            fake_rowwise,
+            field_names=["s"],
+            keep=[],
+            out_names=["proto"],
+            output_col="proto",
+            permissive=False,
+        )
+    )
+    assert all(o["proto"].iloc[0] == b"r" for o in out)
+    assert calls["vec"] == _VEC_MAX_STRIKES  # never retried post-disable
+    assert calls["row"] == len(stream)
+
+
+def test_messages_to_dataframe_verify_schema_hatch(spark):
+    """verify_schema=True restores Spark's per-row validation and
+    produces the same frame as the fast default (ADVICE r8 low)."""
+    from protarrow_spark.conversion.encode import messages_to_dataframe
+    from protarrow_spark.proto.message import Message
+
+    mt = MessageType(
+        "vec.V", (Field("i", 1, Kind.INT64), Field("s", 2, Kind.STRING))
+    )
+    msgs = [Message(mt, i=5, s="x"), Message(mt, i=-3, s="")]
+    fast = messages_to_dataframe(spark, msgs, mt, CFG)
+    checked = messages_to_dataframe(spark, msgs, mt, CFG, verify_schema=True)
+    assert checked.schema == fast.schema
+    assert sorted(map(tuple, checked.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
