@@ -169,6 +169,291 @@ _SUPPORTED_SCALARS = (
 )
 
 
+def _fill_repeated(buf, pos, rt, active):
+    """Write one repeated field's bytes for ``active`` rows: packed
+    (tag + body-length varint + flat values) for numeric kinds,
+    expanded (per-item tag + length + payload) for string/bytes."""
+    import numpy as np
+
+    tag = rt["tag"]
+    row_of = rt["row_of"]
+    within = rt["within"]
+    # per-VALUE activity: a value participates iff its row is active
+    aflat = active[row_of] if len(row_of) else np.zeros(0, dtype=bool)
+    if rt["klass"] == "rep_len":
+        ipos = pos[row_of] + within
+        for j, tb in enumerate(tag):
+            buf[ipos[aflat] + j] = tb
+        p = ipos + len(tag)
+        _fill_varint(buf, p, rt["plen"].view(np.uint64), rt["lnb"], aflat)
+        starts = p + rt["lnb"]
+        payloads = rt["payloads"]
+        for k in np.flatnonzero(aflat):
+            data = payloads[k]
+            if data:
+                st = int(starts[k])
+                buf[st : st + len(data)] = np.frombuffer(data, dtype=np.uint8)
+        return
+    # packed: tag + body length varint per row, then flat values
+    for j, tb in enumerate(tag):
+        buf[pos[active] + j] = tb
+    p = pos + len(tag)
+    _fill_varint(buf, p, rt["blen_u"], rt["blen_nb"], active)
+    payload_start = p + rt["blen_nb"]
+    vpos = (
+        payload_start[row_of] + within
+        if len(row_of)
+        else np.zeros(0, dtype=np.int64)
+    )
+    if rt["klass"] == "rep_varint":
+        _fill_varint(buf, vpos, rt["flat_u"], rt["nb_flat"], aflat)
+    else:
+        _fill_fixed(buf, vpos, rt["flat_u"], rt["width"], aflat)
+
+
+def _prepare_repeated(field, cells, n, config, bad):
+    """Precompute one repeated scalar field: flattened wire values,
+    per-row packed body lengths (numeric kinds) or per-item expanded
+    lengths (string/bytes), using the reference's offsets+flat-values
+    formulation (proto_to_arrow.py:456-491).
+
+    Mirrors the row path exactly: None/empty cells emit nothing;
+    per-item conversion/range failures raise in strict mode (``bad``
+    is None) and null exactly the violating ROW in permissive mode;
+    non-str STRING items raise :class:`Unvectorizable` (the row path's
+    AttributeError is an encoder bug, fatal in both modes)."""
+    import numpy as np
+
+    kind = field.kind
+    rt: dict[str, Any] = {"field": field}
+    counts = np.zeros(n, dtype=np.int64)
+    null = np.zeros(n, dtype=bool)
+    perm = bad is not None
+
+    def row_fail(i, exc):
+        # the row path's per-row try/except: ValueError/TypeError/
+        # OverflowError/struct.error null the row in permissive mode
+        if not perm:
+            raise exc
+        bad[i] = True
+        null[i] = True  # emit nothing for the dead row
+
+    if kind in (Kind.STRING, Kind.BYTES):
+        # expanded: one tag+len+payload per item (emit_default=True —
+        # empty items still emit)
+        payloads: list[bytes] = []
+        for i, c in enumerate(cells):
+            if c is None:
+                null[i] = True
+                continue
+            items = list(c)
+            if kind is Kind.STRING:
+                # non-str items: Unvectorizable (the row path raises
+                # AttributeError — an encoder bug, fatal in both modes)
+                bs = [_encode_str_cell(x) for x in items]
+            else:
+                try:
+                    bs = [bytes(x) for x in items]
+                except (TypeError, ValueError) as exc:
+                    # the row path's bytes(x) converter raises the same
+                    # classes — a bad VALUE, caught per-row permissive
+                    row_fail(i, exc)
+                    continue
+            payloads.extend(bs)
+            counts[i] = len(bs)
+        nflat = len(payloads)
+        plen = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nflat)
+        lnb = _varint_nbytes(plen.view(np.uint64))
+        tag = _tag_bytes(field.number, _WT_LEN)
+        item_total = len(tag) + lnb + plen
+        csum = np.zeros(nflat + 1, dtype=np.int64)
+        np.cumsum(item_total, out=csum[1:])
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        row_of = np.repeat(np.arange(n), counts)
+        skip = null | (counts == 0)
+        flen = np.where(skip, 0, csum[ends] - csum[starts])
+        within = csum[:-1] - csum[starts][row_of] if nflat else csum[:0]
+        rt.update(
+            klass="rep_len", tag=tag, skip=skip, payloads=payloads,
+            plen=plen, lnb=lnb, row_of=row_of, within=within,
+        )
+        return rt, flen
+
+    # numeric kinds: packed body (proto3 default), tag wt=LEN
+    flats: list = []
+    if kind is Kind.BOOL:
+        for i, c in enumerate(cells):
+            if c is None:
+                null[i] = True
+                continue
+            try:
+                # row path: _write_scalar BOOL is truthiness (None ->
+                # 0, no type error; ambiguous arrays raise ValueError)
+                a = np.fromiter((1 if x else 0 for x in c), dtype=np.uint64)
+            except (TypeError, ValueError) as exc:
+                row_fail(i, exc)
+                continue
+            flats.append(a)
+            counts[i] = len(a)
+        flat_u = (
+            np.concatenate(flats) if flats else np.zeros(0, dtype=np.uint64)
+        )
+    elif kind is Kind.ENUM and config.enum_type != "int":
+        by_name = field.enum.by_name
+        for i, c in enumerate(cells):
+            if c is None:
+                null[i] = True
+                continue
+            try:
+                a = np.fromiter(
+                    (by_name.get(x, 0) for x in c), dtype=np.int64
+                )
+            except (TypeError, ValueError) as exc:
+                row_fail(i, exc)
+                continue
+            flats.append(a)
+            counts[i] = len(a)
+        flat_v = (
+            np.concatenate(flats) if flats else np.zeros(0, dtype=np.int64)
+        )
+        flat_u = flat_v.view(np.uint64)
+    elif kind in (Kind.UINT64, Kind.FIXED64) and config.uint64_type == "decimal":
+        hi = (1 << 64) - 1
+        vals: list[int] = []
+        for i, c in enumerate(cells):
+            if c is None:
+                null[i] = True
+                continue
+            try:
+                items = [int(x) for x in c]
+            except (TypeError, ValueError) as exc:
+                row_fail(i, exc)
+                continue
+            ok = True
+            for x in items:
+                if not 0 <= x <= hi:
+                    row_fail(
+                        i,
+                        ValueError(
+                            f"{kind.name} value {x} out of range [0, {hi}]"
+                        ),
+                    )
+                    ok = False
+                    break
+            if not ok:
+                continue
+            vals.extend(items)
+            counts[i] = len(items)
+        flat_u = np.array(vals, dtype=np.uint64) if vals else np.zeros(
+            0, dtype=np.uint64
+        )
+    elif kind in (Kind.DOUBLE, Kind.FLOAT):
+        for i, c in enumerate(cells):
+            if c is None:
+                null[i] = True
+                continue
+            try:
+                a = np.asarray(c, dtype=np.float64)
+            except (TypeError, ValueError) as exc:
+                row_fail(i, exc)
+                continue
+            flats.append(a)
+            counts[i] = len(a)
+        f = np.concatenate(flats) if flats else np.zeros(0, dtype=np.float64)
+        if kind is Kind.DOUBLE:
+            flat_u = f.view(np.uint64)
+        else:
+            flat_u = f.astype(np.float32).view(np.uint32).astype(np.uint64)
+    else:  # int64-representable: varint family, sint, fixed32/64
+        for i, c in enumerate(cells):
+            if c is None:
+                null[i] = True
+                continue
+            try:
+                a = np.asarray(c, dtype=np.int64)
+            except (TypeError, ValueError, OverflowError) as exc:
+                row_fail(i, exc)
+                continue
+            if a.ndim != 1:
+                raise Unvectorizable("nested array cell")
+            flats.append(a)
+            counts[i] = len(a)
+        flat_v = (
+            np.concatenate(flats) if flats else np.zeros(0, dtype=np.int64)
+        )
+        # range checks with per-ROW attribution (the row path nulls the
+        # whole violating row)
+        rng = None
+        if kind in _VARINT_RANGE and kind not in (
+            Kind.INT64,
+            Kind.SINT64,
+            Kind.UINT64,
+        ):
+            rng = _VARINT_RANGE[kind]
+        elif kind in _FIXED_RANGE:
+            rng = _FIXED_RANGE[kind]
+        if rng is not None and len(flat_v):
+            lo, hi2 = rng
+            viol = (flat_v < lo) | (flat_v > hi2)
+            if viol.any():
+                if not perm:
+                    first = flat_v[viol][0]
+                    raise ValueError(
+                        f"{kind.name} value {int(first)} out of range "
+                        f"[{lo}, {hi2}]"
+                    )
+                row_of_all = np.repeat(np.arange(n), counts)
+                bad[row_of_all[viol]] = True
+        if kind in _ZIGZAG:
+            flat_u = ((flat_v << 1) ^ (flat_v >> 63)).view(np.uint64)
+        else:
+            flat_u = flat_v.view(np.uint64)
+
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    row_of = np.repeat(np.arange(n), counts)
+    skip = null | (counts == 0)
+    tag = _tag_bytes(field.number, _WT_LEN)
+    if kind in (
+        Kind.DOUBLE,
+        Kind.FIXED64,
+        Kind.SFIXED64,
+        Kind.FLOAT,
+        Kind.FIXED32,
+        Kind.SFIXED32,
+    ):
+        width = 8 if kind in (Kind.DOUBLE, Kind.FIXED64, Kind.SFIXED64) else 4
+        body_len = counts * width
+        idx_in_row = (
+            np.arange(len(flat_u)) - starts[row_of]
+            if len(flat_u)
+            else np.zeros(0, dtype=np.int64)
+        )
+        within = idx_in_row * width
+        rt.update(klass="rep_fixed", width=width)
+        nb_flat = None
+    else:
+        nb_flat = _varint_nbytes(flat_u)
+        csum = np.zeros(len(flat_u) + 1, dtype=np.int64)
+        np.cumsum(nb_flat, out=csum[1:])
+        body_len = csum[ends] - csum[starts]
+        within = (
+            csum[:-1] - csum[starts][row_of]
+            if len(flat_u)
+            else csum[:0]
+        )
+        rt.update(klass="rep_varint", nb_flat=nb_flat)
+    blen_u = body_len.view(np.uint64)
+    blen_nb = _varint_nbytes(blen_u)
+    flen = np.where(skip, 0, len(tag) + blen_nb + body_len)
+    rt.update(
+        tag=tag, skip=skip, flat_u=flat_u, row_of=row_of, within=within,
+        blen_u=blen_u, blen_nb=blen_nb,
+    )
+    return rt, flen
+
+
 def compile_batch_to_wire(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
@@ -190,10 +475,23 @@ def compile_batch_to_wire(
     index_of = {f.name: i for i, f in enumerate(mtype.fields)}
     plan = []
     for field in mtype.fields_number_order:
-        if field.is_map or field.repeated or field.oneof is not None:
+        if field.is_map or field.oneof is not None:
             # oneofs excluded: the row path enforces later-member-wins
             # interactions we don't replicate columnar
             return None
+        if field.repeated:
+            # repeated scalars vectorize via the reference's offsets
+            # technique (proto_to_arrow.py:456-491 — offsets +
+            # flattened values): numeric kinds pack (the row path's
+            # proto3 default), string/bytes expand per occurrence.
+            # Repeated messages / repeated enum-as-name in decimal
+            # configs beyond v1 fall back to the row path.
+            if field.kind is Kind.MESSAGE:
+                return None
+            if field.kind not in _SUPPORTED_SCALARS:
+                return None
+            plan.append(("repeated", field, index_of[field.name]))
+            continue
         if _is_timestamp_field(field):
             if config.timestamp_type not in ("timestamp", "long_nanos"):
                 return None
@@ -225,12 +523,22 @@ def compile_batch_to_wire(
         for klass, field, idx in plan:
             col = cols[idx]
             s = col if isinstance(col, pd.Series) else pd.Series(col)
+            rt: dict[str, Any] = {"field": field, "klass": klass}
+            kind = field.kind
+
+            if klass == "repeated":
+                rt, flen = _prepare_repeated(
+                    field, s.to_numpy(dtype=object), n, config, bad
+                )
+                rt["flen"] = flen
+                total_len += flen
+                fields_rt.append(rt)
+                continue
+
             null = pd.isna(s)
             if null.values.ndim != 1:  # array-typed cell slipped through
                 raise Unvectorizable("non-scalar cell")
             null = null.to_numpy(dtype=bool)
-            rt: dict[str, Any] = {"field": field, "klass": klass}
-            kind = field.kind
 
             if klass == "timestamp":
                 try:
@@ -437,11 +745,15 @@ def compile_batch_to_wire(
             active = ~rt["skip"]
             if not active.any():
                 continue
+            klass = rt["klass"]
+            if klass in ("rep_varint", "rep_fixed", "rep_len"):
+                _fill_repeated(buf, pos, rt, active)
+                pos = pos + np.where(active, rt["flen"], 0)
+                continue
             tag = rt["tag"]
             for j, tb in enumerate(tag):
                 buf[pos[active] + j] = tb
             p = pos + len(tag)
-            klass = rt["klass"]
             if klass == "varint":
                 _fill_varint(buf, p, rt["u"], rt["nb"], active)
             elif klass == "fixed":

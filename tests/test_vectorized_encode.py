@@ -233,8 +233,9 @@ def test_permissive_mode_nulls_exactly_the_bad_rows():
 
 
 def test_unsupported_shapes_return_none():
+    # repeated SCALARS are supported since r9; repeated messages not
     rep = MessageType("vec.R", (Field("xs", 1, Kind.INT64, repeated=True),))
-    assert compile_batch_to_wire(rep, CFG) is None
+    assert compile_batch_to_wire(rep, CFG) is not None
     oneof = MessageType(
         "vec.O",
         (
@@ -503,3 +504,231 @@ def test_messages_to_dataframe_verify_schema_hatch(spark):
     assert sorted(map(tuple, checked.collect())) == sorted(
         map(tuple, fast.collect())
     )
+
+
+# --- repeated/packed fields (r9) -------------------------------------------
+
+from protarrow_spark.proto.model import EnumType
+
+RSIDE = EnumType("vec.RSide", ((0, "UNKNOWN"), (1, "BUY"), (2, "SELL")))
+
+REPEATED_MT = MessageType(
+    "vec.Rep",
+    (
+        Field("xs", 1, Kind.INT64, repeated=True),
+        Field("ys", 2, Kind.SINT32, repeated=True),
+        Field("us", 3, Kind.UINT32, repeated=True),
+        Field("ds", 4, Kind.DOUBLE, repeated=True),
+        Field("fs", 5, Kind.FLOAT, repeated=True),
+        Field("f32s", 6, Kind.FIXED32, repeated=True),
+        Field("sf64s", 7, Kind.SFIXED64, repeated=True),
+        Field("bs", 8, Kind.BOOL, repeated=True),
+        Field("ss", 9, Kind.STRING, repeated=True),
+        Field("bys", 10, Kind.BYTES, repeated=True),
+        Field("es", 11, Kind.ENUM, repeated=True, enum=RSIDE),
+        Field("scalar", 12, Kind.INT64),
+        Field("u64s", 13, Kind.UINT64, repeated=True),
+    ),
+)
+
+
+def _random_repeated_df(n, seed=42):
+    """Arrow-shaped cells: typed ndarrays for numerics (what
+    mapInPandas hands over for array<T> columns), lists for
+    string/bytes, Decimal items in the default uint64 mode."""
+    import decimal
+
+    rng = np.random.default_rng(seed)
+
+    def arr(gen, i, np_dtype=None):
+        k = int(rng.integers(0, 6))
+        if i % 11 == 0:
+            return None
+        if i % 7 == 0:
+            return []
+        xs = [gen() for _ in range(k)]
+        return np.asarray(xs, dtype=np_dtype) if np_dtype else xs
+
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                arr(lambda: int(rng.integers(-(2**62), 2**62)), i, np.int64),
+                arr(lambda: int(rng.integers(-(2**31), 2**31)), i + 1, np.int64),
+                arr(lambda: int(rng.integers(0, 2**32)), i + 2, np.int64),
+                arr(lambda: float(rng.normal()), i + 3, np.float64),
+                arr(
+                    lambda: float(np.float32(rng.normal())), i + 4, np.float64
+                ),
+                arr(lambda: int(rng.integers(0, 2**32)), i + 5, np.int64),
+                arr(lambda: int(rng.integers(-(2**62), 2**62)), i + 6, np.int64),
+                arr(lambda: bool(rng.integers(0, 2)), i + 7, np.bool_),
+                arr(
+                    lambda: ["", "abc", "é漢\U0001f600"][int(rng.integers(0, 3))],
+                    i + 8,
+                ),
+                arr(
+                    lambda: [b"", b"xy", bytes([7, 8, 9])][
+                        int(rng.integers(0, 3))
+                    ],
+                    i + 9,
+                ),
+                arr(lambda: int(rng.integers(0, 4)), i + 10, np.int64),
+                int(rng.integers(-100, 100)),
+                arr(
+                    lambda: decimal.Decimal(
+                        int(rng.integers(0, 2**63)) * 2 + int(rng.integers(0, 2))
+                    ),
+                    i + 12,
+                ),
+            )
+        )
+    names = [f.name for f in REPEATED_MT.fields]
+    return pd.DataFrame(
+        {nm: pd.Series([r[j] for r in rows], dtype=object) for j, nm in enumerate(names)}
+    )
+
+
+def test_repeated_all_kinds_random_matrix():
+    """Every packed-capable kind + expanded string/bytes, with None
+    cells, empty cells, multi-byte varints, unknown enum numbers, the
+    full decimal-uint64 range — byte-identical to the row path."""
+    df = _random_repeated_df(600)
+    _assert_identical(REPEATED_MT, df)
+
+
+def test_repeated_enum_name_mode():
+    cfg = ProtarrowSparkConfig(enum_type="string")
+    mt = MessageType(
+        "vec.RE", (Field("es", 1, Kind.ENUM, repeated=True, enum=RSIDE),)
+    )
+    df = pd.DataFrame(
+        {
+            "es": pd.Series(
+                [["BUY", "SELL"], [], None, ["bogus", "UNKNOWN"], ["SELL"]],
+                dtype=object,
+            )
+        }
+    )
+    _assert_identical(mt, df, cfg)
+
+
+def test_repeated_permissive_nulls_violating_rows_only():
+    """A range-violating item nulls exactly its row (the row path's
+    per-row try/except); healthy rows stay byte-identical."""
+    import struct as _struct
+
+    mt = MessageType(
+        "vec.RP",
+        (
+            Field("us", 1, Kind.UINT32, repeated=True),
+            Field("f32s", 2, Kind.FIXED32, repeated=True),
+        ),
+    )
+    df = pd.DataFrame(
+        {
+            "us": pd.Series(
+                [[1, 2], [5, 2**32], [7], None, [3]], dtype=object
+            ),
+            "f32s": pd.Series(
+                [[1], [2], [2**32], [4], [-1]], dtype=object
+            ),
+        }
+    )
+    be = compile_batch_to_wire(mt, CFG, permissive=True)
+    re_ = compile_row_to_wire(mt, CFG)
+    fast = be([df["us"], df["f32s"]])
+    slow = []
+    for rec in zip(df["us"], df["f32s"]):
+        try:
+            slow.append(re_(rec))
+        except (ValueError, TypeError, OverflowError, _struct.error):
+            slow.append(None)
+    assert fast == slow
+    assert fast[1] is None and fast[2] is None and fast[4] is None
+    assert fast[0] is not None and fast[3] is not None
+
+    # strict mode raises like the row path
+    bs = compile_batch_to_wire(mt, CFG)
+    with pytest.raises(ValueError, match="out of range"):
+        bs([df["us"], df["f32s"]])
+
+
+def test_repeated_non_str_string_item_is_unvectorizable():
+    from protarrow_spark.conversion.vectorized import Unvectorizable
+
+    mt = MessageType("vec.RS", (Field("ss", 1, Kind.STRING, repeated=True),))
+    be = compile_batch_to_wire(mt, CFG)
+    with pytest.raises(Unvectorizable):
+        be([pd.Series([["ok", 42]], dtype=object)])
+
+
+def test_repeated_null_item_matches_row_path_error_class():
+    """A None INSIDE an int list: the row path's int conversion raises
+    TypeError (caught permissive -> null row); batch must null the
+    same row, not crash the batch."""
+    import struct as _struct
+
+    mt = MessageType("vec.RN", (Field("xs", 1, Kind.INT64, repeated=True),))
+    df = pd.Series([[1, 2], [3, None], [4]], dtype=object)
+    be = compile_batch_to_wire(mt, CFG, permissive=True)
+    re_ = compile_row_to_wire(mt, CFG)
+    fast = be([df])
+    slow = []
+    for rec in zip(df):
+        try:
+            slow.append(re_(rec))
+        except (ValueError, TypeError, OverflowError, _struct.error):
+            slow.append(None)
+    assert fast == slow
+    assert fast[1] is None and fast[0] is not None
+
+
+def test_repeated_message_returns_none():
+    sub = MessageType("vec.RSub", (Field("x", 1, Kind.INT64),))
+    mt = MessageType(
+        "vec.RM",
+        (Field("ms", 1, Kind.MESSAGE, repeated=True, message=sub),),
+    )
+    assert compile_batch_to_wire(mt, CFG) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    strs=st.lists(
+        st.one_of(st.none(), st.lists(st.text(max_size=12), max_size=5)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_property_repeated_batch_equals_row(lists, strs):
+    n = max(len(lists), len(strs))
+
+    def pad(xs, fill):
+        return (xs * ((n // len(xs)) + 1))[:n] if xs else [fill] * n
+
+    mt = MessageType(
+        "vec.RH",
+        (
+            Field("xs", 1, Kind.INT64, repeated=True),
+            Field("ss", 2, Kind.STRING, repeated=True),
+        ),
+    )
+    df = pd.DataFrame(
+        {
+            "xs": pd.Series(pad(lists, None), dtype=object),
+            "ss": pd.Series(pad(strs, None), dtype=object),
+        }
+    )
+    _assert_identical(mt, df)
