@@ -138,6 +138,86 @@ def conv_descset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# conv_roundtrip_repeated — repeated/packed fields through the codec
+# ---------------------------------------------------------------------------
+
+USER_EVENTS_MT = MessageType(
+    "protarrow_spark.events.UserEvents",
+    (
+        Field("user_id", 1, Kind.INT64),
+        Field("ids", 2, Kind.INT64, repeated=True),
+        Field("vals", 3, Kind.DOUBLE, repeated=True),
+        Field("types", 4, Kind.STRING, repeated=True),
+    ),
+)
+
+
+@query(
+    "conv_roundtrip_repeated",
+    oracle="""
+WITH agg AS (
+  SELECT user_id,
+         CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(length(event_type)) AS BIGINT) AS type_chars
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT user_id, value AS val,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) - 1
+              AS BIGINT) AS pos
+  FROM events
+)
+SELECT v.user_id, a.id_sum, a.n_types, a.type_chars, v.pos, v.val
+FROM vals v JOIN agg a USING (user_id)
+""",
+)
+def conv_roundtrip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wire round-trip of a message with REPEATED fields —
+    packed int64 + packed double + expanded string per the proto3 wire
+    rules (reference: repeated/packed handling in
+    ``proto_to_arrow.py:456-491`` via offsets + flattened values).
+
+    Events collapse to one message per user holding sorted arrays of
+    ids/values/types; the encode half takes the r9 vectorized repeated
+    path (conversion/vectorized.py ``_prepare_repeated``), the decode
+    half the compiled row reader (repeated shapes keep the row path).
+    The readout re-expands the arrays: exact integer aggregates of the
+    decoded int/string arrays per user plus every decoded double
+    re-exploded positionally, so a single wrong byte in any packed
+    body, length prefix, or item payload fails the value hash.
+
+    Scale: one groupBy shuffle to form the arrays, then two
+    zero-shuffle mapInPandas stages; sorted arrays make the collect
+    deterministic, and value-ties in the positional explode emit the
+    same tuple multiset either way.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    grp = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_id")).alias("ids"),
+        F.array_sort(F.collect_list("value")).alias("vals"),
+        F.array_sort(F.collect_list("event_type")).alias("types"),
+    )
+    rt = proto_roundtrip(grp, USER_EVENTS_MT, ProtarrowSparkConfig())
+    out = rt.select(
+        "user_id",
+        F.aggregate(
+            "ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+        F.size("types").cast("long").alias("n_types"),
+        F.aggregate(
+            "types",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x).cast("long"),
+        ).alias("type_chars"),
+        F.posexplode("vals").alias("pos", "val"),
+    )
+    return out.withColumn("pos", F.col("pos").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # conv_oneof_roundtrip
 # ---------------------------------------------------------------------------
 

@@ -827,13 +827,24 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, edges, "doc_id")
 
 
-@query("cluster_kmeans_embeddings")  # iterative -> rows-only gate
+@query("cluster_kmeans_embeddings")  # iterative float -> rows-only gate
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means cluster assignment over the
     embeddings corpus (k=8, 5 rounds, smallest-id init — the trained
     version of the IVF coarse quantizer). Iterative driver loop, so
     it takes the rows-only check; the algebraic properties (monotone
-    inertia, deterministic assignment) are pinned in pytest."""
+    inertia, deterministic assignment) are pinned in pytest.
+
+    Rows-only is the CEILING for float k-means, not a gap: centroid
+    updates average float64 sums whose addend ORDER differs between
+    Spark's partial aggregation and any SQL oracle's, and one ulp of
+    drift in a centroid can flip a boundary point's argmin, changing
+    assignments legitimately. The registry carries two value-exact
+    k-means gates instead: cluster_kmeans_int8_exact (every
+    assignment hash-checked in integer arithmetic) and
+    cluster_kmeans_assign_counts (the per-centroid population readout,
+    r9) — together they verify the algorithm; this query keeps the
+    float operating point honest at the rows level."""
     return similarity.kmeans_lloyd(table(spark, sf_dir, "embeddings"))
 
 
@@ -3685,6 +3696,45 @@ def _kmeans8_oracle() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final}"
+    )
+
+
+def _kmeans8_counts_oracle() -> str:
+    ctes, final = _kmeans8_ctes()
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(vec_id) AS min_vec,
+       CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
+FROM {final} GROUP BY cid"""
+    )
+
+
+@query("cluster_kmeans_assign_counts", oracle=_kmeans8_counts_oracle())
+def cluster_kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-centroid population readout of k-means — the VALUE-exact
+    cluster-size report the rows-only float query cannot provide:
+    assignment counts, min member, and member-id checksum per cluster,
+    computed from the int8-exact Lloyd's machinery (integer distances,
+    deterministic argmin, truncated integer-mean updates), so the
+    unrolled SQL oracle hash-matches every cell. This is the dataset-
+    card shape ("how balanced are my semantic clusters") a curation
+    pipeline reports after clustering; the float twin
+    (cluster_kmeans_embeddings) stays rows-only because IEEE float
+    summation order in centroid updates is engine-dependent — see its
+    docstring for the ceiling argument.
+
+    Scale: the k-means rounds are broadcast-centroid matmuls (corpus
+    never shuffles); the readout adds one k-sized groupBy."""
+    assign = similarity.kmeans_int8_exact(
+        table(spark, sf_dir, "embeddings"), k=KM8_K, iterations=KM8_ITER
+    )
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+        F.sum("vec_id").alias("vec_id_sum"),
     )
 
 
