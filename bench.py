@@ -181,6 +181,10 @@ HEADLINE = [
     "sketch_quantile_bottomk",
     # Adam7/palette/alpha PNG layouts through the distributed path (r8)
     "mm_image_features_png_adam7",
+    # repeated/packed fields through the vectorized codec (r9)
+    "conv_roundtrip_repeated",
+    # value-exact k-means population readout (r9)
+    "cluster_kmeans_assign_counts",
 ]
 
 

@@ -199,3 +199,23 @@ def all_oracles() -> dict[str, str]:
     import protarrow_spark.queries  # noqa: F401
 
     return _ordered(ORACLES)
+
+
+def registry_fingerprint() -> str:
+    """Content hash of the live registry: every query name, its oracle
+    SQL, and its implementation source. tools/gate_rehearsal.py stamps
+    this into CORRECTNESS_LOCAL_ALL.json so a query edited (or born)
+    after its last full-registry rehearsal fails the pytest freshness
+    guard instead of shipping unverified (tests/test_gate_freshness.py)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for name, fn in sorted(all_queries().items()):
+        h.update(name.encode())
+        h.update(ORACLES.get(name, "").encode())
+        try:
+            h.update(inspect.getsource(fn).encode())
+        except (OSError, TypeError):  # pragma: no cover - builtins only
+            h.update(repr(fn).encode())
+    return h.hexdigest()

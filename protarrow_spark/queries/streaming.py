@@ -73,6 +73,33 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+#: Last completed run's StreamingQueryProgress records per query name.
+#: tools/plan_audit.py reads this after executing each streaming query
+#: to audit the stateful-operator shape (operator names, state-row
+#: counts, bounded-state evidence) that the batch EXPLAIN audit cannot
+#: see — streaming plans are built by the streaming engine at run time.
+STREAM_PROGRESS: dict[str, list[dict]] = {}
+
+
+def _await_and_record(q, name: str) -> None:
+    """awaitTermination + capture the run's progress JSON for the
+    plan/state audit. Progress capture is best-effort diagnostics:
+    it must never fail a query."""
+    import json as _json
+
+    q.awaitTermination()
+    try:
+        progs = []
+        for p in q.recentProgress or []:
+            if isinstance(p, dict):
+                progs.append(p)
+            else:
+                progs.append(_json.loads(p.json if hasattr(p, "json") else str(p)))
+        STREAM_PROGRESS[name] = progs
+    except Exception:  # pragma: no cover - diagnostics only
+        STREAM_PROGRESS[name] = []
+
+
 def _run_to_memory(agg: DataFrame, name: str) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
     return the completed table. Complete output mode: every window is
@@ -85,7 +112,9 @@ def _run_to_memory(agg: DataFrame, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # progress records key by REGISTRY name (memory-sink names carry a
+    # mem_ prefix to avoid temp-view collisions)
+    _await_and_record(q, name.removeprefix("mem_"))
     return agg.sparkSession.table(name)
 
 
@@ -266,7 +295,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q, "stream_stateful_user_totals")
     sink = spark.table("mem_stream_stateful_user_totals")
     last = F.max(F.struct("n_events", "total_micros")).alias("s")
     return (
@@ -367,7 +396,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q, "stream_interval_join")
     return spark.table("mem_stream_interval_join")
 
 
@@ -408,7 +437,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q, "stream_dedup_keys")
     return spark.table("mem_stream_dedup_keys")
 
 
@@ -1006,7 +1035,7 @@ def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q, "stream_quantile_bottomk")
     sink = spark.table("mem_stream_quantile_bottomk")
     last = F.max(F.struct("n_seen", "est_q50", "est_q90")).alias("s")
     return (

@@ -65,6 +65,22 @@ def main() -> None:
             print(f"RED   {name}: {exc}")
             traceback.print_exc(limit=2)
     out = REPO / ("CORRECTNESS_LOCAL_ALL.json" if run_all else "CORRECTNESS_LOCAL.json")
+    if run_all:
+        # Freshness stamp: tests/test_gate_freshness.py recomputes the
+        # registry fingerprint and fails if any query was edited or
+        # born after this rehearsal — a stale artifact can't ship.
+        import datetime
+
+        from protarrow_spark.queries.registry import registry_fingerprint
+
+        results["__meta__"] = {
+            "registry_hash": registry_fingerprint(),
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+            "n_queries": len(names),
+            "sf_dir": sf_dir,
+        }
     out.write_text(json.dumps(results, indent=1))
     print(f"\n{n_green}/{len(names)} green -> {out}")
     spark.stop()
