@@ -192,6 +192,68 @@ def _skip_at(buf, cur, limit, active, wt):
     return cur.copy(), err
 
 
+def _convert_numeric(kind, u, live, field, enum_name_mode, u64_decimal):
+    """uint64 raw wire values -> cell values for one numeric kind,
+    identical to the row path's reader+converter composition. ``live``
+    masks the elements whose values must be exactly representable
+    (dead elements are nulled by the caller); a live value outside
+    what the numpy formulation can mirror raises Unvectorizable so the
+    row path decides."""
+    import numpy as np
+
+    if kind is Kind.INT64:
+        return u.view(np.int64)
+    if kind is Kind.ENUM:
+        signed = u.view(np.int64)
+        if enum_name_mode:
+            by_number = field.enum.by_number
+            fb = field.enum.fallback_name
+            return np.array(
+                [by_number.get(int(x), fb) for x in signed], dtype=object
+            )
+        return signed
+    if kind is Kind.INT32:
+        low = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return np.where(low >= (1 << 31), low - (1 << 32), low)
+    if kind is Kind.UINT32:
+        if (u[live] >= np.uint64(1 << 63)).any():
+            # corrupt wire can put any varint in a uint32 field; the
+            # row path keeps the unbounded int
+            raise Unvectorizable("uint32 varint >= 2^63")
+        return u.astype(np.int64)
+    if kind in (Kind.UINT64, Kind.FIXED64):
+        if u64_decimal:
+            import decimal
+
+            return np.array(
+                [decimal.Decimal(int(x)) for x in u], dtype=object
+            )
+        return u.view(np.int64)  # reinterpret wrap, like the row
+        # path's v - 2^64 if v > I64_MAX
+    if kind in (Kind.SINT32, Kind.SINT64):
+        half = (u >> np.uint64(1)).astype(np.int64)
+        return half ^ -(u & np.uint64(1)).astype(np.int64)
+    if kind is Kind.BOOL:
+        return u != 0
+    if kind is Kind.DOUBLE:
+        return u.view(np.float64)
+    if kind is Kind.FLOAT:
+        return (
+            (u & np.uint64(0xFFFFFFFF))
+            .astype(np.uint32)
+            .view(np.float32)
+            .astype(np.float64)
+        )
+    if kind is Kind.FIXED32:
+        return u.astype(np.int64)
+    if kind is Kind.SFIXED32:
+        low = u.astype(np.int64)
+        return np.where(low >= (1 << 31), low - (1 << 32), low)
+    if kind is Kind.SFIXED64:
+        return u.view(np.int64)
+    raise Unvectorizable(f"kind {kind}")  # pragma: no cover
+
+
 def compile_wire_to_batch(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
@@ -213,8 +275,16 @@ def compile_wire_to_batch(
     fields = list(mtype.fields)
     plan: dict[int, tuple] = {}
     for idx, field in enumerate(fields):
-        if field.is_map or field.repeated or field.oneof is not None:
+        if field.is_map or field.oneof is not None:
             return None
+        if field.repeated:
+            # repeated scalars (r9): packed bodies parse in a
+            # transposed inner loop, expanded occurrences accumulate
+            # (row, value) chunks; repeated messages keep the row path
+            if field.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
+                return None
+            plan[field.number] = ("repeated", field, idx)
+            continue
         if _is_timestamp_field(field):
             if config.timestamp_type not in ("timestamp", "long_nanos"):
                 return None
@@ -263,7 +333,14 @@ def compile_wire_to_batch(
         str_len: dict[int, object] = {}
         ts_sec: dict[int, object] = {}
         ts_nano: dict[int, object] = {}
+        # repeated: (row_idx array, payload arrays) chunks in PARSE
+        # order — a stable per-row sort at finalize reassembles each
+        # row's element sequence exactly as the row path appended it
+        rep_chunks: dict[int, list] = {}
         for number, (klass, field, idx) in plan.items():
+            if klass == "repeated":
+                rep_chunks[idx] = []
+                continue
             if klass == "timestamp":
                 ts_sec[idx] = np.zeros(n, dtype=np.int64)
                 ts_nano[idx] = np.zeros(n, dtype=np.int64)
@@ -386,6 +463,78 @@ def compile_wire_to_batch(
                                 tcur = np.where(tmok, tp2, tcur)
                         tact = mok & (tcur < body_end)
                     cur = np.where(mok, body_end, cur)
+                elif klass == "repeated":
+                    if kind in _LEN_KINDS:
+                        # expanded LEN occurrence (strings/bytes never
+                        # pack — the row path reads one item per tag
+                        # regardless of wt, so do we)
+                        ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                        oob = np.zeros(n, dtype=bool)
+                        mok = m & ~verr
+                        lni = np.minimum(ln, np.uint64(1 << 62)).astype(
+                            np.int64
+                        )
+                        oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                        fail(m & (verr | oob), "truncated repeated LEN")
+                        mok = mok & ~oob
+                        idxs = np.flatnonzero(mok)
+                        rep_chunks[idx].append(
+                            (idxs, p2[idxs].copy(), lni[idxs].copy())
+                        )
+                        cur = np.where(mok, p2 + lni, cur)
+                    elif wt == _WT_LEN:
+                        # packed body: transposed inner loop, one
+                        # element per iteration per still-active row.
+                        # Reads are bounded by the ROW end (the row
+                        # path's reader can overrun the declared stop
+                        # mid-element and returns the ACTUAL final
+                        # position, not a clamp — mirror both).
+                        ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                        oob = np.zeros(n, dtype=bool)
+                        mok = m & ~verr
+                        lni = np.minimum(ln, np.uint64(1 << 62)).astype(
+                            np.int64
+                        )
+                        oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                        fail(m & (verr | oob), "truncated packed body")
+                        mok = mok & ~oob
+                        body_end = np.where(mok, p2 + lni, cur)
+                        tcur = np.where(mok, p2, cur)
+                        width = _FIXED_WIDTH.get(kind)
+                        tact = mok & (tcur < body_end)
+                        while tact.any():
+                            if width is None:
+                                v, tp, terr = _read_varints_at(
+                                    buf, tcur, rowend, tact
+                                )
+                            else:
+                                v, tp, terr = _read_fixed_at(
+                                    buf, tcur, rowend, tact, width
+                                )
+                            fail(tact & terr, "truncated packed element")
+                            tact &= ~terr
+                            mok &= ~terr
+                            idxs = np.flatnonzero(tact)
+                            rep_chunks[idx].append((idxs, v[idxs].copy()))
+                            tcur = np.where(tact, tp, tcur)
+                            tact = mok & (tcur < body_end)
+                        cur = np.where(mok, tcur, cur)
+                    else:
+                        # expanded numeric occurrence: single element
+                        width = _FIXED_WIDTH.get(kind)
+                        if width is None:
+                            v, p2, verr = _read_varints_at(
+                                buf, cur, rowend, m
+                            )
+                        else:
+                            v, p2, verr = _read_fixed_at(
+                                buf, cur, rowend, m, width
+                            )
+                        fail(m & verr, "truncated repeated element")
+                        mok = m & ~verr
+                        idxs = np.flatnonzero(mok)
+                        rep_chunks[idx].append((idxs, v[idxs].copy()))
+                        cur = np.where(mok, p2, cur)
                 elif kind in _LEN_KINDS:
                     ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
                     oob = np.zeros(n, dtype=bool)
@@ -426,7 +575,11 @@ def compile_wire_to_batch(
         # far cheaper per cell than ndarray.tobytes()
         str_cells: dict[int, list] = {}
         for idx, field in enumerate(fields):
-            if field.kind not in _LEN_KINDS or _is_timestamp_field(field):
+            if (
+                field.kind not in _LEN_KINDS
+                or field.repeated
+                or _is_timestamp_field(field)
+            ):
                 continue
             st, ln, sk = str_start[idx], str_len[idx], seen[idx]
             out: list = [None] * n
@@ -446,9 +599,92 @@ def compile_wire_to_batch(
                     out[i] = raw_bytes[st[i] : st[i] + ln[i]]
             str_cells[idx] = out
 
+        # Pass 1b: repeated fields — reassemble each row's element
+        # sequence (stable sort keeps parse/append order within a row),
+        # decode LEN payloads (may still grow ``bad``, so this runs
+        # BEFORE any null mask is applied), convert numeric raws.
+        rep_ready: dict[int, tuple] = {}
+        for number, (klass, field, idx) in plan.items():
+            if klass != "repeated":
+                continue
+            chunks = rep_chunks[idx]
+            kind = field.kind
+            if kind in _LEN_KINDS:
+                rows_all = (
+                    np.concatenate([c[0] for c in chunks])
+                    if chunks
+                    else np.zeros(0, dtype=np.int64)
+                )
+                order = np.argsort(rows_all, kind="stable")
+                rows_s = rows_all[order]
+                starts = (
+                    np.concatenate([c[1] for c in chunks])[order]
+                    if chunks
+                    else rows_all
+                )
+                lens_ = (
+                    np.concatenate([c[2] for c in chunks])[order]
+                    if chunks
+                    else rows_all
+                )
+                elems: list = [None] * len(rows_s)
+                for k in range(len(rows_s)):
+                    i = rows_s[k]
+                    if bad[i]:
+                        continue
+                    data = raw_bytes[starts[k] : starts[k] + lens_[k]]
+                    if kind is Kind.STRING:
+                        try:
+                            elems[k] = data.decode("utf-8")
+                        except UnicodeDecodeError:
+                            if not permissive:
+                                raise
+                            bad[i] = True
+                    else:
+                        elems[k] = data
+                rep_ready[idx] = (rows_s, elems)
+            else:
+                rows_all = (
+                    np.concatenate([c[0] for c in chunks])
+                    if chunks
+                    else np.zeros(0, dtype=np.int64)
+                )
+                vals_all = (
+                    np.concatenate([c[1] for c in chunks])
+                    if chunks
+                    else np.zeros(0, dtype=np.uint64)
+                )
+                order = np.argsort(rows_all, kind="stable")
+                rows_s = rows_all[order]
+                u = vals_all[order]
+                live = ~bad[rows_s] if len(rows_s) else np.zeros(0, dtype=bool)
+                vals = _convert_numeric(
+                    kind, u, live, field, enum_name_mode, u64_decimal
+                )
+                rep_ready[idx] = (rows_s, vals)
+
         columns: list = []
         for idx, field in enumerate(fields):
             kind = field.kind
+            if field.repeated:
+                rows_s, elems = rep_ready[idx]
+                # missing/empty both finalize to [] like the row path
+                out = [None if bad[i] else [] for i in range(n)]
+                if kind in _LEN_KINDS:
+                    for k in range(len(rows_s)):
+                        cell = out[rows_s[k]]
+                        if cell is not None:
+                            cell.append(elems[k])
+                else:
+                    counts = np.bincount(rows_s, minlength=n)
+                    pos = 0
+                    for i in range(n):
+                        c = int(counts[i])
+                        if c and out[i] is not None:
+                            out[i] = elems[pos : pos + c].tolist()
+                        pos += c
+                columns.append(out)
+                continue
             if _is_timestamp_field(field):
                 sk = seen[idx]
                 null_mask = ~sk | bad
@@ -499,61 +735,9 @@ def compile_wire_to_batch(
             u = raw_vals[idx]
             sk = seen[idx]
             live = sk & ~bad
-            if kind in (Kind.INT64,):
-                vals = u.view(np.int64)
-            elif kind is Kind.ENUM:
-                signed = u.view(np.int64)
-                if enum_name_mode:
-                    by_number = field.enum.by_number
-                    fb = field.enum.fallback_name
-                    vals = np.array(
-                        [by_number.get(int(x), fb) for x in signed],
-                        dtype=object,
-                    )
-                else:
-                    vals = signed
-            elif kind is Kind.INT32:
-                low = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                vals = np.where(low >= (1 << 31), low - (1 << 32), low)
-            elif kind is Kind.UINT32:
-                if (u[live] >= np.uint64(1 << 63)).any():
-                    # corrupt wire can put any varint in a uint32
-                    # field; the row path keeps the unbounded int
-                    raise Unvectorizable("uint32 varint >= 2^63")
-                vals = u.astype(np.int64)
-            elif kind in (Kind.UINT64, Kind.FIXED64):
-                if u64_decimal:
-                    import decimal
-
-                    vals = np.array(
-                        [decimal.Decimal(int(x)) for x in u], dtype=object
-                    )
-                else:
-                    vals = u.view(np.int64)  # reinterpret wrap, like the
-                    # row path's v - 2^64 if v > I64_MAX
-            elif kind in (Kind.SINT32, Kind.SINT64):
-                half = (u >> np.uint64(1)).astype(np.int64)
-                vals = half ^ -(u & np.uint64(1)).astype(np.int64)
-            elif kind is Kind.BOOL:
-                vals = u != 0
-            elif kind is Kind.DOUBLE:
-                vals = u.view(np.float64)
-            elif kind is Kind.FLOAT:
-                vals = (
-                    (u & np.uint64(0xFFFFFFFF))
-                    .astype(np.uint32)
-                    .view(np.float32)
-                    .astype(np.float64)
-                )
-            elif kind is Kind.FIXED32:
-                vals = u.astype(np.int64)
-            elif kind is Kind.SFIXED32:
-                low = u.astype(np.int64)
-                vals = np.where(low >= (1 << 31), low - (1 << 32), low)
-            elif kind is Kind.SFIXED64:
-                vals = u.view(np.int64)
-            else:  # pragma: no cover - plan() filtered kinds already
-                raise Unvectorizable(f"kind {kind}")
+            vals = _convert_numeric(
+                kind, u, live, field, enum_name_mode, u64_decimal
+            )
             null_mask = bad if not field.has_presence else (~sk | bad)
             if null_mask.any():
                 col = vals.astype(object)

@@ -316,8 +316,22 @@ def test_corrupt_bytes_strict_raises_like_row_path():
 
 
 def test_unsupported_shapes_return_none():
+    # repeated SCALARS decode vectorized since r9; repeated messages not
     rep = MessageType("vd.R", (Field("xs", 1, Kind.INT64, repeated=True),))
-    assert compile_wire_to_batch(rep, CFG) is None
+    assert compile_wire_to_batch(rep, CFG) is not None
+    rep_msg = MessageType(
+        "vd.RM",
+        (
+            Field(
+                "ms",
+                1,
+                Kind.MESSAGE,
+                repeated=True,
+                message=MessageType("vd.RSub", (Field("x", 1, Kind.INT64),)),
+            ),
+        ),
+    )
+    assert compile_wire_to_batch(rep_msg, CFG) is None
     oneof = MessageType(
         "vd.O",
         (
@@ -436,4 +450,139 @@ def test_property_arbitrary_bytes_equivalent(blobs):
             assert _eq(_cell(cols[j], i), s[j]), (
                 f"row {i} field {mt.fields[j].name}: "
                 f"{_cell(cols[j], i)!r} != {s[j]!r} ({blobs[i].hex()})"
+            )
+
+
+# --- repeated/packed decode (r9) -------------------------------------------
+
+REP_MT = MessageType(
+    "vd.Rep",
+    (
+        Field("xs", 1, Kind.INT64, repeated=True),
+        Field("ys", 2, Kind.SINT32, repeated=True),
+        Field("ds", 4, Kind.DOUBLE, repeated=True),
+        Field("fs", 5, Kind.FLOAT, repeated=True),
+        Field("f32s", 6, Kind.FIXED32, repeated=True),
+        Field("bs", 8, Kind.BOOL, repeated=True),
+        Field("ss", 9, Kind.STRING, repeated=True),
+        Field("bys", 10, Kind.BYTES, repeated=True),
+        Field("es", 11, Kind.ENUM, repeated=True, enum=SIDE),
+        Field("scalar", 12, Kind.INT64),
+        Field("u64s", 13, Kind.UINT64, repeated=True),
+    ),
+)
+
+
+def _eq_cell(a, b):
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_eq_cell(x, y) for x, y in zip(a, b))
+    return _eq(a, b)
+
+
+def _random_rep_rows(n, seed=7):
+    import decimal
+
+    rng = np.random.default_rng(seed)
+
+    def arr(gen, i):
+        k = int(rng.integers(0, 6))
+        if i % 11 == 0:
+            return None
+        if i % 7 == 0:
+            return []
+        return [gen() for _ in range(k)]
+
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                arr(lambda: int(rng.integers(-(2**62), 2**62)), i),
+                arr(lambda: int(rng.integers(-(2**31), 2**31)), i + 1),
+                arr(lambda: float(rng.normal()), i + 3),
+                arr(lambda: float(np.float32(rng.normal())), i + 4),
+                arr(lambda: int(rng.integers(0, 2**32)), i + 5),
+                arr(lambda: bool(rng.integers(0, 2)), i + 7),
+                arr(lambda: ["", "abc", "é漢"][int(rng.integers(0, 3))], i + 8),
+                arr(
+                    lambda: [b"", b"xy", bytes([7, 8, 9])][
+                        int(rng.integers(0, 3))
+                    ],
+                    i + 9,
+                ),
+                arr(lambda: int(rng.integers(0, 4)), i + 10),
+                int(rng.integers(-100, 100)),
+                arr(
+                    lambda: decimal.Decimal(
+                        int(rng.integers(0, 2**63)) * 2 + int(rng.integers(0, 2))
+                    ),
+                    i + 12,
+                ),
+            )
+        )
+    return rows
+
+
+def test_repeated_decode_random_matrix():
+    """Packed numeric + expanded string/bytes repeated fields decode
+    cell-identically to the row path (None/empty cells, unknown enum
+    numbers, full decimal-uint64 range, multi-occurrence appends)."""
+    enc = compile_row_to_wire(REP_MT, CFG)
+    wires = [enc(r) for r in _random_rep_rows(500)]
+    db = compile_wire_to_batch(REP_MT, CFG)
+    assert db is not None
+    dr = compile_wire_to_row(REP_MT, CFG)
+    cols, bad = db(wires)
+    assert bad is None
+    slow = [dr(w) for w in wires]
+    for i in range(len(wires)):
+        for j, f in enumerate(REP_MT.fields):
+            assert _eq_cell(cols[j][i], slow[i][j]), (
+                f"row {i} field {f.name}: {cols[j][i]!r} != {slow[i][j]!r}"
+            )
+
+
+def test_repeated_decode_mixed_packed_and_expanded():
+    """Hand-built wire mixing packed and expanded encodings of the SAME
+    field (both legal; parsers must accept either), plus appends across
+    occurrences — element order must match the row path exactly."""
+    mt = MessageType("vd.Mix", (Field("xs", 1, Kind.INT64, repeated=True),))
+    # expanded x=5 ; packed [1, 2] ; expanded x=300 ; empty packed
+    w = b"\x08\x05" + b"\x0a\x02\x01\x02" + b"\x08\xac\x02" + b"\x0a\x00"
+    dr = compile_wire_to_row(mt, CFG)
+    db = compile_wire_to_batch(mt, CFG)
+    assert dr(w)[0] == [5, 1, 2, 300]
+    cols, _ = db([w, b"", w])
+    assert cols[0][0] == [5, 1, 2, 300]
+    assert cols[0][1] == []  # absent -> [] like the row finalizer
+    assert cols[0][2] == [5, 1, 2, 300]
+
+
+@pytest.mark.parametrize("seed", [300, 301, 302])
+def test_repeated_decode_corrupt_permissive(seed):
+    enc = compile_row_to_wire(REP_MT, CFG)
+    wires = _mutate([enc(r) for r in _random_rep_rows(250, seed)], seed)
+    wires += [None, b"", b"\x0a\x00", b"\x0a\x03\x01\x02\x03", b"\x0a\x05\x01"]
+    dr = compile_wire_to_row(REP_MT, CFG)
+    db = compile_wire_to_batch(REP_MT, CFG, permissive=True)
+    slow: list = []
+    for w in wires:
+        if w is None:
+            slow.append(None)
+            continue
+        try:
+            slow.append(dr(bytes(w)))
+        except (ValueError, TypeError, IndexError, struct.error):
+            slow.append(None)
+    try:
+        cols, bad = db(wires)
+    except Unvectorizable:
+        return  # legitimate fallback
+    for i, s in enumerate(slow):
+        if s is None:
+            assert bad[i], f"row {i}: row path nulled, batch kept"
+            continue
+        assert not bad[i], f"row {i}: batch nulled, row path decoded"
+        for j in range(len(REP_MT.fields)):
+            assert _eq_cell(cols[j][i], s[j]), (
+                f"row {i} field {REP_MT.fields[j].name}"
             )
