@@ -25,13 +25,15 @@ config modes, and a corrupt-bytes fuzz: rows where the row path raises
 must raise here in strict mode and null identically in permissive
 mode).
 
-Scope (v1, mirrors the encoder): non-repeated, non-map, non-oneof
-fields of the scalar kinds plus google.protobuf.Timestamp message
-fields. Anything else -> ``compile_wire_to_batch`` returns None and
-callers keep the row path. Runtime surprises (wire values outside the
-shapes the numpy dtypes can mirror exactly, e.g. >=2^63 varints in a
-uint32 field from corrupt bytes) raise :class:`Unvectorizable` and the
-caller falls back per batch — the row path stays the semantics oracle.
+Scope: scalar kinds (all config modes) + google.protobuf.Timestamp
+message fields + REPEATED scalars (packed and expanded, r9) + ONEOF
+groups of supported members (later-member-wins sibling clearing, r9).
+Maps and non-Timestamp message fields -> ``compile_wire_to_batch``
+returns None and callers keep the row path. Runtime surprises (wire
+values outside the shapes the numpy dtypes can mirror exactly, e.g.
+>=2^63 varints in a uint32 field from corrupt bytes) raise
+:class:`Unvectorizable` and the caller falls back per batch — the row
+path stays the semantics oracle.
 
 Reference parity: the reference's decode direction is
 ``arrow_to_proto.py:608-656`` (columnar extraction from pyarrow
@@ -273,9 +275,22 @@ def compile_wire_to_batch(
     import numpy as np
 
     fields = list(mtype.fields)
+    index_of = {f.name: i for i, f in enumerate(fields)}
+
+    def _sibs(field) -> tuple:
+        # oneof later-member-wins: setting one member clears its
+        # siblings' presence (same clearing the row handlers do)
+        if field.oneof is None:
+            return ()
+        return tuple(
+            index_of[s.name]
+            for s in fields
+            if s.oneof == field.oneof and s.name != field.name
+        )
+
     plan: dict[int, tuple] = {}
     for idx, field in enumerate(fields):
-        if field.is_map or field.oneof is not None:
+        if field.is_map:
             return None
         if field.repeated:
             # repeated scalars (r9): packed bodies parse in a
@@ -283,16 +298,16 @@ def compile_wire_to_batch(
             # (row, value) chunks; repeated messages keep the row path
             if field.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
                 return None
-            plan[field.number] = ("repeated", field, idx)
+            plan[field.number] = ("repeated", field, idx, ())
             continue
         if _is_timestamp_field(field):
             if config.timestamp_type not in ("timestamp", "long_nanos"):
                 return None
-            plan[field.number] = ("timestamp", field, idx)
+            plan[field.number] = ("timestamp", field, idx, _sibs(field))
             continue
         if field.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
             return None
-        plan[field.number] = ("scalar", field, idx)
+        plan[field.number] = ("scalar", field, idx, _sibs(field))
 
     enum_name_mode = config.enum_type != "int"
     u64_decimal = config.uint64_type == "decimal"
@@ -337,7 +352,7 @@ def compile_wire_to_batch(
         # order — a stable per-row sort at finalize reassembles each
         # row's element sequence exactly as the row path appended it
         rep_chunks: dict[int, list] = {}
-        for number, (klass, field, idx) in plan.items():
+        for number, (klass, field, idx, sibs) in plan.items():
             if klass == "repeated":
                 rep_chunks[idx] = []
                 continue
@@ -392,7 +407,7 @@ def compile_wire_to_batch(
                     ok = m & ~serr
                     cur = np.where(ok, p2, cur)
                     continue
-                klass, field, idx = entry
+                klass, field, idx, sibs = entry
                 kind = field.kind
                 if klass == "timestamp":
                     ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
@@ -462,6 +477,8 @@ def compile_wire_to_batch(
                                 mok &= ~tserr
                                 tcur = np.where(tmok, tp2, tcur)
                         tact = mok & (tcur < body_end)
+                    for s_idx in sibs:
+                        seen[s_idx][mok] = False
                     cur = np.where(mok, body_end, cur)
                 elif klass == "repeated":
                     if kind in _LEN_KINDS:
@@ -546,6 +563,8 @@ def compile_wire_to_batch(
                     str_start[idx][mok] = p2[mok]
                     str_len[idx][mok] = lni[mok]
                     seen[idx] |= mok
+                    for s_idx in sibs:
+                        seen[s_idx][mok] = False
                     cur = np.where(mok, p2 + lni, cur)
                 elif kind in _FIXED_WIDTH:
                     v, p2, ferr = _read_fixed_at(
@@ -555,6 +574,8 @@ def compile_wire_to_batch(
                     mok = m & ~ferr
                     raw_vals[idx][mok] = v[mok]
                     seen[idx] |= mok
+                    for s_idx in sibs:
+                        seen[s_idx][mok] = False
                     cur = np.where(mok, p2, cur)
                 else:  # varint family (readers ignore the observed wt,
                     # exactly like the row handlers)
@@ -563,6 +584,8 @@ def compile_wire_to_batch(
                     mok = m & ~verr
                     raw_vals[idx][mok] = v[mok]
                     seen[idx] |= mok
+                    for s_idx in sibs:
+                        seen[s_idx][mok] = False
                     cur = np.where(mok, p2, cur)
             active = (cur < rowend) & ~bad
 
@@ -604,7 +627,7 @@ def compile_wire_to_batch(
         # decode LEN payloads (may still grow ``bad``, so this runs
         # BEFORE any null mask is applied), convert numeric raws.
         rep_ready: dict[int, tuple] = {}
-        for number, (klass, field, idx) in plan.items():
+        for number, (klass, field, idx, sibs) in plan.items():
             if klass != "repeated":
                 continue
             chunks = rep_chunks[idx]

@@ -332,14 +332,15 @@ def test_unsupported_shapes_return_none():
         ),
     )
     assert compile_wire_to_batch(rep_msg, CFG) is None
+    # oneofs decode vectorized since r9 (sibling clearing)
     oneof = MessageType(
-        "vd.O",
+        "vd.O2",
         (
             Field("a", 1, Kind.STRING, oneof="p"),
             Field("b", 2, Kind.INT64, oneof="p"),
         ),
     )
-    assert compile_wire_to_batch(oneof, CFG) is None
+    assert compile_wire_to_batch(oneof, CFG) is not None
     nested = MessageType(
         "vd.N",
         (
@@ -585,4 +586,89 @@ def test_repeated_decode_corrupt_permissive(seed):
         for j in range(len(REP_MT.fields)):
             assert _eq_cell(cols[j][i], s[j]), (
                 f"row {i} field {REP_MT.fields[j].name}"
+            )
+
+
+# --- oneof decode (r9): later-member-wins sibling clearing -----------------
+
+ONEOF_MT = MessageType(
+    "vd.O",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("as_text", 2, Kind.STRING, oneof="payload"),
+        Field("as_number", 3, Kind.INT64, oneof="payload"),
+        Field("as_ts", 4, Kind.MESSAGE, message=TIMESTAMP, oneof="payload"),
+    ),
+)
+
+
+def test_oneof_decode_random_and_later_member_wins():
+    enc = compile_row_to_wire(ONEOF_MT, CFG)
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(300):
+        k = i % 4
+        rows.append(
+            (
+                i,
+                f"txt{i}" if k == 0 else None,
+                int(rng.integers(-100, 100)) if k == 1 else None,
+                (
+                    dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+                    + dt.timedelta(seconds=i)
+                )
+                if k == 2
+                else None,
+            )
+        )
+    wires = [enc(r) for r in rows]
+    # hand-crafted multi-member stream: text -> number -> ts -> text;
+    # each occurrence must clear its siblings, last one wins
+    wires += [
+        b"\x08\x2a" + b"\x12\x03abc" + b"\x18\x07"
+        + b"\x22\x02\x08\x64" + b"\x12\x02zz",
+        b"",
+    ]
+    _assert_identical(ONEOF_MT, wires)
+    dr = compile_wire_to_row(ONEOF_MT, CFG)
+    assert dr(wires[-2])[1] == "zz"  # the final member
+    assert dr(wires[-2])[2] is None and dr(wires[-2])[3] is None
+
+
+@pytest.mark.parametrize("seed", [600, 601])
+def test_oneof_decode_corrupt_permissive(seed):
+    enc = compile_row_to_wire(ONEOF_MT, CFG)
+    base = [
+        enc((i, f"t{i}" if i % 2 else None, None if i % 2 else i, None))
+        for i in range(200)
+    ]
+    wires = _mutate(base, seed) + [b"", b"\x12\x05a"]
+    dr = compile_wire_to_row(ONEOF_MT, CFG)
+    db = compile_wire_to_batch(ONEOF_MT, CFG, permissive=True)
+    slow: list = []
+    hard = False
+    for w in wires:
+        try:
+            slow.append(dr(bytes(w)))
+        except (ValueError, TypeError, IndexError, struct.error):
+            slow.append(None)
+        except OverflowError:
+            slow.append("HARD")
+            hard = True
+    try:
+        cols, bad = db(wires)
+    except OverflowError:
+        assert hard
+        return
+    except Unvectorizable:
+        return
+    assert not hard
+    for i, s in enumerate(slow):
+        if s is None:
+            assert bad[i]
+            continue
+        assert not bad[i]
+        for j in range(len(ONEOF_MT.fields)):
+            assert _eq(_cell(cols[j], i), s[j]), (
+                f"row {i} field {ONEOF_MT.fields[j].name}"
             )
