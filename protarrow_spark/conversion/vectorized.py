@@ -475,10 +475,13 @@ def compile_batch_to_wire(
     index_of = {f.name: i for i, f in enumerate(mtype.fields)}
     plan = []
     for field in mtype.fields_number_order:
-        if field.is_map or field.oneof is not None:
-            # oneofs excluded: the row path enforces later-member-wins
-            # interactions we don't replicate columnar
+        if field.is_map:
             return None
+        # oneof members encode as plain presence fields: the row wire
+        # writer emits every non-null member in number order (decode's
+        # later-member-wins resolves multi-set rows), which is exactly
+        # the has_presence scalar branch below — differential-pinned
+        # in tests/test_vectorized_encode.py::test_oneof_encode
         if field.repeated:
             # repeated scalars vectorize via the reference's offsets
             # technique (proto_to_arrow.py:456-491 — offsets +

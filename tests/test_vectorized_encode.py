@@ -236,6 +236,7 @@ def test_unsupported_shapes_return_none():
     # repeated SCALARS are supported since r9; repeated messages not
     rep = MessageType("vec.R", (Field("xs", 1, Kind.INT64, repeated=True),))
     assert compile_batch_to_wire(rep, CFG) is not None
+    # oneofs encode vectorized since r9 (plain presence members)
     oneof = MessageType(
         "vec.O",
         (
@@ -243,7 +244,7 @@ def test_unsupported_shapes_return_none():
             Field("b", 2, Kind.INT64, oneof="p"),
         ),
     )
-    assert compile_batch_to_wire(oneof, CFG) is None
+    assert compile_batch_to_wire(oneof, CFG) is not None
     nested = MessageType(
         "vec.N",
         (
@@ -729,6 +730,44 @@ def test_property_repeated_batch_equals_row(lists, strs):
         {
             "xs": pd.Series(pad(lists, None), dtype=object),
             "ss": pd.Series(pad(strs, None), dtype=object),
+        }
+    )
+    _assert_identical(mt, df)
+
+
+# --- oneof encode (r9) ------------------------------------------------------
+
+
+def test_oneof_encode():
+    """Oneof members encode as plain presence fields (the row wire
+    writer emits every non-null member in number order; decode's
+    later-member-wins resolves multi-set rows) — including rows where
+    MULTIPLE members are set, default-valued members, and empty
+    strings, all byte-identical to the row path."""
+    from protarrow_spark.proto.model import TIMESTAMP
+
+    mt = MessageType(
+        "vec.O9",
+        (
+            Field("id", 1, Kind.INT64),
+            Field("a", 2, Kind.STRING, oneof="p"),
+            Field("b", 3, Kind.INT64, oneof="p"),
+            Field("t", 4, Kind.MESSAGE, message=TIMESTAMP, oneof="p"),
+        ),
+    )
+    import datetime as dt
+
+    ts = dt.datetime(2021, 5, 6, tzinfo=dt.timezone.utc)
+    df = pd.DataFrame(
+        {
+            "id": pd.Series([1, 2, 3, 4, 5, 6], dtype=object),
+            "a": pd.Series(["x", None, "", None, "y", None], dtype=object),
+            "b": pd.Series([5, 0, None, None, 7, None], dtype=object),
+            # datetime64 column (the Arrow shape) — an object column of
+            # datetimes is a legitimate Unvectorizable fallback instead
+            "t": pd.to_datetime(
+                pd.Series([None, None, None, ts, ts, None]), utc=True
+            ),
         }
     )
     _assert_identical(mt, df)
