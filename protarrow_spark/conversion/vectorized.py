@@ -14,13 +14,17 @@ Byte-compatibility contract: for every supported message shape the
 output is BIT-IDENTICAL to ``compile_row_to_wire`` (differential-
 tested in tests/test_vectorized_encode.py over the random matrix).
 
-Scope (v1): non-repeated, non-map fields of kinds INT32/64, UINT32/64,
-SINT32/64, FIXED/SFIXED 32/64, BOOL, ENUM, DOUBLE, FLOAT, STRING,
-BYTES, plus google.protobuf.Timestamp message fields. Anything else →
-``compile_batch_to_wire`` returns None and callers keep the row path.
-Runtime surprises (unexpected dtypes) raise :class:`Unvectorizable`
-and the caller falls back per batch — the row path stays the
-semantics oracle.
+Scope: scalar kinds INT32/64, UINT32/64, SINT32/64, FIXED/SFIXED
+32/64, BOOL, ENUM, DOUBLE, FLOAT, STRING, BYTES (all config modes),
+google.protobuf.Timestamp message fields, REPEATED scalars (r9:
+packed numeric bodies + expanded string/bytes via offsets + flattened
+values), and ONEOF members (r9: plain presence fields on the wire).
+Maps and non-Timestamp message fields → ``compile_batch_to_wire``
+returns None and callers keep the row path (nested-message bodies
+need recursive offset stacks — the honest v3 boundary). Runtime
+surprises (unexpected dtypes) raise :class:`Unvectorizable` and the
+caller falls back per batch — the row path stays the semantics
+oracle.
 
 Reference parity: the reference's encode direction is
 ``proto_to_arrow.py`` (pyarrow-native columnar appends); this is the
