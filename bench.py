@@ -183,6 +183,8 @@ HEADLINE = [
     "mm_image_features_png_adam7",
     # repeated/packed fields through the vectorized codec (r9)
     "conv_roundtrip_repeated",
+    # map<k,v> fields through the vectorized codec (r9)
+    "conv_roundtrip_map",
     # value-exact k-means population readout (r9)
     "cluster_kmeans_assign_counts",
 ]

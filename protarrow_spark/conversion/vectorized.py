@@ -18,10 +18,13 @@ Scope: scalar kinds INT32/64, UINT32/64, SINT32/64, FIXED/SFIXED
 32/64, BOOL, ENUM, DOUBLE, FLOAT, STRING, BYTES (all config modes),
 google.protobuf.Timestamp message fields, REPEATED scalars (r9:
 packed numeric bodies + expanded string/bytes via offsets + flattened
-values), and ONEOF members (r9: plain presence fields on the wire).
-Maps and non-Timestamp message fields → ``compile_batch_to_wire``
-returns None and callers keep the row path (nested-message bodies
-need recursive offset stacks — the honest v3 boundary). Runtime
+values), ONEOF members (r9: plain presence fields on the wire), and
+MAP fields with scalar keys/values (r9: converted entries flatten
+row-major; each entry frames tag + body-length with emit_default=False
+sides). Non-Timestamp message fields (incl. message-valued maps) →
+``compile_batch_to_wire`` returns None and callers keep the row path
+(nested-message bodies need recursive offset stacks — the honest
+next boundary). Runtime
 surprises (unexpected dtypes) raise :class:`Unvectorizable` and the
 caller falls back per batch — the row path stays the semantics
 oracle.
@@ -35,6 +38,8 @@ wire bytes) for the distributed codec.
 from __future__ import annotations
 
 from typing import Any, Callable
+
+import struct as _struct
 
 from protarrow_spark.config import ProtarrowSparkConfig
 from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
@@ -213,6 +218,205 @@ def _fill_repeated(buf, pos, rt, active):
         _fill_varint(buf, vpos, rt["flat_u"], rt["nb_flat"], aflat)
     else:
         _fill_fixed(buf, vpos, rt["flat_u"], rt["width"], aflat)
+
+
+def _side_parts(fld, flat, row_of, bad):
+    """One side (key or value) of flattened, CONVERTED map entries ->
+    wire parts with the row path's ``emit_default=False`` skip masks.
+    Range violations raise in strict mode (``bad`` is None) and mark
+    the violating ROW in permissive mode."""
+    import numpy as np
+
+    kind = fld.kind
+    m = len(flat)
+    if kind in (Kind.STRING, Kind.BYTES):
+        if kind is Kind.STRING:
+            payloads = [_encode_str_cell(x) for x in flat]
+        else:
+            payloads = list(flat)  # already bytes via the value conv
+        plen = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=m)
+        skip = plen == 0  # == default b"" / ""
+        lnb = _varint_nbytes(plen.view(np.uint64))
+        tag = _tag_bytes(fld.number, _WT_LEN)
+        contrib = np.where(skip, 0, len(tag) + lnb + plen)
+        return dict(
+            klass="len", tag=tag, payloads=payloads, plen=plen, lnb=lnb,
+            skip=skip, contrib=contrib,
+        )
+    if kind in (Kind.UINT64, Kind.FIXED64):
+        # conv already wrapped/validated to python ints; full uint64
+        hi = (1 << 64) - 1
+        u = np.zeros(m, dtype=np.uint64)
+        for k, x in enumerate(flat):
+            xi = int(x)
+            if not 0 <= xi <= hi:
+                if bad is None:
+                    raise ValueError(
+                        f"{kind.name} value {xi} out of range [0, {hi}]"
+                    )
+                bad[row_of[k]] = True
+                xi = 0
+            u[k] = xi
+    elif kind is Kind.BOOL:
+        u = np.fromiter((1 if x else 0 for x in flat), dtype=np.uint64, count=m)
+    elif kind in (Kind.DOUBLE, Kind.FLOAT):
+        f = np.fromiter((float(x) for x in flat), dtype=np.float64, count=m)
+        if kind is Kind.DOUBLE:
+            u = f.view(np.uint64)
+        else:
+            u = f.astype(np.float32).view(np.uint32).astype(np.uint64)
+    else:
+        try:
+            v = np.array([int(x) for x in flat], dtype=np.int64)
+        except OverflowError:
+            v = np.zeros(m, dtype=np.int64)
+            for k, x in enumerate(flat):
+                xi = int(x)
+                if not -(1 << 63) <= xi < (1 << 63):
+                    if bad is None:
+                        raise ValueError(f"{kind.name} value {xi} overflows")
+                    bad[row_of[k]] = True
+                    xi = 0
+                v[k] = xi
+        rng = _VARINT_RANGE.get(kind) or _FIXED_RANGE.get(kind)
+        if rng is not None and kind not in (Kind.INT64, Kind.SINT64) and m:
+            lo, hi2 = rng
+            viol = (v < lo) | (v > hi2)
+            if viol.any():
+                if bad is None:
+                    first = v[viol][0]
+                    raise ValueError(
+                        f"{kind.name} value {int(first)} out of range "
+                        f"[{lo}, {hi2}]"
+                    )
+                bad[row_of[viol]] = True
+        if kind in _ZIGZAG:
+            u = ((v << 1) ^ (v >> 63)).view(np.uint64)
+        else:
+            u = v.view(np.uint64)
+    skip = u == 0  # converted default for every numeric kind;
+    # -0.0 doubles have nonzero bits and correctly emit
+    if kind in (Kind.DOUBLE, Kind.FIXED64, Kind.SFIXED64):
+        tag = _tag_bytes(fld.number, _WT_I64)
+        contrib = np.where(skip, 0, len(tag) + 8)
+        return dict(klass="fixed", tag=tag, u=u, width=8, skip=skip, contrib=contrib)
+    if kind in (Kind.FLOAT, Kind.FIXED32, Kind.SFIXED32):
+        tag = _tag_bytes(fld.number, _WT_I32)
+        contrib = np.where(skip, 0, len(tag) + 4)
+        return dict(klass="fixed", tag=tag, u=u, width=4, skip=skip, contrib=contrib)
+    nb = _varint_nbytes(u)
+    tag = _tag_bytes(fld.number, _WT_VARINT)
+    contrib = np.where(skip, 0, len(tag) + nb)
+    return dict(klass="varint", tag=tag, u=u, nb=nb, skip=skip, contrib=contrib)
+
+
+def _fill_side(buf, spos, parts, aflat):
+    """Write one entry side's bytes for active entries (skipping
+    default-valued sides, which contribute nothing)."""
+    import numpy as np
+
+    act = aflat & ~parts["skip"]
+    if not act.any():
+        return
+    tag = parts["tag"]
+    for j, tb in enumerate(tag):
+        buf[spos[act] + j] = tb
+    q = spos + len(tag)
+    if parts["klass"] == "varint":
+        _fill_varint(buf, q, parts["u"], parts["nb"], act)
+    elif parts["klass"] == "fixed":
+        _fill_fixed(buf, q, parts["u"], parts["width"], act)
+    else:
+        _fill_varint(buf, q, parts["plen"].view(np.uint64), parts["lnb"], act)
+        starts = q + parts["lnb"]
+        payloads = parts["payloads"]
+        for k in np.flatnonzero(act):
+            data = payloads[k]
+            if data:
+                st = int(starts[k])
+                buf[st : st + len(data)] = np.frombuffer(data, dtype=np.uint8)
+
+
+def _prepare_map(field, cells, n, config, bad):
+    """Precompute one map field: converted entries flattened row-major
+    (the row path's dict semantics: insert-order, same-key last-wins),
+    per-entry body lengths with default-valued key/value sides omitted
+    (``emit_default=False``), framed tag + body-length per entry."""
+    import numpy as np
+
+    from protarrow_spark.conversion.decode import _scalar_decoder
+
+    entry = field.message
+    key_f = entry.fields_by_number[1]
+    val_f = entry.fields_by_number[2]
+    key_dec = _scalar_decoder(key_f, config)
+    val_dec = _scalar_decoder(val_f, config)
+    perm = bad is not None
+
+    rt: dict[str, Any] = {"field": field, "klass": "map"}
+    counts = np.zeros(n, dtype=np.int64)
+    null = np.zeros(n, dtype=bool)
+    flat_k: list = []
+    flat_v: list = []
+    for i, c in enumerate(cells):
+        if c is None:
+            null[i] = True
+            continue
+        try:
+            items = c.items() if isinstance(c, dict) else [(e[0], e[1]) for e in c]
+            d = {key_dec(k): val_dec(v) for k, v in items}
+        except (TypeError, ValueError, OverflowError, _struct.error) as exc:
+            if not perm:
+                raise
+            bad[i] = True
+            null[i] = True
+            continue
+        flat_k.extend(d.keys())
+        flat_v.extend(d.values())
+        counts[i] = len(d)
+
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    row_of = np.repeat(np.arange(n), counts)
+    kparts = _side_parts(key_f, flat_k, row_of, bad)
+    vparts = _side_parts(val_f, flat_v, row_of, bad)
+    body_len = kparts["contrib"] + vparts["contrib"]
+    blen_u = body_len.view(np.uint64)
+    blen_nb = _varint_nbytes(blen_u)
+    tag = _tag_bytes(field.number, _WT_LEN)
+    entry_total = len(tag) + blen_nb + body_len
+    csum = np.zeros(len(entry_total) + 1, dtype=np.int64)
+    np.cumsum(entry_total, out=csum[1:])
+    skip = null | (counts == 0)
+    flen = np.where(skip, 0, csum[ends] - csum[starts])
+    within = (
+        csum[:-1] - csum[starts][row_of] if len(row_of) else csum[:0]
+    )
+    rt.update(
+        tag=tag, skip=skip, row_of=row_of, within=within,
+        blen_u=blen_u, blen_nb=blen_nb, kcontrib=kparts["contrib"],
+        kparts=kparts, vparts=vparts,
+    )
+    return rt, flen
+
+
+def _fill_map(buf, pos, rt, active):
+    import numpy as np
+
+    tag = rt["tag"]
+    row_of = rt["row_of"]
+    aflat = active[row_of] if len(row_of) else np.zeros(0, dtype=bool)
+    if not aflat.any():
+        return
+    ipos = pos[row_of] + rt["within"]
+    for j, tb in enumerate(tag):
+        buf[ipos[aflat] + j] = tb
+    p = ipos + len(tag)
+    _fill_varint(buf, p, rt["blen_u"], rt["blen_nb"], aflat)
+    kpos = p + rt["blen_nb"]
+    _fill_side(buf, kpos, rt["kparts"], aflat)
+    vpos = kpos + rt["kcontrib"]
+    _fill_side(buf, vpos, rt["vparts"], aflat)
 
 
 def _prepare_repeated(field, cells, n, config, bad):
@@ -480,7 +684,15 @@ def compile_batch_to_wire(
     plan = []
     for field in mtype.fields_number_order:
         if field.is_map:
-            return None
+            # maps (r9): converted entries flatten row-major; each
+            # entry frames tag + body-length with emit_default=False
+            # key/value sides. Message-valued maps keep the row path.
+            entry_mt = field.message
+            kf, vf = entry_mt.fields_by_number[1], entry_mt.fields_by_number[2]
+            if kf.kind not in _SUPPORTED_SCALARS or vf.kind not in _SUPPORTED_SCALARS:
+                return None
+            plan.append(("map", field, index_of[field.name]))
+            continue
         # oneof members encode as plain presence fields: the row wire
         # writer emits every non-null member in number order (decode's
         # later-member-wins resolves multi-set rows), which is exactly
@@ -535,6 +747,15 @@ def compile_batch_to_wire(
 
             if klass == "repeated":
                 rt, flen = _prepare_repeated(
+                    field, s.to_numpy(dtype=object), n, config, bad
+                )
+                rt["flen"] = flen
+                total_len += flen
+                fields_rt.append(rt)
+                continue
+
+            if klass == "map":
+                rt, flen = _prepare_map(
                     field, s.to_numpy(dtype=object), n, config, bad
                 )
                 rt["flen"] = flen
@@ -755,6 +976,10 @@ def compile_batch_to_wire(
             klass = rt["klass"]
             if klass in ("rep_varint", "rep_fixed", "rep_len"):
                 _fill_repeated(buf, pos, rt, active)
+                pos = pos + np.where(active, rt["flen"], 0)
+                continue
+            if klass == "map":
+                _fill_map(buf, pos, rt, active)
                 pos = pos + np.where(active, rt["flen"], 0)
                 continue
             tag = rt["tag"]

@@ -27,9 +27,10 @@ mode).
 
 Scope: scalar kinds (all config modes) + google.protobuf.Timestamp
 message fields + REPEATED scalars (packed and expanded, r9) + ONEOF
-groups of supported members (later-member-wins sibling clearing, r9).
-Maps and non-Timestamp message fields -> ``compile_wire_to_batch``
-returns None and callers keep the row path. Runtime surprises (wire
+groups of supported members (later-member-wins sibling clearing, r9)
++ MAP fields with scalar keys/values (bounded entry-slice sub-loop,
+r9). Non-Timestamp message fields (incl. message-valued maps) ->
+``compile_wire_to_batch`` returns None and callers keep the row path. Runtime surprises (wire
 values outside the shapes the numpy dtypes can mirror exactly, e.g.
 >=2^63 varints in a uint32 field from corrupt bytes) raise
 :class:`Unvectorizable` and the caller falls back per batch — the row
@@ -291,7 +292,19 @@ def compile_wire_to_batch(
     plan: dict[int, tuple] = {}
     for idx, field in enumerate(fields):
         if field.is_map:
-            return None
+            # maps (r9): each occurrence is a bounded entry slice
+            # (key=1 / value=2) parsed in a transposed sub-loop; the
+            # per-row dict assembly (insert-order dedup, the row
+            # path's message-merge result) happens at finalize.
+            entry = field.message
+            key_f = entry.fields_by_number[1]
+            val_f = entry.fields_by_number[2]
+            if key_f.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
+                return None
+            if val_f.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
+                return None
+            plan[field.number] = ("map", field, idx, ())
+            continue
         if field.repeated:
             # repeated scalars (r9): packed bodies parse in a
             # transposed inner loop, expanded occurrences accumulate
@@ -312,6 +325,7 @@ def compile_wire_to_batch(
     enum_name_mode = config.enum_type != "int"
     u64_decimal = config.uint64_type == "decimal"
     ts_long_nanos = config.timestamp_type == "long_nanos"
+    map_as_list = config.map_as_list
 
     def decode_batch(cells: list) -> tuple:
         n = len(cells)
@@ -352,7 +366,11 @@ def compile_wire_to_batch(
         # order — a stable per-row sort at finalize reassembles each
         # row's element sequence exactly as the row path appended it
         rep_chunks: dict[int, list] = {}
+        map_chunks: dict[int, list] = {}
         for number, (klass, field, idx, sibs) in plan.items():
+            if klass == "map":
+                map_chunks[idx] = []
+                continue
             if klass == "repeated":
                 rep_chunks[idx] = []
                 continue
@@ -479,6 +497,118 @@ def compile_wire_to_batch(
                         tact = mok & (tcur < body_end)
                     for s_idx in sibs:
                         seen[s_idx][mok] = False
+                    cur = np.where(mok, body_end, cur)
+                elif klass == "map":
+                    # one entry per occurrence: a bounded LEN slice the
+                    # row path hands to parse_into (reads bounded by
+                    # the SLICE, unlike the Timestamp body's soft
+                    # limit), then dict-inserts (key, value)
+                    entry_mt = field.message
+                    key_f = entry_mt.fields_by_number[1]
+                    val_f = entry_mt.fields_by_number[2]
+                    ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                    oob = np.zeros(n, dtype=bool)
+                    mok = m & ~verr
+                    lni = np.minimum(ln, np.uint64(1 << 62)).astype(np.int64)
+                    oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                    fail(m & (verr | oob), "truncated map entry")
+                    mok = mok & ~oob
+                    body_end = np.where(mok, p2 + lni, cur)
+                    # per-occurrence entry state; absent subfields keep
+                    # zeros = the proto default (entry.key/.value reads)
+                    k_u = np.zeros(n, dtype=np.uint64)
+                    v_u = np.zeros(n, dtype=np.uint64)
+                    k_st = np.zeros(n, dtype=np.int64)
+                    k_ln = np.zeros(n, dtype=np.int64)
+                    v_st = np.zeros(n, dtype=np.int64)
+                    v_ln = np.zeros(n, dtype=np.int64)
+
+                    def _read_sub(fkind, tm, tcur):
+                        """one subfield payload bounded by the entry
+                        slice -> (u, st, ln2, newcur, err)"""
+                        if fkind in _LEN_KINDS:
+                            l2, q, e = _read_varints_at(
+                                buf, tcur, body_end, tm
+                            )
+                            o2 = np.zeros(n, dtype=bool)
+                            tmk = tm & ~e
+                            li = np.minimum(
+                                l2, np.uint64(1 << 62)
+                            ).astype(np.int64)
+                            o2[tmk] = q[tmk] + li[tmk] > body_end[tmk]
+                            return (
+                                None,
+                                q,
+                                li,
+                                np.where(tmk & ~o2, q + li, tcur),
+                                e | o2,
+                            )
+                        if fkind in _FIXED_WIDTH:
+                            v2, q, e = _read_fixed_at(
+                                buf, tcur, body_end, tm, _FIXED_WIDTH[fkind]
+                            )
+                            return v2, None, None, q, e
+                        v2, q, e = _read_varints_at(buf, tcur, body_end, tm)
+                        return v2, None, None, q, e
+
+                    tcur = np.where(mok, p2, cur)
+                    tact = mok & (tcur < body_end)
+                    while tact.any():
+                        ttags, tp, terr = _read_varints_at(
+                            buf, tcur, body_end, tact
+                        )
+                        fail(tact & terr, "truncated map entry tag")
+                        tact &= ~terr
+                        mok &= ~terr
+                        tcur = np.where(tact, tp, tcur)
+                        for ttag in (
+                            np.unique(ttags[tact]) if tact.any() else ()
+                        ):
+                            tm = tact & (ttags == ttag)
+                            tfn = int(ttag) >> 3
+                            twt = int(ttag) & 7
+                            if tfn in (1, 2):
+                                fkind = key_f.kind if tfn == 1 else val_f.kind
+                                v2, st2, ln2, tp2, e2 = _read_sub(
+                                    fkind, tm, tcur
+                                )
+                                fail(tm & e2, "truncated map subfield")
+                                tmok = tm & ~e2
+                                mok &= ~e2
+                                tcur = np.where(tmok, tp2, tcur)
+                                if tfn == 1:
+                                    if st2 is not None:
+                                        k_st[tmok] = st2[tmok]
+                                        k_ln[tmok] = ln2[tmok]
+                                    else:
+                                        k_u[tmok] = v2[tmok]
+                                else:
+                                    if st2 is not None:
+                                        v_st[tmok] = st2[tmok]
+                                        v_ln[tmok] = ln2[tmok]
+                                    else:
+                                        v_u[tmok] = v2[tmok]
+                            else:
+                                tp2, tserr = _skip_at(
+                                    buf, tcur, body_end, tm, twt
+                                )
+                                fail(tm & tserr, "unskippable map subfield")
+                                tmok = tm & ~tserr
+                                mok &= ~tserr
+                                tcur = np.where(tmok, tp2, tcur)
+                        tact = mok & (tcur < body_end)
+                    idxs = np.flatnonzero(mok)
+                    map_chunks[idx].append(
+                        {
+                            "rows": idxs,
+                            "k_u": k_u[idxs],
+                            "v_u": v_u[idxs],
+                            "k_st": k_st[idxs],
+                            "k_ln": k_ln[idxs],
+                            "v_st": v_st[idxs],
+                            "v_ln": v_ln[idxs],
+                        }
+                    )
                     cur = np.where(mok, body_end, cur)
                 elif klass == "repeated":
                     if kind in _LEN_KINDS:
@@ -686,9 +816,86 @@ def compile_wire_to_batch(
                 )
                 rep_ready[idx] = (rows_s, vals)
 
+        # Pass 1c: map fields — reassemble entries (stable sort keeps
+        # parse order per row), decode string keys/values (may grow
+        # ``bad``), convert numeric raws.
+        map_ready: dict[int, tuple] = {}
+        for number, (klass, field, idx, sibs) in plan.items():
+            if klass != "map":
+                continue
+            chunks = map_chunks[idx]
+            entry_mt = field.message
+            rows_all = (
+                np.concatenate([c["rows"] for c in chunks])
+                if chunks
+                else np.zeros(0, dtype=np.int64)
+            )
+            order = np.argsort(rows_all, kind="stable")
+            rows_s = rows_all[order]
+
+            def _prep_side(fld, u_key, st_key, ln_key):
+                fkind = fld.kind
+                if fkind in _LEN_KINDS:
+                    sts = (
+                        np.concatenate([c[st_key] for c in chunks])[order]
+                        if chunks
+                        else rows_all
+                    )
+                    lns = (
+                        np.concatenate([c[ln_key] for c in chunks])[order]
+                        if chunks
+                        else rows_all
+                    )
+                    elems: list = [None] * len(rows_s)
+                    for k in range(len(rows_s)):
+                        i = rows_s[k]
+                        if bad[i]:
+                            continue
+                        data = raw_bytes[sts[k] : sts[k] + lns[k]]
+                        if fkind is Kind.STRING:
+                            try:
+                                elems[k] = data.decode("utf-8")
+                            except UnicodeDecodeError:
+                                if not permissive:
+                                    raise
+                                bad[i] = True
+                        else:
+                            elems[k] = data
+                    return elems
+                u = (
+                    np.concatenate([c[u_key] for c in chunks])[order]
+                    if chunks
+                    else np.zeros(0, dtype=np.uint64)
+                )
+                live = ~bad[rows_s] if len(rows_s) else np.zeros(0, dtype=bool)
+                return _convert_numeric(
+                    fkind, u, live, fld, enum_name_mode, u64_decimal
+                )
+
+            kv = _prep_side(entry_mt.fields_by_number[1], "k_u", "k_st", "k_ln")
+            vv = _prep_side(entry_mt.fields_by_number[2], "v_u", "v_st", "v_ln")
+            map_ready[idx] = (rows_s, kv, vv)
+
         columns: list = []
         for idx, field in enumerate(fields):
             kind = field.kind
+            if field.is_map:
+                rows_s, kv, vv = map_ready[idx]
+                # never-seen rows finalize to the empty map ({} / []),
+                # like the row path's f_map(None); entries dict-insert
+                # in parse order (same-key overwrite keeps the first
+                # position — python dict semantics, both paths)
+                out = [None if bad[i] else {} for i in range(n)]
+                for k in range(len(rows_s)):
+                    cell = out[rows_s[k]]
+                    if cell is not None:
+                        cell[kv[k]] = vv[k]
+                if map_as_list:
+                    out = [
+                        None if c is None else list(c.items()) for c in out
+                    ]
+                columns.append(out)
+                continue
             if field.repeated:
                 rows_s, elems = rep_ready[idx]
                 # missing/empty both finalize to [] like the row path

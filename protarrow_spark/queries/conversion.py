@@ -34,6 +34,7 @@ from protarrow_spark.proto.model import (
     Field,
     Kind,
     MessageType,
+    map_field,
 )
 from protarrow_spark.queries.registry import query
 from protarrow_spark.sources.tables import table
@@ -215,6 +216,79 @@ def conv_roundtrip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("vals").alias("pos", "val"),
     )
     return out.withColumn("pos", F.col("pos").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# conv_roundtrip_map — map<k,v> fields through the codec
+# ---------------------------------------------------------------------------
+
+USER_TYPE_STATS_MT = MessageType(
+    "protarrow_spark.events.UserTypeStats",
+    (
+        Field("user_id", 1, Kind.INT64),
+        map_field("type_counts", 2, Kind.STRING, Kind.INT64),
+        map_field("type_micros", 3, Kind.STRING, Kind.INT64),
+    ),
+)
+
+
+@query(
+    "conv_roundtrip_map",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS micros
+FROM events GROUP BY user_id, event_type
+""",
+)
+def conv_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wire round-trip of a message with MAP fields
+    (map<string,int64> x2): per-user per-type counts and exact
+    fixed-point value sums ride as map entries — the proto3 synthetic
+    entry message (key=1/value=2) with default-valued sides omitted
+    from entry bodies, exactly protoc's layout.
+
+    Both codec halves take the r9 vectorized map paths
+    (conversion/vectorized.py ``_prepare_map`` /
+    conversion/vectorized_decode.py entry-slice sub-loop). The readout
+    re-explodes the decoded maps to (user, type, count, micros) rows,
+    so a wrong entry frame, omitted-default mishandling, or key/value
+    mix-up fails the value hash.
+
+    Scale: one groupBy to build the per-user maps, then two
+    zero-shuffle mapInPandas stages; map iteration order never reaches
+    the result (the explode emits an order-free multiset)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(27,6)") * 1000000)
+        .cast("long")
+        .alias("micros"),
+    )
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("micros").alias("micros")
+    )
+    grp = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "micros"))
+        ).alias("type_micros"),
+    )
+    rt = proto_roundtrip(grp, USER_TYPE_STATS_MT, ProtarrowSparkConfig())
+    out = rt.select(
+        "user_id",
+        "type_micros",
+        F.explode("type_counts").alias("event_type", "cnt"),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.element_at("type_micros", F.col("event_type")).alias("micros"),
+    )
 
 
 # ---------------------------------------------------------------------------

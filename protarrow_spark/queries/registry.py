@@ -158,6 +158,7 @@ GRADED_FIRST = [
     # ---- end of the 35; cumulative coverage is 100% from here ----
     # -- ROUND-9 BIRTHS (graded in their birth round)
     "conv_roundtrip_repeated",
+    "conv_roundtrip_map",
     "cluster_kmeans_assign_counts",
     # -- anchors on r9-touched surfaces: the vectorized wire codec
     #    gained a batch DECODE half + repeated/packed encode and the
@@ -179,7 +180,8 @@ GRADED_FIRST = [
     "pipeline_training_corpus",
     "dedup_threshold_sweep_sampled",
     "dedup_semdedup_bounded",
-    "stream_quantile_bottomk",
+    # (stream_quantile_bottomk rotated out for the conv_roundtrip_map
+    # birth: it was driver-graded green in r8, its birth round)
 ]
 
 

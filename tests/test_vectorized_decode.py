@@ -672,3 +672,125 @@ def test_oneof_decode_corrupt_permissive(seed):
             assert _eq(_cell(cols[j], i), s[j]), (
                 f"row {i} field {ONEOF_MT.fields[j].name}"
             )
+
+
+# --- map decode (r9) ---------------------------------------------------------
+
+from protarrow_spark.proto.model import map_field
+
+MAP_MT = MessageType(
+    "vd.Map",
+    (
+        Field("id", 1, Kind.INT64),
+        map_field("m_is", 2, Kind.INT64, Kind.STRING),
+        map_field("m_sd", 3, Kind.STRING, Kind.DOUBLE),
+        map_field("m_ie", 5, Kind.INT32, Kind.ENUM, value_enum=SIDE),
+        map_field("m_bb", 6, Kind.BOOL, Kind.BYTES),
+    ),
+)
+
+
+def _map_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, dict) and isinstance(b, dict):
+        return list(a.keys()) == list(b.keys()) and all(
+            _map_eq(a[k], b[k]) for k in a
+        )
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_map_eq(x, y) for x, y in zip(a, b))
+    return _eq(a, b)
+
+
+@pytest.mark.parametrize(
+    "cfg_kw", [{}, {"map_as_list": True}, {"enum_type": "string"}]
+)
+def test_map_decode_matches_row_path(cfg_kw):
+    """Entry slices parse bounded (the row path hands parse_into a
+    SLICE), absent key/value read defaults, duplicate keys last-win at
+    the first key's dict position, unknown entry subfields skip."""
+    cfg = ProtarrowSparkConfig(**cfg_kw)
+    enc = compile_row_to_wire(MAP_MT, cfg)
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(300):
+
+        def mk(gen_k, gen_v):
+            k = int(rng.integers(0, 5))
+            if i % 11 == 0:
+                return None
+            if i % 7 == 0:
+                return [] if cfg.map_as_list else {}
+            d = {gen_k(j): gen_v(j) for j in range(k)}
+            return list(d.items()) if cfg.map_as_list else d
+
+        ev = (
+            (lambda j: ["UNKNOWN", "BUY", "SELL"][int(rng.integers(0, 3))])
+            if cfg.enum_type != "int"
+            else (lambda j: int(rng.integers(0, 4)))
+        )
+        rows.append(
+            (
+                i,
+                mk(lambda j: int(rng.integers(-100, 100)), lambda j: f"v{j}é"),
+                mk(lambda j: f"k{j}", lambda j: float(rng.normal())),
+                mk(lambda j: int(rng.integers(-(2**31), 2**31)), ev),
+                mk(lambda j: bool(j % 2), lambda j: bytes([j, j + 1])),
+            )
+        )
+    wires = [enc(r) for r in rows]
+    # defaults-omitted entry, explicit-defaults entry, duplicate keys
+    wires += [
+        b"\x12\x00",
+        b"\x12\x04\x08\x00\x12\x00",
+        b"\x12\x05\x08\x07\x12\x01a" + b"\x12\x05\x08\x07\x12\x01b",
+        b"",
+    ]
+    dr = compile_wire_to_row(MAP_MT, cfg)
+    db = compile_wire_to_batch(MAP_MT, cfg)
+    assert db is not None
+    cols, bad = db(wires)
+    slow = [dr(w) for w in wires]
+    for i in range(len(wires)):
+        for j, f in enumerate(MAP_MT.fields):
+            assert _map_eq(cols[j][i], slow[i][j]), (
+                f"row {i} field {f.name}: {cols[j][i]!r} != {slow[i][j]!r}"
+            )
+
+
+@pytest.mark.parametrize("seed", [400, 401, 402])
+def test_map_decode_corrupt_permissive(seed):
+    enc = compile_row_to_wire(MAP_MT, CFG)
+    rng = np.random.default_rng(seed)
+    base = [
+        enc(
+            (
+                i,
+                {int(rng.integers(-50, 50)): f"x{j}" for j in range(int(rng.integers(0, 4)))},
+                {},
+                {},
+                {},
+            )
+        )
+        for i in range(250)
+    ]
+    wires = _mutate(base, seed) + [b"\x12\x03\x08", b"\x12\x02\x12\x05", b"\x12\xff\x01"]
+    dr = compile_wire_to_row(MAP_MT, CFG)
+    db = compile_wire_to_batch(MAP_MT, CFG, permissive=True)
+    slow: list = []
+    for w in wires:
+        try:
+            slow.append(dr(bytes(w)))
+        except (ValueError, TypeError, IndexError, struct.error):
+            slow.append(None)
+    try:
+        cols, bad = db(wires)
+    except Unvectorizable:
+        return
+    for i, s in enumerate(slow):
+        if s is None:
+            assert bad[i], f"row {i}: row path nulled, batch kept"
+            continue
+        assert not bad[i], f"row {i}: batch nulled, row decoded"
+        for j in range(len(MAP_MT.fields)):
+            assert _map_eq(cols[j][i], s[j]), f"row {i} field {j}"

@@ -771,3 +771,113 @@ def test_oneof_encode():
         }
     )
     _assert_identical(mt, df)
+
+
+# --- map fields (r9) ---------------------------------------------------------
+
+from protarrow_spark.proto.model import map_field
+
+MAP_SIDE = EnumType("vec.MSide", ((0, "UNKNOWN"), (1, "BUY"), (2, "SELL")))
+
+MAP_MT = MessageType(
+    "vec.Map",
+    (
+        Field("id", 1, Kind.INT64),
+        map_field("m_is", 2, Kind.INT64, Kind.STRING),
+        map_field("m_sd", 3, Kind.STRING, Kind.DOUBLE),
+        map_field("m_su", 4, Kind.STRING, Kind.UINT64),
+        map_field("m_ie", 5, Kind.INT32, Kind.ENUM, value_enum=MAP_SIDE),
+        map_field("m_bb", 6, Kind.BOOL, Kind.BYTES),
+        map_field("m_zf", 7, Kind.SINT64, Kind.FIXED32),
+    ),
+)
+
+
+def _random_map_df(n, cfg, seed=21):
+    import decimal
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+
+        def mk(gen_k, gen_v):
+            k = int(rng.integers(0, 5))
+            if i % 11 == 0:
+                return None
+            if i % 7 == 0:
+                return [] if cfg.map_as_list else {}
+            d = {gen_k(j): gen_v(j) for j in range(k)}
+            return list(d.items()) if cfg.map_as_list else d
+
+        ev = (
+            (lambda j: ["UNKNOWN", "BUY", "SELL", "bogus"][int(rng.integers(0, 4))])
+            if cfg.enum_type != "int"
+            else (lambda j: int(rng.integers(0, 4)))
+        )
+        uv = (
+            (lambda j: decimal.Decimal(
+                int(rng.integers(0, 2**63)) * 2 + int(rng.integers(0, 2))
+            ))
+            if cfg.uint64_type == "decimal"
+            else (lambda j: int(rng.integers(-(2**62), 2**62)))
+        )
+        rows.append(
+            (
+                i,
+                mk(lambda j: int(rng.integers(-100, 100)),
+                   lambda j: ["", f"v{j}é"][j % 2]),
+                mk(lambda j: ["", f"k{j}"][j % 2],
+                   lambda j: [0.0, -0.0, 1.5, float(rng.normal())][int(rng.integers(0, 4))]),
+                mk(lambda j: f"u{j}", uv),
+                mk(lambda j: int(rng.integers(-(2**31), 2**31)) if j else 0, ev),
+                mk(lambda j: bool(j % 2), lambda j: [b"", bytes([j])][j % 2]),
+                mk(lambda j: int(rng.integers(-(2**31), 2**31)),
+                   lambda j: int(rng.integers(0, 2**32)) if j else 0),
+            )
+        )
+    names = [f.name for f in MAP_MT.fields]
+    return pd.DataFrame(
+        {nm: pd.Series([r[j] for r in rows], dtype=object) for j, nm in enumerate(names)}
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg_kw",
+    [{}, {"map_as_list": True}, {"enum_type": "string"}, {"uint64_type": "long"}],
+)
+def test_map_encode_all_configs(cfg_kw):
+    """Map fields byte-identical to the row path: dict AND list-of-pairs
+    cells, default-valued keys/values omitted from entry bodies
+    (emit_default=False), -0.0 emitting, unknown enum names -> 0,
+    full-range decimal uint64 values, empty/None cells skipping."""
+    cfg = ProtarrowSparkConfig(**cfg_kw)
+    _assert_identical(MAP_MT, _random_map_df(400, cfg), cfg)
+
+
+def test_map_encode_permissive_and_strict_range():
+    import struct as _struct
+
+    mt = MessageType("vec.MP", (map_field("m", 1, Kind.INT64, Kind.UINT32),))
+    cells = pd.Series([{1: 5}, {2: 2**32}, {3: 7}, None, {1: None}], dtype=object)
+    be = compile_batch_to_wire(mt, CFG, permissive=True)
+    re_ = compile_row_to_wire(mt, CFG)
+    fast = be([cells])
+    slow = []
+    for rec in zip(cells):
+        try:
+            slow.append(re_(rec))
+        except (ValueError, TypeError, OverflowError, _struct.error):
+            slow.append(None)
+    assert fast == slow
+    assert fast[1] is None and fast[4] is None and fast[0] is not None
+    with pytest.raises(ValueError, match="out of range"):
+        compile_batch_to_wire(mt, CFG)([cells[:2]])
+
+
+def test_map_message_values_return_none():
+    sub = MessageType("vec.MSub", (Field("x", 1, Kind.INT64),))
+    mt = MessageType(
+        "vec.MM",
+        (map_field("m", 1, Kind.STRING, Kind.MESSAGE, value_message=sub),),
+    )
+    assert compile_batch_to_wire(mt, CFG) is None
