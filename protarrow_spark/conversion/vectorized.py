@@ -21,10 +21,11 @@ packed numeric bodies + expanded string/bytes via offsets + flattened
 values), ONEOF members (r9: plain presence fields on the wire), and
 MAP fields with scalar keys/values (r9: converted entries flatten
 row-major; each entry frames tag + body-length with emit_default=False
-sides). Non-Timestamp message fields (incl. message-valued maps) →
-``compile_batch_to_wire`` returns None and callers keep the row path
-(nested-message bodies need recursive offset stacks — the honest
-next boundary). Runtime
+sides), and plain NESTED MESSAGE fields to any depth (r9: each level's
+bodies are a recursive batch encode, framed tag + len). Remaining
+row-path-only shapes: repeated message fields, message-valued maps,
+recursive message types, and non-Timestamp WKTs (wrappers/Date/
+Duration — scalar cell forms with their own converters). Runtime
 surprises (unexpected dtypes) raise :class:`Unvectorizable` and the
 caller falls back per batch — the row path stays the semantics
 oracle.
@@ -335,6 +336,61 @@ def _fill_side(buf, spos, parts, aflat):
             if data:
                 st = int(starts[k])
                 buf[st : st + len(data)] = np.frombuffer(data, dtype=np.uint8)
+
+
+def _prepare_nested(field, cells, n, sub_encode, bad):
+    """Precompute one plain nested-message field: split the struct
+    cells into sub-columns, batch-encode the submessage bodies with
+    the recursively compiled encoder, and frame them like any LEN
+    payload (message presence: null skips entirely; a present-but-
+    default message still emits tag + len 0, exactly the row path's
+    serialize-of-empty-Message)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.conversion.decode import _struct_get
+
+    sub_mt = field.message
+    null = np.fromiter(
+        (c is None or (isinstance(c, float) and c != c) for c in cells),
+        dtype=bool,
+        count=n,
+    )
+    sub_cols = []
+    for j, sf in enumerate(sub_mt.fields):
+        vals = [
+            None if null[i] else _struct_get(cells[i], sf.name, j)
+            for i in range(n)
+        ]
+        if _is_timestamp_field(sf):
+            # let pandas infer datetime64 (exact); everything else
+            # stays object so big ints never round-trip through float
+            sub_cols.append(pd.Series(vals))
+        else:
+            sub_cols.append(pd.Series(vals, dtype=object))
+    payloads = sub_encode(sub_cols)
+    if bad is not None:
+        # permissive sub-encode nulls contract-violating rows; the
+        # violation belongs to the whole OUTER row (the row path's
+        # per-row try/except wraps the full encode)
+        fixed = []
+        for i, p in enumerate(payloads):
+            if p is None:
+                if not null[i]:
+                    bad[i] = True
+                fixed.append(b"")
+            else:
+                fixed.append(p)
+        payloads = fixed
+    plen = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    lnb = _varint_nbytes(plen.view(np.uint64))
+    tag = _tag_bytes(field.number, _WT_LEN)
+    rt: dict[str, Any] = {
+        "field": field, "klass": "len", "tag": tag, "skip": null,
+        "payloads": payloads, "plen": plen, "lnb": lnb,
+    }
+    flen = np.where(null, 0, len(tag) + lnb + plen)
+    return rt, flen
 
 
 def _prepare_map(field, cells, n, config, bad):
@@ -666,6 +722,7 @@ def compile_batch_to_wire(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
     permissive: bool = False,
+    _trace: tuple = (),
 ) -> Callable[[list], list] | None:
     """Compile ``[column arrays in SCHEMA field order] -> [bytes per
     row]`` for a supported flat message, or return None.
@@ -680,8 +737,14 @@ def compile_batch_to_wire(
     try/except, without re-encoding the whole batch row-wise."""
     import numpy as np
 
+    if mtype.full_name in _trace:
+        # recursive shapes keep the row path (which applies the
+        # configured skip/raise policy)
+        return None
+    trace = _trace + (mtype.full_name,)
     index_of = {f.name: i for i, f in enumerate(mtype.fields)}
     plan = []
+    sub_encoders: dict[int, Callable] = {}
     for field in mtype.fields_number_order:
         if field.is_map:
             # maps (r9): converted entries flatten row-major; each
@@ -715,6 +778,24 @@ def compile_batch_to_wire(
             if config.timestamp_type not in ("timestamp", "long_nanos"):
                 return None
             plan.append(("timestamp", field, index_of[field.name]))
+            continue
+        if field.kind is Kind.MESSAGE:
+            # plain nested messages (r9): the submessage body of every
+            # row is just another batch encode — recurse and frame the
+            # bodies (tag + len + body; message presence: null skips,
+            # empty message still emits). WKT messages other than
+            # Timestamp (wrappers, Date, Duration, ...) have scalar
+            # cell forms and keep the row path, as do shapes the
+            # recursion can't take.
+            from protarrow_spark.conversion.encode import _wkt_converter
+
+            if _wkt_converter(field.message, config) is not None:
+                return None
+            sub = compile_batch_to_wire(field.message, config, permissive, trace)
+            if sub is None:
+                return None
+            sub_encoders[index_of[field.name]] = sub
+            plan.append(("nested", field, index_of[field.name]))
             continue
         if field.kind not in _SUPPORTED_SCALARS:
             return None
@@ -757,6 +838,19 @@ def compile_batch_to_wire(
             if klass == "map":
                 rt, flen = _prepare_map(
                     field, s.to_numpy(dtype=object), n, config, bad
+                )
+                rt["flen"] = flen
+                total_len += flen
+                fields_rt.append(rt)
+                continue
+
+            if klass == "nested":
+                rt, flen = _prepare_nested(
+                    field,
+                    s.to_numpy(dtype=object),
+                    n,
+                    sub_encoders[idx],
+                    bad,
                 )
                 rt["flen"] = flen
                 total_len += flen

@@ -29,8 +29,12 @@ Scope: scalar kinds (all config modes) + google.protobuf.Timestamp
 message fields + REPEATED scalars (packed and expanded, r9) + ONEOF
 groups of supported members (later-member-wins sibling clearing, r9)
 + MAP fields with scalar keys/values (bounded entry-slice sub-loop,
-r9). Non-Timestamp message fields (incl. message-valued maps) ->
-``compile_wire_to_batch`` returns None and callers keep the row path. Runtime surprises (wire
+r9) + plain NESTED MESSAGE fields to any depth (r9: occurrences
+collect body slices, concatenation == parse_into merge, recursive
+batch decode; nested levels use parse_into's STRICT Timestamp-body
+slicing where the top level keeps h_ts's soft limit). Remaining
+row-path-only shapes: repeated message fields, message-valued maps,
+recursive types, non-Timestamp WKTs. Runtime surprises (wire
 values outside the shapes the numpy dtypes can mirror exactly, e.g.
 >=2^63 varints in a uint32 field from corrupt bytes) raise
 :class:`Unvectorizable` and the caller falls back per batch — the row
@@ -261,6 +265,7 @@ def compile_wire_to_batch(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
     permissive: bool = False,
+    _trace: tuple = (),
 ) -> Callable[[list], tuple] | None:
     """Compile ``[bytes-or-None per row] -> (columns, bad)`` for a
     supported flat message, or return None.
@@ -275,6 +280,13 @@ def compile_wire_to_batch(
     """
     import numpy as np
 
+    if mtype.full_name in _trace:
+        return None  # recursive shapes keep the row path
+    trace = _trace + (mtype.full_name,)
+    # NESTED levels mirror parse_into, which hands the Timestamp body a
+    # STRICT slice (reads raise at the slice end); only the TOP level's
+    # specialized h_ts reader has the soft row-end limit.
+    ts_strict = bool(_trace)
     fields = list(mtype.fields)
     index_of = {f.name: i for i, f in enumerate(fields)}
 
@@ -290,6 +302,7 @@ def compile_wire_to_batch(
         )
 
     plan: dict[int, tuple] = {}
+    sub_decoders: dict[int, Callable] = {}
     for idx, field in enumerate(fields):
         if field.is_map:
             # maps (r9): each occurrence is a bounded entry slice
@@ -317,6 +330,24 @@ def compile_wire_to_batch(
             if config.timestamp_type not in ("timestamp", "long_nanos"):
                 return None
             plan[field.number] = ("timestamp", field, idx, _sibs(field))
+            continue
+        if field.kind is Kind.MESSAGE:
+            # plain nested messages (r9): occurrences collect body
+            # slices; concatenation == protobuf's message merge, so the
+            # joined bytes recursively batch-decode into the struct's
+            # sub-columns. WKT messages (wrappers, Date, Duration, ...)
+            # have scalar cell forms and keep the row path.
+            from protarrow_spark.conversion.encode import _wkt_converter
+
+            if _wkt_converter(field.message, config) is not None:
+                return None
+            sub = compile_wire_to_batch(
+                field.message, config, permissive, trace
+            )
+            if sub is None:
+                return None
+            sub_decoders[idx] = sub
+            plan[field.number] = ("nested", field, idx, _sibs(field))
             continue
         if field.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
             return None
@@ -367,7 +398,12 @@ def compile_wire_to_batch(
         # row's element sequence exactly as the row path appended it
         rep_chunks: dict[int, list] = {}
         map_chunks: dict[int, list] = {}
+        msg_chunks: dict[int, list] = {}
         for number, (klass, field, idx, sibs) in plan.items():
+            if klass == "nested":
+                msg_chunks[idx] = []
+                seen[idx] = np.zeros(n, dtype=bool)
+                continue
             if klass == "map":
                 map_chunks[idx] = []
                 continue
@@ -442,18 +478,20 @@ def compile_wire_to_batch(
                     ts_sec[idx][first] = 0
                     ts_nano[idx][first] = 0
                     seen[idx] |= mok
-                    # IMPORTANT: the row path's h_ts loop condition is
-                    # ``pos < body_end`` but its reads/skips are bounded
-                    # by the ROW end, and it returns body_end regardless
-                    # — a corrupt subfield may overrun the body into the
-                    # next field's bytes without erroring, then the
-                    # cursor clamps back. Mirror that: hard limit =
-                    # rowend, loop on body_end, clamp at exit.
+                    # IMPORTANT: the TOP-level row path's h_ts loop
+                    # condition is ``pos < body_end`` but its reads/
+                    # skips are bounded by the ROW end, and it returns
+                    # body_end regardless — a corrupt subfield may
+                    # overrun the body into the next field's bytes
+                    # without erroring, then the cursor clamps back.
+                    # NESTED levels go through parse_into, which slices
+                    # the ts body STRICTLY. Mirror whichever applies.
+                    ts_limit = body_end if ts_strict else rowend
                     tcur = np.where(mok, p2, cur)
                     tact = mok & (tcur < body_end)
                     while tact.any():
                         ttags, tp, terr = _read_varints_at(
-                            buf, tcur, rowend, tact
+                            buf, tcur, ts_limit, tact
                         )
                         fail(tact & terr, "truncated timestamp subfield")
                         tact &= ~terr
@@ -467,7 +505,7 @@ def compile_wire_to_batch(
                             twt = int(ttag) & 7
                             if tfn in (1, 2):
                                 v, tp2, tverr = _read_varints_at(
-                                    buf, tcur, rowend, tm
+                                    buf, tcur, ts_limit, tm
                                 )
                                 fail(tm & tverr, "truncated timestamp value")
                                 tmok = tm & ~tverr
@@ -485,7 +523,7 @@ def compile_wire_to_batch(
                                     ts_nano[idx][tmok] = nano32[tmok]
                             else:
                                 tp2, tserr = _skip_at(
-                                    buf, tcur, rowend, tm, twt
+                                    buf, tcur, ts_limit, tm, twt
                                 )
                                 fail(
                                     tm & tserr,
@@ -498,6 +536,24 @@ def compile_wire_to_batch(
                     for s_idx in sibs:
                         seen[s_idx][mok] = False
                     cur = np.where(mok, body_end, cur)
+                elif klass == "nested":
+                    # LEN slice per occurrence; slices CONCATENATE at
+                    # finalize (wire concatenation == parse_into merge)
+                    ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                    oob = np.zeros(n, dtype=bool)
+                    mok = m & ~verr
+                    lni = np.minimum(ln, np.uint64(1 << 62)).astype(np.int64)
+                    oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                    fail(m & (verr | oob), "truncated message body")
+                    mok = mok & ~oob
+                    idxs = np.flatnonzero(mok)
+                    msg_chunks[idx].append(
+                        (idxs, p2[idxs].copy(), lni[idxs].copy())
+                    )
+                    seen[idx] |= mok
+                    for s_idx in sibs:
+                        seen[s_idx][mok] = False
+                    cur = np.where(mok, p2 + lni, cur)
                 elif klass == "map":
                     # one entry per occurrence: a bounded LEN slice the
                     # row path hands to parse_into (reads bounded by
@@ -876,9 +932,46 @@ def compile_wire_to_batch(
             vv = _prep_side(entry_mt.fields_by_number[2], "v_u", "v_st", "v_ln")
             map_ready[idx] = (rows_s, kv, vv)
 
+        # Pass 1d: nested messages — join each row's body slices
+        # (concatenation == merge) and recursively batch-decode; inner
+        # parse failures grow ``bad`` exactly like the row path's
+        # in-parse raise nulls the row.
+        msg_ready: dict[int, tuple] = {}
+        for number, (klass, field, idx, sibs) in plan.items():
+            if klass != "nested":
+                continue
+            sk = seen[idx]
+            bodies: list = [b""] * n
+            for rows_c, sts, lns in msg_chunks[idx]:
+                for k in range(len(rows_c)):
+                    i = rows_c[k]
+                    if sk[i] and not bad[i]:
+                        piece = raw_bytes[sts[k] : sts[k] + lns[k]]
+                        bodies[i] = bodies[i] + piece if bodies[i] else piece
+            sub_cols, sub_bad = sub_decoders[idx](bodies)
+            if sub_bad is not None and sub_bad.any():
+                bad |= sub_bad
+            msg_ready[idx] = sub_cols
+
         columns: list = []
+
+        def _subcell(col, i):
+            v = col.iloc[i] if isinstance(col, pd.Series) else col[i]
+            return None if v is pd.NaT else v
+
         for idx, field in enumerate(fields):
             kind = field.kind
+            if idx in msg_ready:
+                sub_cols = msg_ready[idx]
+                sk = seen[idx]
+                out = [
+                    None
+                    if (not sk[i] or bad[i])
+                    else tuple(_subcell(c, i) for c in sub_cols)
+                    for i in range(n)
+                ]
+                columns.append(out)
+                continue
             if field.is_map:
                 rows_s, kv, vv = map_ready[idx]
                 # never-seen rows finalize to the empty map ({} / []),

@@ -341,6 +341,8 @@ def test_unsupported_shapes_return_none():
         ),
     )
     assert compile_wire_to_batch(oneof, CFG) is not None
+    # plain nested messages decode vectorized since r9 (recursive
+    # composition over concatenated body slices)
     nested = MessageType(
         "vd.N",
         (
@@ -352,7 +354,7 @@ def test_unsupported_shapes_return_none():
             ),
         ),
     )
-    assert compile_wire_to_batch(nested, CFG) is None
+    assert compile_wire_to_batch(nested, CFG) is not None
 
 
 def test_uint32_oversized_varint_is_unvectorizable():
@@ -794,3 +796,141 @@ def test_map_decode_corrupt_permissive(seed):
         assert not bad[i], f"row {i}: batch nulled, row decoded"
         for j in range(len(MAP_MT.fields)):
             assert _map_eq(cols[j][i], s[j]), f"row {i} field {j}"
+
+
+# --- nested message decode (r9) ----------------------------------------------
+
+NESTED_INNER = MessageType(
+    "vd.NInner",
+    (
+        Field("a", 1, Kind.INT64),
+        Field("s", 2, Kind.STRING),
+        Field("d", 3, Kind.DOUBLE),
+        Field("ts", 4, Kind.MESSAGE, message=TIMESTAMP),
+        Field("xs", 5, Kind.INT64, repeated=True),
+    ),
+)
+NESTED_DEEP = MessageType(
+    "vd.NDeep",
+    (
+        Field("inner", 1, Kind.MESSAGE, message=NESTED_INNER),
+        Field("z", 2, Kind.INT32),
+    ),
+)
+NESTED_MT = MessageType(
+    "vd.NOuter",
+    (
+        Field("id", 1, Kind.INT64),
+        Field("inner", 2, Kind.MESSAGE, message=NESTED_INNER),
+        Field("deep", 3, Kind.MESSAGE, message=NESTED_DEEP),
+    ),
+)
+
+
+def _nested_eq(a, b):
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_nested_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_nested_eq(x, y) for x, y in zip(a, b))
+    return _eq(a, b)
+
+
+def _nested_wires(n, seed=17):
+    rng = np.random.default_rng(seed)
+    enc = compile_row_to_wire(NESTED_MT, CFG)
+
+    def inner_cell(i):
+        if i % 9 == 0:
+            return None
+        ts = (
+            None
+            if i % 5 == 0
+            else dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+            + dt.timedelta(seconds=int(rng.integers(0, 10**7)))
+        )
+        return {
+            "a": 0 if i % 4 == 0 else int(rng.integers(-(2**62), 2**62)),
+            "s": ["", f"x{i}é"][i % 2],
+            "d": [0.0, -0.0, 1.5][i % 3],
+            "ts": ts,
+            "xs": None
+            if i % 6 == 0
+            else [int(rng.integers(-50, 50)) for _ in range(i % 4)],
+        }
+
+    wires = []
+    for i in range(n):
+        deep = (
+            None
+            if i % 7 == 0
+            else {"inner": inner_cell(i + 1), "z": int(rng.integers(-5, 5))}
+        )
+        wires.append(enc((i, inner_cell(i), deep)))
+    return wires
+
+
+def test_nested_message_decode_incl_merge():
+    """Nested struct cells decode tuple-identically to the row path,
+    including MERGE across multiple occurrences of the same message
+    field (wire concatenation == parse_into merge: scalars last-win,
+    repeated append)."""
+    wires = _nested_wires(400)
+    # two occurrences of `inner` merge: a=5 then s="abc" then xs append
+    wires += [
+        b"\x08\x01"
+        + b"\x12\x04\x08\x05\x2a\x00"
+        + b"\x12\x05\x12\x03abc"
+        + b"\x12\x04\x2a\x02\x01\x02",
+        b"",
+    ]
+    dr = compile_wire_to_row(NESTED_MT, CFG)
+    db = compile_wire_to_batch(NESTED_MT, CFG)
+    assert db is not None
+    cols, bad = db(wires)
+    slow = [dr(w) for w in wires]
+    for i in range(len(wires)):
+        for j, f in enumerate(NESTED_MT.fields):
+            a = cols[j][i] if not isinstance(cols[j], pd.Series) else cols[j].iloc[i]
+            assert _nested_eq(a, slow[i][j]), (
+                f"row {i} field {f.name}: {a!r} != {slow[i][j]!r}"
+            )
+    merged = slow[-2][1]
+    assert merged[0] == 5 and merged[1] == "abc" and merged[4] == [1, 2]
+
+
+@pytest.mark.parametrize("seed", [700, 701, 702, 703])
+def test_nested_message_decode_corrupt_permissive(seed):
+    """The nesting-level semantics difference is pinned here: the row
+    path's TOP-level Timestamp reader has a soft body limit, while
+    NESTED levels (parse_into) slice strictly — corrupt bytes must
+    null/raise identically at both depths."""
+    wires = _mutate(_nested_wires(300, seed), seed)
+    wires += [b"\x12\x03\x08", b"\x12\x02\x12\x05"]
+    dr = compile_wire_to_row(NESTED_MT, CFG)
+    db = compile_wire_to_batch(NESTED_MT, CFG, permissive=True)
+    slow: list = []
+    hard = False
+    for w in wires:
+        try:
+            slow.append(dr(bytes(w)))
+        except (ValueError, TypeError, IndexError, struct.error):
+            slow.append(None)
+        except OverflowError:
+            slow.append("HARD")
+            hard = True
+    try:
+        cols, bad = db(wires)
+    except OverflowError:
+        assert hard
+        return
+    except Unvectorizable:
+        return
+    assert not hard
+    for i, s in enumerate(slow):
+        if s is None:
+            assert bad[i], f"row {i}: row path nulled, batch kept"
+            continue
+        assert not bad[i], f"row {i}: batch nulled, row decoded"
+        for j in range(len(NESTED_MT.fields)):
+            a = cols[j][i] if not isinstance(cols[j], pd.Series) else cols[j].iloc[i]
+            assert _nested_eq(a, s[j]), f"row {i} field {j}"

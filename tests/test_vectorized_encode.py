@@ -245,6 +245,8 @@ def test_unsupported_shapes_return_none():
         ),
     )
     assert compile_batch_to_wire(oneof, CFG) is not None
+    # plain nested messages encode vectorized since r9 (recursive
+    # composition); repeated messages still keep the row path
     nested = MessageType(
         "vec.N",
         (
@@ -256,7 +258,20 @@ def test_unsupported_shapes_return_none():
             ),
         ),
     )
-    assert compile_batch_to_wire(nested, CFG) is None
+    assert compile_batch_to_wire(nested, CFG) is not None
+    rep_msg = MessageType(
+        "vec.RN",
+        (
+            Field(
+                "ms",
+                1,
+                Kind.MESSAGE,
+                repeated=True,
+                message=MessageType("vec.Sub2", (Field("x", 1, Kind.INT64),)),
+            ),
+        ),
+    )
+    assert compile_batch_to_wire(rep_msg, CFG) is None
 
 
 def test_distributed_encode_uses_identical_bytes(spark):
@@ -881,3 +896,120 @@ def test_map_message_values_return_none():
         (map_field("m", 1, Kind.STRING, Kind.MESSAGE, value_message=sub),),
     )
     assert compile_batch_to_wire(mt, CFG) is None
+
+
+# --- nested message fields (r9) ----------------------------------------------
+
+NESTED_INNER = MessageType(
+    "vec.NInner",
+    (
+        Field("a", 1, Kind.INT64),
+        Field("s", 2, Kind.STRING),
+        Field("d", 3, Kind.DOUBLE),
+        Field("ts", 4, Kind.MESSAGE, message=TIMESTAMP),
+        Field("xs", 5, Kind.INT64, repeated=True),
+    ),
+)
+NESTED_DEEP = MessageType(
+    "vec.NDeep",
+    (
+        Field("inner", 1, Kind.MESSAGE, message=NESTED_INNER),
+        Field("z", 2, Kind.INT32),
+    ),
+)
+NESTED_MT = MessageType(
+    "vec.NOuter",
+    (
+        Field("id", 1, Kind.INT64),
+        Field("inner", 2, Kind.MESSAGE, message=NESTED_INNER),
+        Field("deep", 3, Kind.MESSAGE, message=NESTED_DEEP),
+    ),
+)
+
+
+def _nested_rows(n, seed=17):
+    import datetime as dt
+
+    rng = np.random.default_rng(seed)
+
+    def inner_cell(i):
+        if i % 9 == 0:
+            return None
+        ts = (
+            None
+            if i % 5 == 0
+            else dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+            + dt.timedelta(seconds=int(rng.integers(0, 10**7)))
+        )
+        return {
+            "a": 0 if i % 4 == 0 else int(rng.integers(-(2**62), 2**62)),
+            "s": ["", f"x{i}é"][i % 2],
+            "d": [0.0, -0.0, 1.5][i % 3],
+            "ts": ts,
+            "xs": None
+            if i % 6 == 0
+            else [int(rng.integers(-50, 50)) for _ in range(i % 4)],
+        }
+
+    rows = []
+    for i in range(n):
+        deep = (
+            None
+            if i % 7 == 0
+            else {"inner": inner_cell(i + 1), "z": int(rng.integers(-5, 5))}
+        )
+        rows.append((i, inner_cell(i), deep))
+    return rows
+
+
+def test_nested_message_encode():
+    """Plain nested messages (incl. TWO-level nesting with inner
+    repeated + Timestamp fields) encode byte-identically: the
+    submessage body of every row is a recursive batch encode, framed
+    tag + len; null structs skip, default-valued structs still emit."""
+    rows = _nested_rows(500)
+    df = pd.DataFrame(
+        {
+            "id": pd.Series([r[0] for r in rows], dtype=object),
+            "inner": pd.Series([r[1] for r in rows], dtype=object),
+            "deep": pd.Series([r[2] for r in rows], dtype=object),
+        }
+    )
+    _assert_identical(NESTED_MT, df)
+
+
+def test_nested_message_encode_permissive_inner_violation():
+    """An inner range violation nulls the whole OUTER row (the row
+    path's per-row try wraps the full encode)."""
+    import struct as _struct
+
+    mt = MessageType(
+        "vec.NP",
+        (
+            Field(
+                "inner",
+                1,
+                Kind.MESSAGE,
+                message=MessageType("vec.NPI", (Field("u", 1, Kind.UINT32),)),
+            ),
+        ),
+    )
+    cells = pd.Series([{"u": 5}, {"u": 2**32}, None, {"u": 7}], dtype=object)
+    be = compile_batch_to_wire(mt, CFG, permissive=True)
+    re_ = compile_row_to_wire(mt, CFG)
+    fast = be([cells])
+    slow = []
+    for rec in zip(cells):
+        try:
+            slow.append(re_(rec))
+        except (ValueError, TypeError, OverflowError, _struct.error):
+            slow.append(None)
+    assert fast == slow
+    assert fast[1] is None and fast[2] == b""  # null struct skips (empty wire)
+
+
+def test_recursive_message_returns_none():
+    # self-referential shapes keep the row path (its skip/raise policy)
+    assert (
+        compile_batch_to_wire(NESTED_MT, CFG, _trace=("vec.NOuter",)) is None
+    )
