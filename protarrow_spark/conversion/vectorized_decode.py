@@ -86,12 +86,6 @@ _FIXED_WIDTH = {
 _LEN_KINDS = {Kind.STRING, Kind.BYTES}
 
 
-class _WireError(Exception):
-    """Internal: a row-local wire violation (truncated varint/payload,
-    over-long varint, unskippable wire type). Translated to a strict
-    raise or a permissive null-row by the caller."""
-
-
 def _is_timestamp_field(field: Field) -> bool:
     return (
         field.kind is Kind.MESSAGE
