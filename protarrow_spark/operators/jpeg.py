@@ -1172,6 +1172,8 @@ def decode_jpeg(data: bytes):
             if len(payload) < 1:
                 raise ValueError("truncated SOS segment")
             ns = payload[0]
+            if ns < 1:
+                raise ValueError("SOS with zero components")
             w, h, comps = frame
             if len(payload) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS segment")

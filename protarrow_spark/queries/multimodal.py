@@ -18,6 +18,24 @@ from protarrow_spark.sources.tables import table
 _MAGIC = multimodal.FAKE_IMAGE_MAGIC_HEX
 
 
+def _fixture_version_token() -> bytes:
+    """md5 over the source bytes of every module that can shape a blob
+    fixture's VALUES (this builder module + all codec modules). Baked
+    into the _blob_cache key so encoder/builder edits invalidate
+    cached parquet instead of silently reusing stale blobs."""
+    import hashlib
+
+    from protarrow_spark.operators import gif, jpeg, png
+
+    h = hashlib.md5()
+    for mod in (multimodal, jpeg, png, gif):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest().encode()
+
+
 def _blob_cache(spark: SparkSession, sf_dir: str, name: str, build):
     """Materialize a deterministic blob fixture to parquet ONCE per
     (sf_dir, name) and read it back — the TESTDATA convention applied
@@ -26,9 +44,11 @@ def _blob_cache(spark: SparkSession, sf_dir: str, name: str, build):
     approximation) would otherwise pay both codec directions in the
     measured path; with the cache, bench.py's best-of-3 (and every
     run after the first) measures the DECODE operator only. The cache
-    key includes the absolute sf_dir, so different scale factors never
-    collide; contents are deterministic functions of the source table,
-    so staleness cannot change values, only timings."""
+    key includes the absolute sf_dir (different scale factors never
+    collide) AND a version token hashed from the source of this module
+    plus every codec module a builder can call — editing a fixture
+    builder or an encoder invalidates the cache, so stale blobs can
+    never mask (or fabricate) a correctness result."""
     import hashlib
     import os
 
@@ -37,7 +57,9 @@ def _blob_cache(spark: SparkSession, sf_dir: str, name: str, build):
         "benchmarks",
         "fixtures",
     )
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        os.path.abspath(sf_dir).encode() + _fixture_version_token()
+    ).hexdigest()[:10]
     path = os.path.join(
         root, f"{os.path.basename(os.path.normpath(sf_dir))}-{key}", name
     )

@@ -98,6 +98,24 @@ def test_decoders_total_on_bit_flips(fmt, pos, mask):
     _assert_total(bytes(blob))
 
 
+def test_jpeg_sos_zero_components_raises_valueerror():
+    """Pinned r9 falsifying example (fmt='jpeg', pos=12868, mask=1): a
+    bit flip that zeroes the SOS component count produced an empty
+    scan_states list and an IndexError in _block_units. The decoder
+    must reject ns=0 through the contracted ValueError channel."""
+    blob = bytearray(VALID["jpeg"])
+    blob[12868 % len(blob)] ^= 1
+    _assert_total(bytes(blob))
+    # Direct construction too, independent of fixture byte layout: find
+    # the SOS marker and zero its ns byte.
+    raw = bytearray(VALID["jpeg"])
+    i = raw.find(b"\xff\xda")
+    assert i >= 0
+    raw[i + 4] = 0  # ns lives right after the 2-byte segment length
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(raw))
+
+
 @pytest.mark.parametrize("fmt", sorted(VALID))
 def test_valid_blobs_still_decode(fmt):
     """The fuzz fixtures themselves are genuine decodable files."""

@@ -345,3 +345,24 @@ def test_wav_float_format_still_raises() -> None:
     )
     with pytest.raises(NotImplementedError, match="PCM16 / G.711"):
         multimodal.decode_wav_pcm16(blob)
+
+
+def test_blob_cache_version_token_tracks_encoder_source(tmp_path) -> None:
+    """ADVICE r9: the fixture cache must invalidate when a codec module
+    changes, or stale parquet blobs could mask correctness failures.
+    The token is an md5 over codec+builder sources, so pointing one
+    module's __file__ at different bytes must change it."""
+    from protarrow_spark.operators import jpeg
+    from protarrow_spark.queries import multimodal as mmq
+
+    before = mmq._fixture_version_token()
+    fake = tmp_path / "jpeg_edited.py"
+    fake.write_bytes(open(jpeg.__file__, "rb").read() + b"\n# edited\n")
+    orig = jpeg.__file__
+    try:
+        jpeg.__file__ = str(fake)
+        after = mmq._fixture_version_token()
+    finally:
+        jpeg.__file__ = orig
+    assert before != after
+    assert mmq._fixture_version_token() == before  # stable when unchanged
