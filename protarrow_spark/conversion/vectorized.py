@@ -22,13 +22,18 @@ values), ONEOF members (r9: plain presence fields on the wire), and
 MAP fields with scalar keys/values (r9: converted entries flatten
 row-major; each entry frames tag + body-length with emit_default=False
 sides), and plain NESTED MESSAGE fields to any depth (r9: each level's
-bodies are a recursive batch encode, framed tag + len). Remaining
-row-path-only shapes: repeated message fields, message-valued maps,
-recursive message types, and non-Timestamp WKTs (wrappers/Date/
-Duration — scalar cell forms with their own converters). Runtime
-surprises (unexpected dtypes) raise :class:`Unvectorizable` and the
-caller falls back per batch — the row path stays the semantics
-oracle.
+bodies are a recursive batch encode, framed tag + len). r10 closes
+the final quarter: non-Timestamp WKTs (wrappers/Duration/Date/
+TimeOfDay/Empty — scalar cell forms split into the WKT MessageType's
+sub-columns and recursed), REPEATED MESSAGE fields (items flatten
+row-major, one LEN frame per item), MESSAGE-VALUED MAPS (raw values
+dedup by key, then per-entry LEN frames), and RECURSIVE types under
+``skip_recursive_messages`` (non-null cells emit tag + len 0, the row
+converter's empty-Message serialization). Remaining row-path-only:
+recursive-typed repeated items / map values (rare; the row path
+applies the skip/raise policy). Runtime surprises (unexpected dtypes)
+raise :class:`Unvectorizable` and the caller falls back per batch —
+the row path stays the semantics oracle.
 
 Reference parity: the reference's encode direction is
 ``proto_to_arrow.py`` (pyarrow-native columnar appends); this is the
@@ -38,13 +43,28 @@ wire bytes) for the distributed codec.
 
 from __future__ import annotations
 
+import datetime
 from typing import Any, Callable
 
 import struct as _struct
 
 from protarrow_spark.config import ProtarrowSparkConfig
-from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+from protarrow_spark.proto.model import (
+    DATE,
+    DURATION,
+    EMPTY,
+    TIME_OF_DAY,
+    TIMESTAMP,
+    WRAPPER_TYPES,
+    Field,
+    Kind,
+    MessageType,
+)
 from protarrow_spark.proto.message import _VARINT_RANGE
+
+#: proto Date(year=0) cell form (encode.py DATE_SENTINEL; imported
+#: lazily in _wkt_sub_columns would cost per call — it's a constant)
+_DATE_SENTINEL = datetime.date(1, 1, 1)
 
 
 class Unvectorizable(Exception):
@@ -393,11 +413,14 @@ def _prepare_nested(field, cells, n, sub_encode, bad):
     return rt, flen
 
 
-def _prepare_map(field, cells, n, config, bad):
+def _prepare_map(field, cells, n, config, bad, msg_val=None):
     """Precompute one map field: converted entries flattened row-major
     (the row path's dict semantics: insert-order, same-key last-wins),
     per-entry body lengths with default-valued key/value sides omitted
-    (``emit_default=False``), framed tag + body-length per entry."""
+    (``emit_default=False``), framed tag + body-length per entry.
+    ``msg_val`` = (sub_encode, is_wkt) for message-valued maps (r10):
+    raw values dedup by key, then batch-encode into per-entry LEN
+    frames via :func:`_msg_value_side_parts`."""
     import numpy as np
 
     from protarrow_spark.conversion.decode import _scalar_decoder
@@ -406,7 +429,17 @@ def _prepare_map(field, cells, n, config, bad):
     key_f = entry.fields_by_number[1]
     val_f = entry.fields_by_number[2]
     key_dec = _scalar_decoder(key_f, config)
-    val_dec = _scalar_decoder(val_f, config)
+    if msg_val is None:
+        val_dec = _scalar_decoder(val_f, config)
+    else:
+        # message values stay RAW through the key-dedup (conversion is
+        # the batch encode below); a None value fails its row like the
+        # row path's converter (struct-get / int() TypeError)
+        def val_dec(v):
+            if v is None or (isinstance(v, float) and v != v):
+                raise TypeError(f"None value in map {field.name}")
+            return v
+
     perm = bad is not None
 
     rt: dict[str, Any] = {"field": field, "klass": "map"}
@@ -435,7 +468,13 @@ def _prepare_map(field, cells, n, config, bad):
     starts = ends - counts
     row_of = np.repeat(np.arange(n), counts)
     kparts = _side_parts(key_f, flat_k, row_of, bad)
-    vparts = _side_parts(val_f, flat_v, row_of, bad)
+    if msg_val is None:
+        vparts = _side_parts(val_f, flat_v, row_of, bad)
+    else:
+        sub_encode, is_wkt = msg_val
+        vparts = _msg_value_side_parts(
+            val_f, flat_v, row_of, config, sub_encode, is_wkt, bad
+        )
     body_len = kparts["contrib"] + vparts["contrib"]
     blen_u = body_len.view(np.uint64)
     blen_nb = _varint_nbytes(blen_u)
@@ -718,6 +757,364 @@ def _prepare_repeated(field, cells, n, config, bad):
     return rt, flen
 
 
+def _ts_sec_nano(s, null, config):
+    """Timestamp cells (pandas Series) -> (seconds, nanos) int64 arrays
+    with the row path's pd.Timestamp.value // 1000 FLOOR semantics.
+    Shared by the dedicated singular-Timestamp klass and the WKT
+    splitter (repeated / map-valued Timestamp contexts)."""
+    import numpy as np
+
+    try:
+        if config.timestamp_type == "long_nanos":
+            nanos_total = s.fillna(0).to_numpy(dtype=np.int64)
+            sec = nanos_total // 1_000_000_000
+            nano = nanos_total - sec * 1_000_000_000
+        else:
+            if getattr(s.dtype, "tz", None) is not None:
+                # tz-aware: same ns-since-epoch the row path
+                # reads via pd.Timestamp.value
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            vals = s.to_numpy()
+            if not np.issubdtype(vals.dtype, np.datetime64):
+                if vals.dtype == object and bool(null.all()):
+                    # an all-None column stays object dtype; every row
+                    # skips the field so the values are irrelevant
+                    z = np.zeros(len(s), dtype=np.int64)
+                    return z, z.copy()
+                raise Unvectorizable(f"timestamp dtype {vals.dtype}")
+            unit = np.datetime_data(vals.dtype)[0]
+            ints = vals.astype(np.int64)  # NaT -> INT64_MIN, masked
+            # FLOOR to micros (pd.Timestamp.value // 1000
+            # semantics — numpy's astype truncates toward
+            # zero for pre-epoch values, which would be off
+            # by one for negative sub-us remainders)
+            if unit == "ns":
+                us = np.floor_divide(ints, 1000)
+            elif unit == "us":
+                us = ints
+            elif unit == "ms":
+                us = ints * 1_000
+            elif unit == "s":
+                us = ints * 1_000_000
+            else:
+                raise Unvectorizable(f"timestamp unit {unit}")
+            us = np.where(null, 0, us)
+            sec = us // 1_000_000
+            nano = (us - sec * 1_000_000) * 1_000
+    except (TypeError, ValueError) as exc:
+        raise Unvectorizable(str(exc)) from exc
+    return sec, nano
+
+
+def _null_mask_cells(cells, n):
+    """Row-path ``_is_null`` (None / NaN float / NaT) over object cells."""
+    import numpy as np
+
+    return np.fromiter(
+        (
+            c is None
+            or (isinstance(c, float) and c != c)
+            or type(c).__name__ == "NaTType"
+            for c in cells
+        ),
+        dtype=bool,
+        count=n,
+    )
+
+
+#: WKT full names the vectorized paths can split into / combine from
+#: sub-columns of the (flat, all-scalar) WKT MessageType. Timestamp is
+#: here for the FLATTENED contexts (repeated items, map values); the
+#: singular Timestamp field keeps its dedicated fast klass.
+_SPLITTABLE_WKTS = (
+    {
+        TIMESTAMP.full_name,
+        DURATION.full_name,
+        DATE.full_name,
+        TIME_OF_DAY.full_name,
+        EMPTY.full_name,
+    }
+    | set(WRAPPER_TYPES)
+)
+
+
+def _wkt_sub_columns(mtype: MessageType, cells, n, null, config):
+    """Scalar WKT cell forms -> sub-column Series of the WKT's own
+    MessageType, so the recursively compiled batch encoder can emit the
+    submessage bodies. Value semantics mirror decode.py's per-WKT
+    decoders exactly (``_timestamp_decoder`` / ``_duration_decoder`` /
+    ``_date_decoder`` / ``_time_of_day_decoder`` / wrapper identity);
+    dtype surprises raise :class:`Unvectorizable` so the row path — the
+    semantics oracle — decides."""
+    import numpy as np
+    import pandas as pd
+
+    name = mtype.full_name
+    s = cells if isinstance(cells, pd.Series) else pd.Series(cells, dtype=object)
+    if name == TIMESTAMP.full_name:
+        if s.dtype == object and config.timestamp_type != "long_nanos":
+            # flattened items arrive as objects; let pandas infer
+            # datetime64 (exact) like _prepare_nested's ts sub-columns
+            s = pd.Series(s.tolist())
+        sec, nano = _ts_sec_nano(s, null, config)
+        return [pd.Series(sec), pd.Series(nano)]
+    if name == DURATION.full_name:
+        if config.duration_type == "long_nanos":
+            try:
+                ns = s.fillna(0).to_numpy(dtype=np.int64)
+            except (TypeError, ValueError) as exc:
+                raise Unvectorizable(str(exc)) from exc
+            sec = ns // 1_000_000_000
+            nano = ns - sec * 1_000_000_000
+        else:
+            vals = s.to_numpy()
+            if np.issubdtype(vals.dtype, np.timedelta64):
+                unit = np.datetime_data(vals.dtype)[0]
+                ints = vals.astype(np.int64)  # NaT -> INT64_MIN, masked
+                if unit == "ns":
+                    us = np.floor_divide(ints, 1000)  # pd .value // 1000
+                elif unit == "us":
+                    us = ints
+                else:
+                    raise Unvectorizable(f"duration unit {unit}")
+                us = np.where(null, 0, us)
+            else:
+                us = np.zeros(n, dtype=np.int64)
+                lim = 1 << 62
+                for i in np.flatnonzero(~null):
+                    v = s.iloc[i]
+                    value_ns = getattr(v, "value", None)
+                    if value_ns is not None and type(v).__name__ == "Timedelta":
+                        m = value_ns // 1_000
+                    elif isinstance(v, datetime.timedelta):
+                        m = (
+                            v.days * 86_400 + v.seconds
+                        ) * 1_000_000 + v.microseconds
+                    else:
+                        raise Unvectorizable(
+                            f"duration cell of type {type(v).__name__}"
+                        )
+                    if not -lim <= m <= lim:
+                        raise Unvectorizable("duration beyond int64 micros")
+                    us[i] = m
+        # divmod floor + protobuf sign normalization (decode.py
+        # _duration_decoder.normalize: seconds and nanos share a sign)
+        if config.duration_type == "long_nanos":
+            pass  # sec/nano already set above
+        else:
+            sec, rem = np.divmod(us, 1_000_000)
+            nano = rem * 1_000
+        over = (~null) & (sec < 0) & (nano > 0)
+        sec = np.where(over, sec + 1, sec)
+        nano = np.where(over, nano - 1_000_000_000, nano)
+        return [pd.Series(sec), pd.Series(nano)]
+    if name == DATE.full_name:
+        y = np.zeros(n, dtype=np.int64)
+        mo = np.zeros(n, dtype=np.int64)
+        d = np.zeros(n, dtype=np.int64)
+        for i in np.flatnonzero(~null):
+            v = s.iloc[i]
+            if hasattr(v, "date") and not isinstance(v, datetime.date):
+                v = v.date()  # pd.Timestamp, like decode.py _date_decoder
+            if not isinstance(v, datetime.date):
+                raise Unvectorizable(f"date cell of type {type(v).__name__}")
+            if v == _DATE_SENTINEL:
+                continue  # unset date round-trips to Date()
+            y[i], mo[i], d[i] = v.year, v.month, v.day
+        return [pd.Series(y), pd.Series(mo), pd.Series(d)]
+    if name == TIME_OF_DAY.full_name:
+        try:
+            total = s.fillna(0).to_numpy(dtype=np.int64)
+        except (TypeError, ValueError) as exc:
+            raise Unvectorizable(str(exc)) from exc
+        nanos = total % 1_000_000_000
+        seconds_total = total // 1_000_000_000
+        minutes_total, seconds = np.divmod(seconds_total, 60)
+        hours, minutes = np.divmod(minutes_total, 60)
+        return [
+            pd.Series(hours),
+            pd.Series(minutes),
+            pd.Series(seconds),
+            pd.Series(nanos),
+        ]
+    if name in WRAPPER_TYPES:
+        return [s]  # the sub-encoder applies the value-kind policy
+    raise Unvectorizable(f"unsupported WKT {name}")  # pragma: no cover
+
+
+def _frame_len_bodies(field, payloads, null, n):
+    """Frame per-row LEN bodies: tag + body-length varint + body.
+    Message presence semantics: null skips entirely; a present-but-
+    default body still emits tag + len 0."""
+    import numpy as np
+
+    plen = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    lnb = _varint_nbytes(plen.view(np.uint64))
+    tag = _tag_bytes(field.number, _WT_LEN)
+    rt: dict[str, Any] = {
+        "field": field, "klass": "len", "tag": tag, "skip": null,
+        "payloads": payloads, "plen": plen, "lnb": lnb,
+    }
+    flen = np.where(null, 0, len(tag) + lnb + plen)
+    return rt, flen
+
+
+def _prepare_wkt(field, cells, n, config, sub_encode, bad):
+    """Precompute one singular non-Timestamp WKT field (wrappers,
+    Duration, Date, TimeOfDay, Empty): split the scalar cell form into
+    the WKT MessageType's sub-columns, batch-encode the bodies with the
+    recursively compiled encoder, and frame tag + len + body. Byte
+    parity with the row path: decode.py's WKT decoders build a Message
+    whose serialize() skips default-valued subfields — the recursive
+    batch encode does the identical default skipping."""
+    import numpy as np
+
+    null = _null_mask_cells(cells, n)
+    if field.message.full_name == EMPTY.full_name:
+        payloads = [b""] * n
+        return _frame_len_bodies(field, payloads, null, n)
+    sub_cols = _wkt_sub_columns(field.message, cells, n, null, config)
+    payloads = sub_encode(sub_cols)
+    if bad is not None:
+        fixed = []
+        for i, p in enumerate(payloads):
+            if p is None:
+                if not null[i]:
+                    bad[i] = True  # contract violation -> whole row
+                fixed.append(b"")
+            else:
+                fixed.append(p)
+        payloads = fixed
+    return _frame_len_bodies(field, payloads, null, n)
+
+
+def _split_message_items(sub_mt, items, m, config):
+    """Flattened plain-message cells -> sub-column Series for the
+    recursive batch encoder (the struct split _prepare_nested does per
+    row, applied to an item list)."""
+    import numpy as np
+    import pandas as pd
+
+    from protarrow_spark.conversion.decode import _struct_get
+
+    sub_cols = []
+    for j, sf in enumerate(sub_mt.fields):
+        vals = [_struct_get(items[i], sf.name, j) for i in range(m)]
+        if _is_timestamp_field(sf):
+            sub_cols.append(pd.Series(vals))
+        else:
+            sub_cols.append(pd.Series(vals, dtype=object))
+    return sub_cols
+
+
+def _item_payloads(sub_mt, items, m, config, sub_encode, wkt):
+    """Flattened message items -> wire bodies. ``wkt`` selects the
+    scalar-cell splitter; plain messages struct-split. Returns
+    (payloads, item_bad) where item_bad marks items whose encode was
+    nulled by a permissive sub-encoder."""
+    import numpy as np
+
+    if wkt:
+        null = np.zeros(m, dtype=bool)  # items are non-null by contract
+        if sub_mt.full_name == EMPTY.full_name:
+            return [b""] * m, np.zeros(m, dtype=bool)
+        sub_cols = _wkt_sub_columns(sub_mt, items, m, null, config)
+    else:
+        sub_cols = _split_message_items(sub_mt, items, m, config)
+    payloads = sub_encode(sub_cols) if m else []
+    item_bad = np.zeros(m, dtype=bool)
+    fixed = []
+    for k, p in enumerate(payloads):
+        if p is None:
+            item_bad[k] = True
+            fixed.append(b"")
+        else:
+            fixed.append(p)
+    return fixed, item_bad
+
+
+def _prepare_repeated_msg(field, cells, n, config, sub_encode, wkt, bad):
+    """Precompute one repeated MESSAGE field (plain nested or WKT
+    items): flatten items row-major, batch-encode the bodies, frame one
+    tag + len + payload per item (messages never pack), reusing the
+    expanded rep_len layout. A None item or a contract-violating item
+    fails its whole ROW (the row path's per-row try/except wraps the
+    full ``[dec(x) for x in v]`` list comprehension)."""
+    import numpy as np
+
+    perm = bad is not None
+    null = np.zeros(n, dtype=bool)
+    counts = np.zeros(n, dtype=np.int64)
+    flat: list = []
+    for i, c in enumerate(cells):
+        if c is None or (isinstance(c, float) and c != c):
+            null[i] = True
+            continue
+        items = list(c)
+        if any(
+            x is None or (isinstance(x, float) and x != x) for x in items
+        ):
+            # row path: dec(None) raises TypeError (struct get / int())
+            if not perm:
+                raise TypeError(f"None item in repeated {field.name}")
+            bad[i] = True
+            null[i] = True
+            continue
+        flat.extend(items)
+        counts[i] = len(items)
+    m = len(flat)
+    payloads, item_bad = _item_payloads(
+        field.message, flat, m, config, sub_encode, wkt
+    )
+    row_of = np.repeat(np.arange(n), counts)
+    if item_bad.any():
+        if not perm:  # pragma: no cover — strict sub-encode raises
+            raise ValueError(f"unencodable item in repeated {field.name}")
+        bad[row_of[item_bad]] = True
+    nflat = m
+    plen = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nflat)
+    lnb = _varint_nbytes(plen.view(np.uint64))
+    tag = _tag_bytes(field.number, _WT_LEN)
+    item_total = len(tag) + lnb + plen
+    csum = np.zeros(nflat + 1, dtype=np.int64)
+    np.cumsum(item_total, out=csum[1:])
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    skip = null | (counts == 0)
+    flen = np.where(skip, 0, csum[ends] - csum[starts])
+    within = csum[:-1] - csum[starts][row_of] if nflat else csum[:0]
+    rt: dict[str, Any] = {
+        "field": field, "klass": "rep_len", "tag": tag, "skip": skip,
+        "payloads": payloads, "plen": plen, "lnb": lnb,
+        "row_of": row_of, "within": within,
+    }
+    return rt, flen
+
+
+def _msg_value_side_parts(val_f, flat, row_of, config, sub_encode, wkt, bad):
+    """Map VALUE side for message-valued maps: one LEN frame per entry,
+    never skipped (``_write_field_single`` always emits message values,
+    even empty bodies — unlike scalar sides' emit_default=False)."""
+    import numpy as np
+
+    m = len(flat)
+    payloads, item_bad = _item_payloads(
+        val_f.message, flat, m, config, sub_encode, wkt
+    )
+    if item_bad.any():
+        if bad is None:  # pragma: no cover — strict sub-encode raises
+            raise ValueError("unencodable map value")
+        bad[row_of[item_bad]] = True
+    plen = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=m)
+    lnb = _varint_nbytes(plen.view(np.uint64))
+    tag = _tag_bytes(val_f.number, _WT_LEN)
+    contrib = len(tag) + lnb + plen  # never skipped
+    return dict(
+        klass="len", tag=tag, payloads=payloads, plen=plen, lnb=lnb,
+        skip=np.zeros(m, dtype=bool), contrib=contrib,
+    )
+
+
 def compile_batch_to_wire(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
@@ -745,14 +1142,41 @@ def compile_batch_to_wire(
     index_of = {f.name: i for i, f in enumerate(mtype.fields)}
     plan = []
     sub_encoders: dict[int, Callable] = {}
+    # message-typed item/value encoders: idx -> (sub_encode|None, is_wkt)
+    item_encoders: dict[int, tuple] = {}
+
+    def _msg_item_encoder(sub_mt: MessageType) -> tuple | None:
+        """(sub_encode, is_wkt) for message items/values of ``sub_mt``
+        (repeated items, map values), or None when the shape must keep
+        the row path (recursive item types)."""
+        if sub_mt.full_name in trace:
+            return None  # recursive-typed items keep the row path
+        if sub_mt.full_name in _SPLITTABLE_WKTS:
+            if sub_mt.full_name == EMPTY.full_name:
+                return (None, True)  # bodies are b"" — no sub-encode
+            sub = compile_batch_to_wire(sub_mt, config, permissive, trace)
+            return None if sub is None else (sub, True)
+        sub = compile_batch_to_wire(sub_mt, config, permissive, trace)
+        return None if sub is None else (sub, False)
+
     for field in mtype.fields_number_order:
         if field.is_map:
             # maps (r9): converted entries flatten row-major; each
             # entry frames tag + body-length with emit_default=False
-            # key/value sides. Message-valued maps keep the row path.
+            # key/value sides. Message VALUES (r10): one LEN frame per
+            # entry value, bodies from a recursive batch encode (plain
+            # messages) or the WKT cell splitter; never default-skipped
+            # (_write_field_single always emits message values).
             entry_mt = field.message
             kf, vf = entry_mt.fields_by_number[1], entry_mt.fields_by_number[2]
-            if kf.kind not in _SUPPORTED_SCALARS or vf.kind not in _SUPPORTED_SCALARS:
+            if kf.kind not in _SUPPORTED_SCALARS:
+                return None
+            if vf.kind is Kind.MESSAGE:
+                ie = _msg_item_encoder(vf.message)
+                if ie is None:
+                    return None
+                item_encoders[index_of[field.name]] = ie
+            elif vf.kind not in _SUPPORTED_SCALARS:
                 return None
             plan.append(("map", field, index_of[field.name]))
             continue
@@ -766,10 +1190,18 @@ def compile_batch_to_wire(
             # technique (proto_to_arrow.py:456-491 — offsets +
             # flattened values): numeric kinds pack (the row path's
             # proto3 default), string/bytes expand per occurrence.
-            # Repeated messages / repeated enum-as-name in decimal
-            # configs beyond v1 fall back to the row path.
+            # Repeated MESSAGES (r10): items flatten row-major, bodies
+            # batch-encode recursively (plain) or via the WKT splitter,
+            # framed one tag + len + payload per item (the reference's
+            # repeated-message walk, arrow_to_proto.py:588-605).
+            # Repeated recursive-typed messages keep the row path.
             if field.kind is Kind.MESSAGE:
-                return None
+                ie = _msg_item_encoder(field.message)
+                if ie is None:
+                    return None
+                item_encoders[index_of[field.name]] = ie
+                plan.append(("rep_msg", field, index_of[field.name]))
+                continue
             if field.kind not in _SUPPORTED_SCALARS:
                 return None
             plan.append(("repeated", field, index_of[field.name]))
@@ -780,17 +1212,31 @@ def compile_batch_to_wire(
             plan.append(("timestamp", field, index_of[field.name]))
             continue
         if field.kind is Kind.MESSAGE:
+            # recursion (r10): under skip_recursive_messages the row
+            # path's converter is ``lambda row: Message(mtype)`` — a
+            # non-null cell (an empty struct in the pruned schema)
+            # emits tag + len 0, null skips. Raise-mode recursive
+            # shapes keep the row path (which raises TypeError).
+            if field.message.full_name in trace:
+                if not config.skip_recursive_messages:
+                    return None
+                plan.append(("rec_empty", field, index_of[field.name]))
+                continue
+            # non-Timestamp WKTs (r10): wrappers / Duration / Date /
+            # TimeOfDay / Empty split their scalar cell form into the
+            # WKT MessageType's sub-columns and recurse (reference
+            # wrapper converters: arrow_to_proto.py:165-175).
+            if field.message.full_name in _SPLITTABLE_WKTS:
+                ie = _msg_item_encoder(field.message)
+                if ie is None:  # pragma: no cover — WKTs always compile
+                    return None
+                item_encoders[index_of[field.name]] = ie
+                plan.append(("wkt", field, index_of[field.name]))
+                continue
             # plain nested messages (r9): the submessage body of every
             # row is just another batch encode — recurse and frame the
             # bodies (tag + len + body; message presence: null skips,
-            # empty message still emits). WKT messages other than
-            # Timestamp (wrappers, Date, Duration, ...) have scalar
-            # cell forms and keep the row path, as do shapes the
-            # recursion can't take.
-            from protarrow_spark.conversion.encode import _wkt_converter
-
-            if _wkt_converter(field.message, config) is not None:
-                return None
+            # empty message still emits).
             sub = compile_batch_to_wire(field.message, config, permissive, trace)
             if sub is None:
                 return None
@@ -837,7 +1283,39 @@ def compile_batch_to_wire(
 
             if klass == "map":
                 rt, flen = _prepare_map(
-                    field, s.to_numpy(dtype=object), n, config, bad
+                    field, s.to_numpy(dtype=object), n, config, bad,
+                    msg_val=item_encoders.get(idx),
+                )
+                rt["flen"] = flen
+                total_len += flen
+                fields_rt.append(rt)
+                continue
+
+            if klass == "rep_msg":
+                sub, is_wkt = item_encoders[idx]
+                rt, flen = _prepare_repeated_msg(
+                    field, s.to_numpy(dtype=object), n, config, sub,
+                    is_wkt, bad,
+                )
+                rt["flen"] = flen
+                total_len += flen
+                fields_rt.append(rt)
+                continue
+
+            if klass == "wkt":
+                sub, _ = item_encoders[idx]
+                rt, flen = _prepare_wkt(field, s, n, config, sub, bad)
+                rt["flen"] = flen
+                total_len += flen
+                fields_rt.append(rt)
+                continue
+
+            if klass == "rec_empty":
+                rt, flen = _frame_len_bodies(
+                    field,
+                    [b""] * n,
+                    _null_mask_cells(s.to_numpy(dtype=object), n),
+                    n,
                 )
                 rt["flen"] = flen
                 total_len += flen
@@ -863,40 +1341,7 @@ def compile_batch_to_wire(
             null = null.to_numpy(dtype=bool)
 
             if klass == "timestamp":
-                try:
-                    if config.timestamp_type == "long_nanos":
-                        nanos_total = s.fillna(0).to_numpy(dtype=np.int64)
-                        sec = nanos_total // 1_000_000_000
-                        nano = nanos_total - sec * 1_000_000_000
-                    else:
-                        if getattr(s.dtype, "tz", None) is not None:
-                            # tz-aware: same ns-since-epoch the row path
-                            # reads via pd.Timestamp.value
-                            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-                        vals = s.to_numpy()
-                        if not np.issubdtype(vals.dtype, np.datetime64):
-                            raise Unvectorizable(f"timestamp dtype {vals.dtype}")
-                        unit = np.datetime_data(vals.dtype)[0]
-                        ints = vals.astype(np.int64)  # NaT -> INT64_MIN, masked
-                        # FLOOR to micros (pd.Timestamp.value // 1000
-                        # semantics — numpy's astype truncates toward
-                        # zero for pre-epoch values, which would be off
-                        # by one for negative sub-us remainders)
-                        if unit == "ns":
-                            us = np.floor_divide(ints, 1000)
-                        elif unit == "us":
-                            us = ints
-                        elif unit == "ms":
-                            us = ints * 1_000
-                        elif unit == "s":
-                            us = ints * 1_000_000
-                        else:
-                            raise Unvectorizable(f"timestamp unit {unit}")
-                        us = np.where(null, 0, us)
-                        sec = us // 1_000_000
-                        nano = (us - sec * 1_000_000) * 1_000
-                except (TypeError, ValueError) as exc:
-                    raise Unvectorizable(str(exc)) from exc
+                sec, nano = _ts_sec_nano(s, null, config)
                 sec_u = sec.view(np.uint64)
                 nano_u = nano.view(np.uint64)
                 sec_nb = _varint_nbytes(sec_u)

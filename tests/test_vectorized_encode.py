@@ -259,6 +259,7 @@ def test_unsupported_shapes_return_none():
         ),
     )
     assert compile_batch_to_wire(nested, CFG) is not None
+    # repeated messages vectorize since r10 (flattened item bodies)
     rep_msg = MessageType(
         "vec.RN",
         (
@@ -271,7 +272,13 @@ def test_unsupported_shapes_return_none():
             ),
         ),
     )
-    assert compile_batch_to_wire(rep_msg, CFG) is None
+    assert compile_batch_to_wire(rep_msg, CFG) is not None
+    # recursive-typed repeated items are the one remaining row-path shape
+    from protarrow_spark.proto.fixtures import recursive_message_type
+
+    rec = recursive_message_type()
+    skip_cfg = ProtarrowSparkConfig(skip_recursive_messages=True)
+    assert compile_batch_to_wire(rec, skip_cfg) is None
 
 
 def test_distributed_encode_uses_identical_bytes(spark):
@@ -700,13 +707,18 @@ def test_repeated_null_item_matches_row_path_error_class():
     assert fast[1] is None and fast[0] is not None
 
 
-def test_repeated_message_returns_none():
+def test_repeated_message_encodes_vectorized():
+    # r10: repeated messages flatten row-major into one LEN frame per
+    # item — byte parity with _write_field_single's per-item walk
     sub = MessageType("vec.RSub", (Field("x", 1, Kind.INT64),))
     mt = MessageType(
         "vec.RM",
         (Field("ms", 1, Kind.MESSAGE, repeated=True, message=sub),),
     )
-    assert compile_batch_to_wire(mt, CFG) is None
+    df = pd.DataFrame(
+        {"ms": [[(1,), (0,)], [], None, [(1 << 40,)]]}, dtype=object
+    )
+    _assert_identical(mt, df)
 
 
 @settings(max_examples=100, deadline=None)
@@ -889,13 +901,18 @@ def test_map_encode_permissive_and_strict_range():
         compile_batch_to_wire(mt, CFG)([cells[:2]])
 
 
-def test_map_message_values_return_none():
+def test_map_message_values_encode_vectorized():
+    # r10: message-valued maps — values dedup raw by key, bodies
+    # batch-encode, each entry's value side always emits (even empty)
     sub = MessageType("vec.MSub", (Field("x", 1, Kind.INT64),))
     mt = MessageType(
         "vec.MM",
         (map_field("m", 1, Kind.STRING, Kind.MESSAGE, value_message=sub),),
     )
-    assert compile_batch_to_wire(mt, CFG) is None
+    df = pd.DataFrame(
+        {"m": [{"a": (1,), "b": (0,)}, {}, None, {"": (9,)}]}, dtype=object
+    )
+    _assert_identical(mt, df)
 
 
 # --- nested message fields (r9) ----------------------------------------------
