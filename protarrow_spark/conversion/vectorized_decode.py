@@ -32,11 +32,18 @@ groups of supported members (later-member-wins sibling clearing, r9)
 r9) + plain NESTED MESSAGE fields to any depth (r9: occurrences
 collect body slices, concatenation == parse_into merge, recursive
 batch decode; nested levels use parse_into's STRICT Timestamp-body
-slicing where the top level keeps h_ts's soft limit). Remaining
-row-path-only shapes: repeated message fields, message-valued maps,
-recursive types, non-Timestamp WKTs. Runtime surprises (wire
-values outside the shapes the numpy dtypes can mirror exactly, e.g.
->=2^63 varints in a uint32 field from corrupt bytes) raise
+slicing where the top level keeps h_ts's soft limit). r10 closes the
+final quarter: non-Timestamp WKTs (wrappers/Duration/Date/TimeOfDay/
+Empty — nested-style slice collection, then the sub-decoded columns
+combine into the scalar cell form), REPEATED MESSAGE fields (one
+standalone item slice per occurrence, decoded as a flat item batch),
+MESSAGE-VALUED MAPS (value slices merge per entry by concatenation),
+and RECURSIVE types under ``skip_recursive_messages`` (a late-bound
+strict validator parses the subtree for error parity, then prunes to
+``()`` like the row converter). Remaining row-path-only: recursive-
+typed repeated items / map values. Runtime surprises (wire values
+outside the shapes the numpy dtypes can mirror exactly, e.g. >=2^63
+varints in a uint32 field from corrupt bytes) raise
 :class:`Unvectorizable` and the caller falls back per batch — the row
 path stays the semantics oracle.
 
@@ -51,8 +58,18 @@ from __future__ import annotations
 from typing import Callable
 
 from protarrow_spark.config import ProtarrowSparkConfig
-from protarrow_spark.conversion.vectorized import Unvectorizable
-from protarrow_spark.proto.model import TIMESTAMP, Field, Kind, MessageType
+from protarrow_spark.conversion.vectorized import Unvectorizable, _SPLITTABLE_WKTS
+from protarrow_spark.proto.model import (
+    DATE,
+    DURATION,
+    EMPTY,
+    TIME_OF_DAY,
+    TIMESTAMP,
+    WRAPPER_TYPES,
+    Field,
+    Kind,
+    MessageType,
+)
 
 _WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
 
@@ -255,11 +272,159 @@ def _convert_numeric(kind, u, live, field, enum_name_mode, u64_decimal):
     raise Unvectorizable(f"kind {kind}")  # pragma: no cover
 
 
+#: datetime.date(1,1,1) — the engine's unset-Date cell (encode.py
+#: DATE_SENTINEL); kept a local constant like vectorized.py's.
+import datetime as _datetime
+
+_DATE_SENTINEL = _datetime.date(1, 1, 1)
+
+#: |seconds| bound keeping sec*1e9 + nano inside int64 (long_nanos
+#: forms; the row path computes in unbounded Python ints)
+_SEC_NANO_BOUND = 9_200_000_000
+#: |seconds| bound keeping sec*1e6 + nano//1e3 inside int64 /
+#: timedelta64[us] (the row path's datetime.timedelta covers more —
+#: hand those rows to it)
+_SEC_US_BOUND = 9_200_000_000_000
+
+
+def _int_col(col, n):
+    """A sub-decoder int column (np.int64 array, or object array with
+    None at permissive-nulled rows) -> plain int64 (nulls as 0 — their
+    rows are dead and masked by the caller)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(col, np.ndarray) and col.dtype != object:
+        return col.astype(np.int64, copy=False)
+    return pd.Series(col).fillna(0).to_numpy(dtype=np.int64)
+
+
+def _wkt_values(mtype, sub_cols, m, live, config):
+    """Sub-decoded WKT columns -> (form, payload) cell values, value-
+    identical to encode.py's WKT converters applied to the parsed
+    Message (``_duration_converter`` / ``_date_converter`` /
+    ``_time_of_day_converter`` / wrapper ``m.value``).
+
+    ``form``: how the caller materializes cells —
+    ``obj`` int64 array, ``td64us``/``dt64us`` microsecond arrays,
+    ``list`` ready python objects (None slots = conversion failures the
+    caller attributes via its own bad-marking), ``empty`` unit structs,
+    ``col`` a pass-through wrapper value column.
+    Guards mirror the singular-Timestamp precedent: values the numpy
+    formulation cannot hold exactly raise :class:`Unvectorizable` (the
+    row path decides); datetime-range violations raise OverflowError in
+    BOTH modes like the row path's datetime arithmetic."""
+    import numpy as np
+
+    name = mtype.full_name
+    if name == TIMESTAMP.full_name:
+        sec = _int_col(sub_cols[0], m)
+        nano = _int_col(sub_cols[1], m)
+        if config.timestamp_type == "long_nanos":
+            if m and (np.abs(sec[live]) > _SEC_NANO_BOUND).any():
+                raise Unvectorizable("long_nanos overflow risk")
+            return "obj", sec * 1_000_000_000 + nano
+        us = sec * 1_000_000 + np.floor_divide(nano, 1_000)
+        over = live & (
+            (sec > 260_000_000_000)
+            | (sec < -260_000_000_000)
+            | (us < _DT_US_MIN)
+            | (us > _DT_US_MAX)
+        )
+        if over.any():
+            raise OverflowError("timestamp out of datetime range")
+        return "dt64us", us
+    if name == DURATION.full_name:
+        sec = _int_col(sub_cols[0], m)
+        nano = _int_col(sub_cols[1], m)
+        if config.duration_type == "long_nanos":
+            if m and (np.abs(sec[live]) > _SEC_NANO_BOUND).any():
+                raise Unvectorizable("long_nanos overflow risk")
+            return "obj", sec * 1_000_000_000 + nano
+        if m and (np.abs(sec[live]) > _SEC_US_BOUND).any():
+            # datetime.timedelta holds more than timedelta64[us]
+            raise Unvectorizable("duration beyond int64 micros")
+        us = sec * 1_000_000 + np.floor_divide(nano, 1_000)
+        return "td64us", us
+    if name == DATE.full_name:
+        y = _int_col(sub_cols[0], m)
+        mo = _int_col(sub_cols[1], m)
+        d = _int_col(sub_cols[2], m)
+        out: list = [None] * m
+        for k in np.flatnonzero(live):
+            if y[k] == 0:
+                out[k] = _DATE_SENTINEL
+                continue
+            try:
+                out[k] = _datetime.date(int(y[k]), int(mo[k]), int(d[k]))
+            except ValueError:
+                # the row path's datetime.date() raise — a bad VALUE;
+                # caller nulls the row (permissive) or re-raises
+                out[k] = _WKT_CELL_ERROR
+        return "list", out
+    if name == TIME_OF_DAY.full_name:
+        h = _int_col(sub_cols[0], m)
+        mi = _int_col(sub_cols[1], m)
+        se = _int_col(sub_cols[2], m)
+        na = _int_col(sub_cols[3], m)
+        if m and (
+            (np.abs(h[live]) > 1_000_000).any()
+            or (np.abs(mi[live]) > 10_000_000).any()
+            or (np.abs(se[live]) > 1_000_000_000).any()
+        ):
+            # ((h*60+m)*60+s)*1e9 could leave int64; the row path
+            # computes unbounded — hand the batch back
+            raise Unvectorizable("time-of-day overflow risk")
+        total = ((h * 60 + mi) * 60 + se) * 1_000_000_000 + na
+        return "obj", total
+    if name == EMPTY.full_name:
+        return "empty", None
+    if name in WRAPPER_TYPES:
+        return "col", sub_cols[0]
+    raise Unvectorizable(f"unsupported WKT {name}")  # pragma: no cover
+
+
+class _WktCellError:
+    """Sentinel marking a per-cell conversion failure inside a 'list'
+    form (e.g. datetime.date ValueError) for the caller to attribute."""
+
+    __repr__ = lambda self: "<wkt-cell-error>"  # noqa: E731
+
+
+_WKT_CELL_ERROR = _WktCellError()
+
+
+def _wkt_item_cells(mtype, sub_cols, m, item_live, config):
+    """Item-context WKT finalize: plain python cell per decoded item
+    (repeated items / map values live inside list/dict cells, so the
+    Series forms the singular path uses don't apply)."""
+    import numpy as np
+    import pandas as pd
+
+    form, payload = _wkt_values(mtype, sub_cols, m, item_live, config)
+    if form == "obj":
+        return list(payload)
+    if form == "dt64us":
+        return list(pd.to_datetime(payload, unit="us", utc=True))
+    if form == "td64us":
+        return list(pd.to_timedelta(payload, unit="us"))
+    if form == "empty":
+        return [()] * m
+    if form == "list":
+        return payload
+    # "col": wrapper pass-through
+    col = payload
+    if isinstance(col, np.ndarray):
+        return list(col.astype(object))
+    return list(col)
+
+
 def compile_wire_to_batch(
     mtype: MessageType,
     config: ProtarrowSparkConfig = ProtarrowSparkConfig(),
     permissive: bool = False,
     _trace: tuple = (),
+    _registry: dict | None = None,
 ) -> Callable[[list], tuple] | None:
     """Compile ``[bytes-or-None per row] -> (columns, bad)`` for a
     supported flat message, or return None.
@@ -281,8 +446,35 @@ def compile_wire_to_batch(
     # STRICT slice (reads raise at the slice end); only the TOP level's
     # specialized h_ts reader has the soft row-end limit.
     ts_strict = bool(_trace)
+    # Shared across the compile tree: (full_name) -> forward cell for
+    # the STRICT validator of a recursive type. The cell is registered
+    # BEFORE its decoder compiles so self/ancestor references late-bind
+    # instead of recursing forever; runtime recursion depth then follows
+    # the DATA, exactly like parse_into's nested parse.
+    registry: dict = {} if _registry is None else _registry
     fields = list(mtype.fields)
     index_of = {f.name: i for i, f in enumerate(fields)}
+
+    def _strict_validator(sub_mt: MessageType):
+        """Validation decoder for a recursive field's bodies: a strict
+        (parse_into-semantics) batch decode of ``sub_mt`` whose own
+        recursive references late-bind to itself. The decoded columns
+        are discarded — the row path's converter prunes the subtree to
+        ``()`` — but parse errors must null/abort identically."""
+        cell = registry.get(sub_mt.full_name)
+        if cell is None:
+            cell = registry[sub_mt.full_name] = {"in_progress": True}
+            # the sentinel ancestor keeps ts_strict True without
+            # tripping the top-of-compile recursion guard
+            cell["fn"] = compile_wire_to_batch(
+                sub_mt, config, permissive, ("<strict-root>",), registry
+            )
+            cell["in_progress"] = False
+            if cell["fn"] is None:
+                return None  # validator shape unsupported -> row path
+        elif not cell.get("in_progress") and cell.get("fn") is None:
+            return None
+        return lambda cells, _c=cell: _c["fn"](cells)
 
     def _sibs(field) -> tuple:
         # oneof later-member-wins: setting one member clears its
@@ -297,25 +489,63 @@ def compile_wire_to_batch(
 
     plan: dict[int, tuple] = {}
     sub_decoders: dict[int, Callable] = {}
+    # message-typed items/values: idx -> WKT full_name or None (plain)
+    item_wkt: dict[int, str | None] = {}
     for idx, field in enumerate(fields):
         if field.is_map:
             # maps (r9): each occurrence is a bounded entry slice
             # (key=1 / value=2) parsed in a transposed sub-loop; the
             # per-row dict assembly (insert-order dedup, the row
             # path's message-merge result) happens at finalize.
+            # Message VALUES (r10): value occurrences collect slices
+            # per entry (concatenation == the entry parse's merge),
+            # decoded at finalize by the recursive batch decoder.
             entry = field.message
             key_f = entry.fields_by_number[1]
             val_f = entry.fields_by_number[2]
             if key_f.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
                 return None
-            if val_f.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
+            if val_f.kind is Kind.MESSAGE:
+                sub_name = val_f.message.full_name
+                if sub_name in trace:
+                    return None  # recursive-typed values keep the row path
+                sub = compile_wire_to_batch(
+                    val_f.message, config, permissive, trace, registry
+                )
+                if sub is None:
+                    return None
+                sub_decoders[idx] = sub
+                item_wkt[idx] = (
+                    val_f.message if sub_name in _SPLITTABLE_WKTS else None
+                )
+            elif val_f.kind not in (
+                _VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS
+            ):
                 return None
             plan[field.number] = ("map", field, idx, ())
             continue
         if field.repeated:
             # repeated scalars (r9): packed bodies parse in a
             # transposed inner loop, expanded occurrences accumulate
-            # (row, value) chunks; repeated messages keep the row path
+            # (row, value) chunks. Repeated MESSAGES (r10): each
+            # occurrence is one standalone item slice (NO merge across
+            # occurrences — h_rep_msg parses each into its own
+            # Message); recursive-typed items keep the row path.
+            if field.kind is Kind.MESSAGE:
+                sub_name = field.message.full_name
+                if sub_name in trace:
+                    return None
+                sub = compile_wire_to_batch(
+                    field.message, config, permissive, trace, registry
+                )
+                if sub is None:
+                    return None
+                sub_decoders[idx] = sub
+                item_wkt[idx] = (
+                    field.message if sub_name in _SPLITTABLE_WKTS else None
+                )
+                plan[field.number] = ("rep_msg", field, idx, ())
+                continue
             if field.kind not in (_VARINT_KINDS | set(_FIXED_WIDTH) | _LEN_KINDS):
                 return None
             plan[field.number] = ("repeated", field, idx, ())
@@ -326,17 +556,41 @@ def compile_wire_to_batch(
             plan[field.number] = ("timestamp", field, idx, _sibs(field))
             continue
         if field.kind is Kind.MESSAGE:
+            sub_name = field.message.full_name
+            # recursion (r10): under skip_recursive_messages the row
+            # path PARSES the body (h_msg -> parse_into, full
+            # validation) then prunes the converted subtree to ``()``.
+            # The strict validator decodes the joined bodies purely for
+            # error parity; raise-mode shapes keep the row path.
+            if sub_name in trace:
+                if not config.skip_recursive_messages:
+                    return None
+                validator = _strict_validator(field.message)
+                if validator is None:
+                    return None
+                sub_decoders[idx] = validator
+                plan[field.number] = ("rec", field, idx, _sibs(field))
+                continue
+            # non-Timestamp WKTs (r10): body slices collect exactly
+            # like nested messages (concatenation == merge), then the
+            # sub-decoded columns combine into the scalar cell form
+            # (wrapper value / timedelta / date / nanos-of-day / ()).
+            if sub_name in _SPLITTABLE_WKTS:
+                sub = compile_wire_to_batch(
+                    field.message, config, permissive, trace, registry
+                )
+                if sub is None:  # pragma: no cover — WKTs always compile
+                    return None
+                sub_decoders[idx] = sub
+                item_wkt[idx] = field.message
+                plan[field.number] = ("wkt", field, idx, _sibs(field))
+                continue
             # plain nested messages (r9): occurrences collect body
             # slices; concatenation == protobuf's message merge, so the
             # joined bytes recursively batch-decode into the struct's
-            # sub-columns. WKT messages (wrappers, Date, Duration, ...)
-            # have scalar cell forms and keep the row path.
-            from protarrow_spark.conversion.encode import _wkt_converter
-
-            if _wkt_converter(field.message, config) is not None:
-                return None
+            # sub-columns.
             sub = compile_wire_to_batch(
-                field.message, config, permissive, trace
+                field.message, config, permissive, trace, registry
             )
             if sub is None:
                 return None
@@ -393,13 +647,19 @@ def compile_wire_to_batch(
         rep_chunks: dict[int, list] = {}
         map_chunks: dict[int, list] = {}
         msg_chunks: dict[int, list] = {}
+        repmsg_chunks: dict[int, list] = {}
         for number, (klass, field, idx, sibs) in plan.items():
-            if klass == "nested":
+            if klass in ("nested", "wkt", "rec"):
+                # same slice-collection mechanics: occurrences join by
+                # concatenation (== parse_into merge)
                 msg_chunks[idx] = []
                 seen[idx] = np.zeros(n, dtype=bool)
                 continue
             if klass == "map":
                 map_chunks[idx] = []
+                continue
+            if klass == "rep_msg":
+                repmsg_chunks[idx] = []
                 continue
             if klass == "repeated":
                 rep_chunks[idx] = []
@@ -530,7 +790,7 @@ def compile_wire_to_batch(
                     for s_idx in sibs:
                         seen[s_idx][mok] = False
                     cur = np.where(mok, body_end, cur)
-                elif klass == "nested":
+                elif klass in ("nested", "wkt", "rec"):
                     # LEN slice per occurrence; slices CONCATENATE at
                     # finalize (wire concatenation == parse_into merge)
                     ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
@@ -548,6 +808,23 @@ def compile_wire_to_batch(
                     for s_idx in sibs:
                         seen[s_idx][mok] = False
                     cur = np.where(mok, p2 + lni, cur)
+                elif klass == "rep_msg":
+                    # one standalone ITEM slice per occurrence (no
+                    # merge — h_rep_msg parses each into its own
+                    # Message); stable per-row order restored at
+                    # finalize like the scalar repeated chunks
+                    ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
+                    oob = np.zeros(n, dtype=bool)
+                    mok = m & ~verr
+                    lni = np.minimum(ln, np.uint64(1 << 62)).astype(np.int64)
+                    oob[mok] = p2[mok] + lni[mok] > rowend[mok]
+                    fail(m & (verr | oob), "truncated repeated message")
+                    mok = mok & ~oob
+                    idxs = np.flatnonzero(mok)
+                    repmsg_chunks[idx].append(
+                        (idxs, p2[idxs].copy(), lni[idxs].copy())
+                    )
+                    cur = np.where(mok, p2 + lni, cur)
                 elif klass == "map":
                     # one entry per occurrence: a bounded LEN slice the
                     # row path hands to parse_into (reads bounded by
@@ -556,6 +833,11 @@ def compile_wire_to_batch(
                     entry_mt = field.message
                     key_f = entry_mt.fields_by_number[1]
                     val_f = entry_mt.fields_by_number[2]
+                    val_is_msg = val_f.kind is Kind.MESSAGE
+                    # message values: per-entry slice PIECES in parse
+                    # order (concatenation == the entry parse's merge
+                    # across repeated value occurrences)
+                    v_pieces: list = []
                     ln, p2, verr = _read_varints_at(buf, cur, rowend, m)
                     oob = np.zeros(n, dtype=bool)
                     mok = m & ~verr
@@ -617,7 +899,21 @@ def compile_wire_to_batch(
                             tm = tact & (ttags == ttag)
                             tfn = int(ttag) >> 3
                             twt = int(ttag) & 7
-                            if tfn in (1, 2):
+                            if tfn == 2 and val_is_msg:
+                                # LEN slice mechanics via the string
+                                # reader; pieces accumulate per entry
+                                v2, st2, ln2, tp2, e2 = _read_sub(
+                                    Kind.STRING, tm, tcur
+                                )
+                                fail(tm & e2, "truncated map subfield")
+                                tmok = tm & ~e2
+                                mok &= ~e2
+                                tcur = np.where(tmok, tp2, tcur)
+                                pidx = np.flatnonzero(tmok)
+                                v_pieces.append(
+                                    (pidx, st2[pidx].copy(), ln2[pidx].copy())
+                                )
+                            elif tfn in (1, 2):
                                 fkind = key_f.kind if tfn == 1 else val_f.kind
                                 v2, st2, ln2, tp2, e2 = _read_sub(
                                     fkind, tm, tcur
@@ -657,6 +953,7 @@ def compile_wire_to_batch(
                             "k_ln": k_ln[idxs],
                             "v_st": v_st[idxs],
                             "v_ln": v_ln[idxs],
+                            "v_pieces": v_pieces,
                         }
                     )
                     cur = np.where(mok, body_end, cur)
@@ -776,6 +1073,43 @@ def compile_wire_to_batch(
 
         raw_bytes = buf.tobytes()  # one copy; python-bytes slicing is
         # far cheaper per cell than ndarray.tobytes()
+
+        def _subcell(col, i):
+            v = col.iloc[i] if isinstance(col, pd.Series) else col[i]
+            return None if v is pd.NaT else v
+
+        def _decode_msg_items(idx, bodies, item_rows):
+            """Flat message-item bodies -> python cell per item (tuple
+            for plain messages, scalar form for WKT items). A failed
+            item nulls its whole ROW — the row path's per-row
+            try/except wraps the full repeated/map handler."""
+            m = len(bodies)
+            sub_cols, sub_bad = sub_decoders[idx](bodies)
+            dead = np.zeros(m, dtype=bool)
+            if sub_bad is not None and sub_bad.any():
+                dead = sub_bad.astype(bool)
+                bad[item_rows[dead]] = True
+            wmt = item_wkt.get(idx)
+            if wmt is None:
+                return [
+                    None
+                    if dead[k]
+                    else tuple(_subcell(c, k) for c in sub_cols)
+                    for k in range(m)
+                ]
+            cells = _wkt_item_cells(wmt, sub_cols, m, ~dead, config)
+            out = []
+            for k in range(m):
+                v = cells[k]
+                if v is _WKT_CELL_ERROR and not dead[k]:
+                    # per-item conversion failure (datetime.date
+                    # ValueError) — the contracted error channel
+                    if not permissive:
+                        raise ValueError("invalid date components")
+                    bad[item_rows[k]] = True
+                    v = None
+                out.append(None if dead[k] else v)
+            return out
         str_cells: dict[int, list] = {}
         for idx, field in enumerate(fields):
             if (
@@ -923,16 +1257,70 @@ def compile_wire_to_batch(
                 )
 
             kv = _prep_side(entry_mt.fields_by_number[1], "k_u", "k_st", "k_ln")
-            vv = _prep_side(entry_mt.fields_by_number[2], "v_u", "v_st", "v_ln")
+            if idx in sub_decoders:
+                # message values: join each entry's value pieces (merge
+                # across repeated value occurrences inside one entry),
+                # then decode all entry values as one flat item batch
+                bodies_all: list = []
+                for c in chunks:
+                    rpos = {int(r): k for k, r in enumerate(c["rows"])}
+                    parts: list = [b""] * len(c["rows"])
+                    for pidx, sts, lns in c["v_pieces"]:
+                        for k in range(len(pidx)):
+                            j = rpos.get(int(pidx[k]))
+                            if j is None:
+                                continue  # piece of a row that later failed
+                            piece = raw_bytes[sts[k] : sts[k] + lns[k]]
+                            parts[j] = parts[j] + piece if parts[j] else piece
+                    bodies_all.extend(parts)
+                bodies_all = [bodies_all[k] for k in order]
+                vv = _decode_msg_items(idx, bodies_all, rows_s)
+            else:
+                vv = _prep_side(
+                    entry_mt.fields_by_number[2], "v_u", "v_st", "v_ln"
+                )
             map_ready[idx] = (rows_s, kv, vv)
+
+        # Pass 1c2: repeated messages — restore per-row item order
+        # (stable sort), decode every item body through the recursive
+        # batch decoder, one python cell per item.
+        repmsg_ready: dict[int, tuple] = {}
+        for number, (klass, field, idx, sibs) in plan.items():
+            if klass != "rep_msg":
+                continue
+            chunks = repmsg_chunks[idx]
+            rows_all = (
+                np.concatenate([c[0] for c in chunks])
+                if chunks
+                else np.zeros(0, dtype=np.int64)
+            )
+            order = np.argsort(rows_all, kind="stable")
+            rows_s = rows_all[order]
+            starts = (
+                np.concatenate([c[1] for c in chunks])[order]
+                if chunks
+                else rows_all
+            )
+            lens_ = (
+                np.concatenate([c[2] for c in chunks])[order]
+                if chunks
+                else rows_all
+            )
+            bodies = [
+                raw_bytes[starts[k] : starts[k] + lens_[k]]
+                for k in range(len(rows_s))
+            ]
+            repmsg_ready[idx] = (rows_s, _decode_msg_items(idx, bodies, rows_s))
 
         # Pass 1d: nested messages — join each row's body slices
         # (concatenation == merge) and recursively batch-decode; inner
         # parse failures grow ``bad`` exactly like the row path's
         # in-parse raise nulls the row.
         msg_ready: dict[int, tuple] = {}
+        wkt_ready: dict[int, tuple] = {}
+        rec_idx: set[int] = set()
         for number, (klass, field, idx, sibs) in plan.items():
-            if klass != "nested":
+            if klass not in ("nested", "wkt", "rec"):
                 continue
             sk = seen[idx]
             bodies: list = [b""] * n
@@ -942,16 +1330,38 @@ def compile_wire_to_batch(
                     if sk[i] and not bad[i]:
                         piece = raw_bytes[sts[k] : sts[k] + lns[k]]
                         bodies[i] = bodies[i] + piece if bodies[i] else piece
+            if klass == "rec":
+                # validation-only: the row path parses the recursive
+                # subtree (h_msg -> parse_into) then prunes it to ().
+                # Only call the (self-referential) validator when some
+                # body is non-empty — recursion then bottoms out at the
+                # DATA depth, like parse_into's nested parse.
+                if any(bodies):
+                    _, sub_bad = sub_decoders[idx](bodies)
+                    if sub_bad is not None and sub_bad.any():
+                        bad |= sub_bad
+                rec_idx.add(idx)
+                continue
             sub_cols, sub_bad = sub_decoders[idx](bodies)
             if sub_bad is not None and sub_bad.any():
                 bad |= sub_bad
-            msg_ready[idx] = sub_cols
+            if klass == "nested":
+                msg_ready[idx] = sub_cols
+            else:  # wkt: combine sub-columns into the scalar cell form
+                live = sk & ~bad
+                form, payload = _wkt_values(
+                    item_wkt[idx], sub_cols, n, live, config
+                )
+                if form == "list":
+                    for i2 in np.flatnonzero(live):
+                        if payload[i2] is _WKT_CELL_ERROR:
+                            if not permissive:
+                                raise ValueError("invalid date components")
+                            bad[i2] = True
+                            payload[i2] = None
+                wkt_ready[idx] = (form, payload)
 
         columns: list = []
-
-        def _subcell(col, i):
-            v = col.iloc[i] if isinstance(col, pd.Series) else col[i]
-            return None if v is pd.NaT else v
 
         for idx, field in enumerate(fields):
             kind = field.kind
@@ -964,6 +1374,55 @@ def compile_wire_to_batch(
                     else tuple(_subcell(c, i) for c in sub_cols)
                     for i in range(n)
                 ]
+                columns.append(out)
+                continue
+            if idx in rec_idx:
+                # parsed-and-pruned recursive subtree: () when present
+                sk = seen[idx]
+                columns.append(
+                    [
+                        None if (not sk[i] or bad[i]) else ()
+                        for i in range(n)
+                    ]
+                )
+                continue
+            if idx in wkt_ready:
+                form, payload = wkt_ready[idx]
+                sk = seen[idx]
+                mask = ~sk | bad
+                if form == "obj":
+                    col = payload.astype(object)
+                    col[mask] = None
+                    columns.append(col)
+                elif form == "td64us":
+                    arr = payload.astype("timedelta64[us]")
+                    if mask.any():
+                        arr[mask] = np.timedelta64("NaT")
+                    columns.append(pd.Series(arr))
+                elif form == "empty":
+                    columns.append(
+                        [None if mask[i] else () for i in range(n)]
+                    )
+                elif form == "list":
+                    columns.append(
+                        [None if mask[i] else payload[i] for i in range(n)]
+                    )
+                else:  # "col": wrapper value pass-through
+                    if isinstance(payload, np.ndarray):
+                        col = payload.astype(object)
+                    else:
+                        col = np.empty(len(payload), dtype=object)
+                        col[:] = payload
+                    col[mask] = None
+                    columns.append(col)
+                continue
+            if idx in repmsg_ready:
+                rows_s, cells = repmsg_ready[idx]
+                out = [None if bad[i] else [] for i in range(n)]
+                for k in range(len(rows_s)):
+                    cell = out[rows_s[k]]
+                    if cell is not None:
+                        cell.append(cells[k])
                 columns.append(out)
                 continue
             if field.is_map:

@@ -316,7 +316,7 @@ def test_corrupt_bytes_strict_raises_like_row_path():
 
 
 def test_unsupported_shapes_return_none():
-    # repeated SCALARS decode vectorized since r9; repeated messages not
+    # repeated SCALARS decode vectorized since r9; repeated messages r10
     rep = MessageType("vd.R", (Field("xs", 1, Kind.INT64, repeated=True),))
     assert compile_wire_to_batch(rep, CFG) is not None
     rep_msg = MessageType(
@@ -331,7 +331,12 @@ def test_unsupported_shapes_return_none():
             ),
         ),
     )
-    assert compile_wire_to_batch(rep_msg, CFG) is None
+    assert compile_wire_to_batch(rep_msg, CFG) is not None
+    # recursive-typed repeated items are the one remaining row-path shape
+    from protarrow_spark.proto.fixtures import recursive_message_type
+
+    skip_cfg = ProtarrowSparkConfig(skip_recursive_messages=True)
+    assert compile_wire_to_batch(recursive_message_type(), skip_cfg) is None
     # oneofs decode vectorized since r9 (sibling clearing)
     oneof = MessageType(
         "vd.O2",
