@@ -187,6 +187,10 @@ HEADLINE = [
     "conv_roundtrip_map",
     # value-exact k-means population readout (r9)
     "cluster_kmeans_assign_counts",
+    # well-known types through the vectorized codec (r10)
+    "conv_roundtrip_wkt",
+    # repeated messages + message-valued maps through the codec (r10)
+    "conv_roundtrip_nested_repeated",
 ]
 
 

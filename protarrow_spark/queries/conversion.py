@@ -28,8 +28,13 @@ from protarrow_spark.conversion.distributed import proto_roundtrip
 from protarrow_spark.proto.fixtures import COLOR
 from protarrow_spark.proto.message import Message
 from protarrow_spark.proto.model import (
+    BOOL_VALUE,
     DATE,
+    DOUBLE_VALUE,
+    DURATION,
+    INT64_VALUE,
     STRING_VALUE,
+    TIME_OF_DAY,
     TIMESTAMP,
     Field,
     Kind,
@@ -182,7 +187,8 @@ def conv_roundtrip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Events collapse to one message per user holding sorted arrays of
     ids/values/types; the encode half takes the r9 vectorized repeated
     path (conversion/vectorized.py ``_prepare_repeated``), the decode
-    half the compiled row reader (repeated shapes keep the row path).
+    half the r9 transposed packed/expanded batch reader
+    (conversion/vectorized_decode.py).
     The readout re-expands the arrays: exact integer aggregates of the
     decoded int/string arrays per user plus every decoded double
     re-exploded positionally, so a single wrong byte in any packed
@@ -694,4 +700,222 @@ def conv_encode_error_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dead"),
         F.sum("code").cast("long").alias("sum_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conv_roundtrip_wkt — well-known types through the codec (r10)
+# ---------------------------------------------------------------------------
+
+WKT_EVENT_MT = MessageType(
+    "protarrow_spark.events.WktEvent",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("dur_ns", 2, Kind.MESSAGE, message=DURATION),
+        Field("day", 3, Kind.MESSAGE, message=DATE),
+        Field("tod_ns", 4, Kind.MESSAGE, message=TIME_OF_DAY),
+        Field("val", 5, Kind.MESSAGE, message=DOUBLE_VALUE),
+        Field("uid", 6, Kind.MESSAGE, message=INT64_VALUE),
+        Field("label", 7, Kind.MESSAGE, message=STRING_VALUE),
+        Field("flag", 8, Kind.MESSAGE, message=BOOL_VALUE),
+    ),
+)
+
+
+@query(
+    "conv_roundtrip_wkt",
+    oracle="""
+SELECT event_id,
+       (epoch_us(ts) % 1000000000 - 500000000) * 1000 AS dur_ns,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       (epoch_us(ts) % 86400000000) * 1000 AS tod_ns,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            WHEN event_id % 11 = 0 THEN 0.0
+            ELSE value END AS val,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS uid,
+       CASE WHEN event_id % 13 = 0 THEN ''
+            WHEN event_id % 3 = 0 THEN NULL
+            ELSE event_type END AS label,
+       value > 0 AS flag
+FROM events
+""",
+)
+def conv_roundtrip_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wire round-trip of a message built from WELL-KNOWN
+    TYPES: google.protobuf.Duration (negative values exercise the
+    shared-sign normalization), google.type.Date, google.type.TimeOfDay
+    (nanos-of-day), and the Double/Int64/String/Bool wrapper messages —
+    including null-vs-present-default wrapper rows (a present 0.0 / ""
+    emits tag + len 0 on the wire, an absent field emits nothing; the
+    presence distinction wrappers exist for).
+
+    Both codec halves take the r10 vectorized WKT paths
+    (conversion/vectorized.py ``_prepare_wkt`` + ``_wkt_sub_columns``,
+    conversion/vectorized_decode.py ``_wkt_values``; reference wrapper
+    converters: ``arrow_to_proto.py:165-175``). Duration rides the
+    ``long_nanos`` config so both engines compare exact BIGINTs.
+
+    Scale: two zero-shuffle Arrow-batched mapInPandas stages over the
+    fact table — identical topology to conv_roundtrip_events.
+    """
+    from protarrow_spark.functions.time import epoch_micros
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        ((epoch_micros("ts") % 1_000_000_000 - 500_000_000) * 1_000).alias(
+            "dur_ns"
+        ),
+        F.to_date("ts").alias("day"),
+        ((epoch_micros("ts") % 86_400_000_000) * 1_000).alias("tod_ns"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .when(F.col("event_id") % 11 == 0, F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("val"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(""))
+        .when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("label"),
+        (F.col("value") > 0).alias("flag"),
+    )
+    cores = spark.sparkContext.defaultParallelism
+    if len(ev.inputFiles()) < cores:
+        ev = ev.repartition(cores)
+    cfg = ProtarrowSparkConfig(duration_type="long_nanos")
+    out = proto_roundtrip(ev, WKT_EVENT_MT, cfg)
+    return out.select(
+        "event_id",
+        "dur_ns",
+        # decoded google.type.Date -> DateType; rendered as a string
+        # because pandas fetches DuckDB DATE as datetime64 (midnight
+        # timestamps), which would repr-skew an otherwise equal value
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "tod_ns",
+        "val",
+        "uid",
+        "label",
+        "flag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# conv_roundtrip_nested_repeated — repeated messages + message maps (r10)
+# ---------------------------------------------------------------------------
+
+EVENT_ITEM_MT = MessageType(
+    "protarrow_spark.events.EventItem",
+    (
+        Field("event_id", 1, Kind.INT64),
+        Field("etype", 2, Kind.STRING),
+        Field("micros", 3, Kind.INT64),
+    ),
+)
+TYPE_STAT_MT = MessageType(
+    "protarrow_spark.events.TypeStat",
+    (
+        Field("cnt", 1, Kind.INT64),
+        Field("micros", 2, Kind.INT64),
+    ),
+)
+USER_EVENT_LIST_MT = MessageType(
+    "protarrow_spark.events.UserEventList",
+    (
+        Field("user_id", 1, Kind.INT64),
+        Field("items", 2, Kind.MESSAGE, repeated=True, message=EVENT_ITEM_MT),
+        map_field(
+            "by_type", 3, Kind.STRING, Kind.MESSAGE, value_message=TYPE_STAT_MT
+        ),
+    ),
+)
+
+
+@query(
+    "conv_roundtrip_nested_repeated",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS micros
+  FROM events
+),
+agg AS (
+  SELECT user_id, event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(micros) AS BIGINT) AS tmicros
+  FROM base GROUP BY user_id, event_type
+),
+it AS (
+  SELECT user_id, event_id, event_type, micros,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY event_id, event_type, micros
+         ) - 1 AS BIGINT) AS pos
+  FROM base
+)
+SELECT it.user_id, it.pos, it.event_id, it.event_type AS etype, it.micros,
+       a.cnt, a.tmicros
+FROM it JOIN agg a
+  ON it.user_id = a.user_id AND it.event_type = a.event_type
+""",
+)
+def conv_roundtrip_nested_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed wire round-trip of REPEATED MESSAGE items plus a
+    MESSAGE-VALUED MAP: per user, the full event list rides as repeated
+    ``EventItem`` submessages (one LEN frame per item, the reference's
+    repeated-message walk ``arrow_to_proto.py:588-605``) and per-type
+    stats ride as ``map<string, TypeStat>`` entries whose value side is
+    itself a framed submessage (always emitted, even when all-default).
+
+    Both codec halves take the r10 vectorized paths
+    (``_prepare_repeated_msg`` / ``_msg_value_side_parts`` on encode,
+    the item-slice batch decode on the other half). The readout
+    re-explodes the decoded item structs positionally and joins each
+    item to its decoded map entry, so a wrong item frame, item-order
+    scramble, entry merge bug, or struct-field mix-up fails the hash.
+
+    Scale: one groupBy shuffle to form the per-user messages, then two
+    zero-shuffle Arrow-batched mapInPandas stages.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(27,6)") * 1000000)
+        .cast("long")
+        .alias("micros"),
+    )
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("micros").alias("micros")
+    )
+    grp = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", F.col("event_type").alias("etype"), "micros"))
+        ).alias("items")
+    ).join(
+        per_type.groupBy("user_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct("event_type", F.struct("cnt", "micros"))
+                )
+            ).alias("by_type")
+        ),
+        "user_id",
+    )
+    rt = proto_roundtrip(grp, USER_EVENT_LIST_MT, ProtarrowSparkConfig())
+    out = rt.select(
+        "user_id",
+        "by_type",
+        F.posexplode("items").alias("pos", "item"),
+    ).select(
+        "user_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("item.event_id").alias("event_id"),
+        F.col("item.etype").alias("etype"),
+        F.col("item.micros").alias("micros"),
+        F.element_at("by_type", F.col("item.etype")).alias("stat"),
+    )
+    return out.select(
+        "user_id", "pos", "event_id", "etype", "micros",
+        F.col("stat.cnt").alias("cnt"),
+        F.col("stat.micros").alias("tmicros"),
     )

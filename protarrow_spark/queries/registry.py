@@ -103,85 +103,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # ROUND-9 ROTATION: the 35 queries NEVER driver-graded in r1-r8
-    # (set computed as registry minus the union of CORRECTNESS_r01-r08
-    # keys) take the first 35 slots — after this round CUMULATIVE
-    # driver coverage reaches 100% of the registry. The remaining
-    # slots go to r9 births (graded in their birth round, per the r7/r8
-    # convention) and to anchors on the surfaces r9 code touches
-    # (vectorized codec, permissive encode/decode, multimodal
-    # fixtures). Rotated-out queries stay oracle-verified every pytest
-    # run via tests/test_oracle_parity.py. Rehearsed green at sf0.01
-    # via tools/gate_rehearsal.py before commit.
-    # -- the 12 never-graded TPC-H shapes
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_part_suppliers",
-    "q22_dormant_balance",
-    # -- never-graded relational / SQL-entry shapes
-    "sql_revenue_by_nation",
-    "agg_time_rollup",
-    "agg_variance_exact",
-    "unpivot_order_amounts",
-    "window_ntile_bins",
-    # -- never-graded sampling / ordering / packing
-    "sample_hash_lineitem",
-    "sample_weighted_mix",
-    "sample_temperature_mix",
-    "order_length_buckets",
-    "order_curriculum_interleave",
-    "pairgen_contrastive_negatives",
-    # -- never-graded text / reporting / DQ
-    "text_boilerplate_ngrams",
-    "report_shard_manifest",
-    "report_source_quality",
-    "dq_k_anonymity",
-    "dq_freshness_lag",
-    # -- never-graded embeddings / sketches
-    "embed_pca_top1",
-    "sketch_quantile_bottomk",
-    # -- never-graded multimodal codecs (GIF, G.711 u-law)
-    "mm_image_features_gif",
-    "mm_audio_windows_ulaw",
-    # -- never-graded streaming
-    "stream_sliding_value",
-    "stream_dedup_keys",
-    "stream_freshness_lag",
-    # ---- end of the 35; cumulative coverage is 100% from here ----
-    # -- ROUND-9 BIRTHS (graded in their birth round)
+    # ROUND-10 ROTATION. Cumulative driver coverage reached 100% in
+    # r9, so from r10 the window is: (1) this round's BIRTHS (graded
+    # in their birth round, the standing convention), (2) anchors on
+    # the surfaces r10 code touched — the vectorized wire codec gained
+    # its final quarter (WKTs, repeated messages, message-valued maps,
+    # recursive types) in BOTH halves, so every conv_* query re-grades;
+    # the JPEG ns=0 fuzz fix + the blob-fixture cache-version change
+    # touch the jpeg decode queries — and (3) the 35 LONGEST-UNGRADED
+    # queries (last driver grade r2-r4), rotating staleness out.
+    # Rotated-out queries stay oracle-verified every pytest run via
+    # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
+    # tools/gate_rehearsal.py before commit.
+    # -- ROUND-10 BIRTHS
+    "conv_roundtrip_wkt",
+    "conv_roundtrip_nested_repeated",
+    # -- codec anchors: both vectorized halves rewritten this round
+    "conv_roundtrip_events",
     "conv_roundtrip_repeated",
     "conv_roundtrip_map",
-    "cluster_kmeans_assign_counts",
-    # -- anchors on r9-touched surfaces: the vectorized wire codec
-    #    gained a batch DECODE half + repeated/packed encode and the
-    #    FIXED32 range fix (ADVICE r8 high); permissive twins and the
-    #    roundtrip run through the changed paths, so re-grade them
-    "conv_roundtrip_events",
+    "conv_oneof_roundtrip",
     "conv_encode_error_tolerance",
     "conv_decode_corrupt_tolerance",
-    "conv_cast_conform",
-    "conv_oneof_roundtrip",
-    "conv_descset_roundtrip",
-    # -- multimodal fixture pre-materialization changes this query's
-    #    measured path (decode-only); re-grade in the same round
+    "conv_encode_fixture",
+    # -- jpeg anchors: ns=0 validation + fixture-cache version token
+    "mm_image_features_jpeg",
+    "mm_image_features_jpeg_color",
     "mm_image_features_jpeg_progressive",
-    "mm_image_features_png_adam7",
-    # -- kmeans oracle hardening touches the cluster family
-    "cluster_kmeans_embeddings",
-    # -- flagship + the two heaviest sweep queries as drift sentinels
-    "pipeline_training_corpus",
-    "dedup_threshold_sweep_sampled",
-    "dedup_semdedup_bounded",
-    # (stream_quantile_bottomk rotated out for the conv_roundtrip_map
-    # birth: it was driver-graded green in r8, its birth round)
+    "mm_thumbnail_jpeg",
+    # -- longest-ungraded rotation (last graded r2)
+    "subquery_above_avg_parts",
+    # -- longest-ungraded rotation (last graded r3)
+    "agg_cube_orders",
+    "agg_distinct_users",
+    "agg_rollup_flags",
+    "ann_lsh_bucketed_topk",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "join_anti_dormant_customers",
+    "join_left_outer_order_items",
+    "join_semi_active_customers",
+    "mm_audio_windows",
+    "mm_blob_metadata",
+    "mm_frame_sample",
+    "mm_resize_nearest",
+    "scalar_string_date_funcs",
+    "set_except_nations",
+    "set_intersect_segments",
+    "text_fingerprints",
+    "text_language_id",
+    "text_stats",
+    "text_tf_scores",
+    "text_token_bpe",
+    "window_lag_delta",
+    "window_running_revenue",
+    # -- longest-ungraded rotation (last graded r4)
+    "agg_grouping_sets",
+    "agg_percentile_disc",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_hamming",
+    "join_broadcast_brand_revenue",
+    "join_range_bucketed",
+    "pivot_event_matrix",
+    "q3_shipping_priority",
 ]
 
 
