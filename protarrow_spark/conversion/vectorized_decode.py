@@ -405,9 +405,21 @@ def _wkt_item_cells(mtype, sub_cols, m, item_live, config):
     if form == "obj":
         return list(payload)
     if form == "dt64us":
-        return list(pd.to_datetime(payload, unit="us", utc=True))
+        # direct datetime construction, NOT pd.to_datetime: pandas
+        # converts through ns resolution, which overflows for
+        # valid-but-far (year > 2262) values the row path's
+        # epoch + timedelta arithmetic handles; the _DT_US guards in
+        # _wkt_values already bound these microseconds to datetime's
+        # own range, so this can never raise
+        ep = _datetime.datetime(1970, 1, 1, tzinfo=_datetime.timezone.utc)
+        return [
+            ep + _datetime.timedelta(microseconds=int(x)) for x in payload
+        ]
     if form == "td64us":
-        return list(pd.to_timedelta(payload, unit="us"))
+        # same ns-overflow hazard: int64 microseconds always fit
+        # datetime.timedelta (bound ~8.6e19 us) but not timedelta64[ns]
+        # (~9.2e15 us) — construct the row path's objects directly
+        return [_datetime.timedelta(microseconds=int(x)) for x in payload]
     if form == "empty":
         return [()] * m
     if form == "list":

@@ -548,3 +548,26 @@ def test_property_arbitrary_bytes_equivalent_wkt(blobs):
     survivors match value-for-value."""
     for mt in (WKT_MT, REP_MT, MAP_MT):
         _assert_corrupt_parity(mt, blobs)
+
+
+def test_large_valid_duration_map_value_no_ns_overflow():
+    """Deep-fuzz regression (r10): a Duration map value of ~-1.6e6 days
+    is a VALID datetime.timedelta but overflows timedelta64[ns]; the
+    item-context conversion must construct timedelta objects directly
+    instead of routing through pandas' ns resolution."""
+    big = dt.timedelta(microseconds=-137_438_953_509_000_000)
+    enc = compile_row_to_wire(MAP_MT, CFG)
+    w = enc(({}, {1: big}))
+    _assert_identical(MAP_MT, [w])
+    dr = compile_wire_to_row(MAP_MT, CFG)
+    assert dr(w)[1] == {1: big}
+
+
+def test_far_future_timestamp_item_no_ns_overflow():
+    """Same hazard for repeated Timestamp items: year 5000 is valid for
+    the row path's epoch+timedelta arithmetic but beyond
+    datetime64[ns]; item cells must not route through pd.to_datetime."""
+    far = dt.datetime(5000, 1, 1, tzinfo=UTC)
+    enc = compile_row_to_wire(REP_MT, CFG)
+    w = enc(([], [far], 1))
+    _assert_identical(REP_MT, [w])
