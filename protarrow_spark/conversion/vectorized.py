@@ -968,8 +968,16 @@ def _prepare_wkt(field, cells, n, config, sub_encode, bad):
     whose serialize() skips default-valued subfields — the recursive
     batch encode does the identical default skipping."""
     import numpy as np
+    import pandas as pd
 
-    null = _null_mask_cells(cells, n)
+    if isinstance(cells, pd.Series) and cells.dtype != object:
+        # numeric/bool/datetime64/timedelta64 wrapper columns — the hot
+        # telemetry case: vectorized NaN/NaT detection instead of the
+        # per-cell loop (object cells — dates, structs — keep the loop,
+        # which matches the row path's _is_null exactly)
+        null = pd.isna(cells).to_numpy(dtype=bool)
+    else:
+        null = _null_mask_cells(cells, n)
     if field.message.full_name == EMPTY.full_name:
         payloads = [b""] * n
         return _frame_len_bodies(field, payloads, null, n)
