@@ -29,9 +29,12 @@ sub-columns and recursed), REPEATED MESSAGE fields (items flatten
 row-major, one LEN frame per item), MESSAGE-VALUED MAPS (raw values
 dedup by key, then per-entry LEN frames), and RECURSIVE types under
 ``skip_recursive_messages`` (non-null cells emit tag + len 0, the row
-converter's empty-Message serialization). Remaining row-path-only:
-recursive-typed repeated items / map values (rare; the row path
-applies the skip/raise policy). Runtime surprises (unexpected dtypes)
+converter's empty-Message serialization — repeated recursive items
+and recursive map values emit empty bodies the same way, None cells
+included, since the row converter ignores the cell). With that, every
+shape the row path supports in skip mode encodes vectorized; only
+raise-mode recursion returns None (the row path raises at compile).
+Runtime surprises (unexpected dtypes)
 raise :class:`Unvectorizable` and the caller falls back per batch —
 the row path stays the semantics oracle.
 
@@ -431,6 +434,11 @@ def _prepare_map(field, cells, n, config, bad, msg_val=None):
     key_dec = _scalar_decoder(key_f, config)
     if msg_val is None:
         val_dec = _scalar_decoder(val_f, config)
+    elif msg_val[1] == "rec":
+        # recursive-typed values: the row converter ignores the cell
+        # (every value — even None — becomes an empty body)
+        def val_dec(v):
+            return v
     else:
         # message values stay RAW through the key-dedup (conversion is
         # the batch encode below); a None value fails its row like the
@@ -471,9 +479,9 @@ def _prepare_map(field, cells, n, config, bad, msg_val=None):
     if msg_val is None:
         vparts = _side_parts(val_f, flat_v, row_of, bad)
     else:
-        sub_encode, is_wkt = msg_val
+        sub_encode, ikind = msg_val
         vparts = _msg_value_side_parts(
-            val_f, flat_v, row_of, config, sub_encode, is_wkt, bad
+            val_f, flat_v, row_of, config, sub_encode, ikind, bad
         )
     body_len = kparts["contrib"] + vparts["contrib"]
     blen_u = body_len.view(np.uint64)
@@ -1015,14 +1023,18 @@ def _split_message_items(sub_mt, items, m, config):
     return sub_cols
 
 
-def _item_payloads(sub_mt, items, m, config, sub_encode, wkt):
-    """Flattened message items -> wire bodies. ``wkt`` selects the
-    scalar-cell splitter; plain messages struct-split. Returns
-    (payloads, item_bad) where item_bad marks items whose encode was
-    nulled by a permissive sub-encoder."""
+def _item_payloads(sub_mt, items, m, config, sub_encode, kind):
+    """Flattened message items -> wire bodies. ``kind``: "wkt" routes
+    through the scalar-cell splitter, "plain" struct-splits, "rec"
+    (recursive-typed items, skip mode) emits empty bodies — the row
+    converter ignores the cell. Returns (payloads, item_bad) where
+    item_bad marks items whose encode was nulled by a permissive
+    sub-encoder."""
     import numpy as np
 
-    if wkt:
+    if kind == "rec":
+        return [b""] * m, np.zeros(m, dtype=bool)
+    if kind == "wkt":
         null = np.zeros(m, dtype=bool)  # items are non-null by contract
         if sub_mt.full_name == EMPTY.full_name:
             return [b""] * m, np.zeros(m, dtype=bool)
@@ -1041,13 +1053,15 @@ def _item_payloads(sub_mt, items, m, config, sub_encode, wkt):
     return fixed, item_bad
 
 
-def _prepare_repeated_msg(field, cells, n, config, sub_encode, wkt, bad):
-    """Precompute one repeated MESSAGE field (plain nested or WKT
-    items): flatten items row-major, batch-encode the bodies, frame one
-    tag + len + payload per item (messages never pack), reusing the
-    expanded rep_len layout. A None item or a contract-violating item
-    fails its whole ROW (the row path's per-row try/except wraps the
-    full ``[dec(x) for x in v]`` list comprehension)."""
+def _prepare_repeated_msg(field, cells, n, config, sub_encode, kind, bad):
+    """Precompute one repeated MESSAGE field (plain nested, WKT, or
+    recursive items): flatten items row-major, batch-encode the bodies,
+    frame one tag + len + payload per item (messages never pack),
+    reusing the expanded rep_len layout. A None item or a
+    contract-violating item fails its whole ROW (the row path's
+    per-row try/except wraps the full ``[dec(x) for x in v]`` list
+    comprehension) — EXCEPT recursive items, whose row converter
+    ignores the cell (even None encodes as an empty body)."""
     import numpy as np
 
     perm = bad is not None
@@ -1059,7 +1073,7 @@ def _prepare_repeated_msg(field, cells, n, config, sub_encode, wkt, bad):
             null[i] = True
             continue
         items = list(c)
-        if any(
+        if kind != "rec" and any(
             x is None or (isinstance(x, float) and x != x) for x in items
         ):
             # row path: dec(None) raises TypeError (struct get / int())
@@ -1072,7 +1086,7 @@ def _prepare_repeated_msg(field, cells, n, config, sub_encode, wkt, bad):
         counts[i] = len(items)
     m = len(flat)
     payloads, item_bad = _item_payloads(
-        field.message, flat, m, config, sub_encode, wkt
+        field.message, flat, m, config, sub_encode, kind
     )
     row_of = np.repeat(np.arange(n), counts)
     if item_bad.any():
@@ -1099,7 +1113,7 @@ def _prepare_repeated_msg(field, cells, n, config, sub_encode, wkt, bad):
     return rt, flen
 
 
-def _msg_value_side_parts(val_f, flat, row_of, config, sub_encode, wkt, bad):
+def _msg_value_side_parts(val_f, flat, row_of, config, sub_encode, kind, bad):
     """Map VALUE side for message-valued maps: one LEN frame per entry,
     never skipped (``_write_field_single`` always emits message values,
     even empty bodies — unlike scalar sides' emit_default=False)."""
@@ -1107,7 +1121,7 @@ def _msg_value_side_parts(val_f, flat, row_of, config, sub_encode, wkt, bad):
 
     m = len(flat)
     payloads, item_bad = _item_payloads(
-        val_f.message, flat, m, config, sub_encode, wkt
+        val_f.message, flat, m, config, sub_encode, kind
     )
     if item_bad.any():
         if bad is None:  # pragma: no cover — strict sub-encode raises
@@ -1154,18 +1168,24 @@ def compile_batch_to_wire(
     item_encoders: dict[int, tuple] = {}
 
     def _msg_item_encoder(sub_mt: MessageType) -> tuple | None:
-        """(sub_encode, is_wkt) for message items/values of ``sub_mt``
-        (repeated items, map values), or None when the shape must keep
-        the row path (recursive item types)."""
+        """(sub_encode, kind) for message items/values of ``sub_mt``
+        (repeated items, map values); kind is "plain" | "wkt" | "rec".
+        "rec" (r10): recursive-typed items under skip_recursive_messages
+        — the row converter is ``lambda row: Message(mtype)`` which
+        ignores the cell entirely, so EVERY item (even None) emits an
+        empty body. None when the shape must keep the row path
+        (raise-mode recursion)."""
         if sub_mt.full_name in trace:
-            return None  # recursive-typed items keep the row path
+            if not config.skip_recursive_messages:
+                return None  # row path raises TypeError at compile
+            return (None, "rec")
         if sub_mt.full_name in _SPLITTABLE_WKTS:
             if sub_mt.full_name == EMPTY.full_name:
-                return (None, True)  # bodies are b"" — no sub-encode
+                return (None, "wkt")  # bodies are b"" — no sub-encode
             sub = compile_batch_to_wire(sub_mt, config, permissive, trace)
-            return None if sub is None else (sub, True)
+            return None if sub is None else (sub, "wkt")
         sub = compile_batch_to_wire(sub_mt, config, permissive, trace)
-        return None if sub is None else (sub, False)
+        return None if sub is None else (sub, "plain")
 
     for field in mtype.fields_number_order:
         if field.is_map:
@@ -1300,10 +1320,10 @@ def compile_batch_to_wire(
                 continue
 
             if klass == "rep_msg":
-                sub, is_wkt = item_encoders[idx]
+                sub, ikind = item_encoders[idx]
                 rt, flen = _prepare_repeated_msg(
                     field, s.to_numpy(dtype=object), n, config, sub,
-                    is_wkt, bad,
+                    ikind, bad,
                 )
                 rt["flen"] = flen
                 total_len += flen

@@ -40,8 +40,11 @@ standalone item slice per occurrence, decoded as a flat item batch),
 MESSAGE-VALUED MAPS (value slices merge per entry by concatenation),
 and RECURSIVE types under ``skip_recursive_messages`` (a late-bound
 strict validator parses the subtree for error parity, then prunes to
-``()`` like the row converter). Remaining row-path-only: recursive-
-typed repeated items / map values. Runtime surprises (wire values
+``()`` like the row converter — repeated recursive items and
+recursive map values route through the same validator). With that,
+every shape the row path supports in skip mode decodes vectorized;
+only raise-mode recursion returns None (the row path raises at
+compile). Runtime surprises (wire values
 outside the shapes the numpy dtypes can mirror exactly, e.g. >=2^63
 varints in a uint32 field from corrupt bytes) raise
 :class:`Unvectorizable` and the caller falls back per batch — the row
@@ -520,7 +523,17 @@ def compile_wire_to_batch(
             if val_f.kind is Kind.MESSAGE:
                 sub_name = val_f.message.full_name
                 if sub_name in trace:
-                    return None  # recursive-typed values keep the row path
+                    # recursive-typed values (r10): validate each entry
+                    # value via the strict validator, prune to ()
+                    if not config.skip_recursive_messages:
+                        return None
+                    validator = _strict_validator(val_f.message)
+                    if validator is None:
+                        return None
+                    sub_decoders[idx] = validator
+                    item_wkt[idx] = "rec"
+                    plan[field.number] = ("map", field, idx, ())
+                    continue
                 sub = compile_wire_to_batch(
                     val_f.message, config, permissive, trace, registry
                 )
@@ -546,7 +559,17 @@ def compile_wire_to_batch(
             if field.kind is Kind.MESSAGE:
                 sub_name = field.message.full_name
                 if sub_name in trace:
-                    return None
+                    # recursive-typed items (r10): each occurrence
+                    # validates via the strict validator, prunes to ()
+                    if not config.skip_recursive_messages:
+                        return None
+                    validator = _strict_validator(field.message)
+                    if validator is None:
+                        return None
+                    sub_decoders[idx] = validator
+                    item_wkt[idx] = "rec"
+                    plan[field.number] = ("rep_msg", field, idx, ())
+                    continue
                 sub = compile_wire_to_batch(
                     field.message, config, permissive, trace, registry
                 )
@@ -1096,12 +1119,18 @@ def compile_wire_to_batch(
             item nulls its whole ROW — the row path's per-row
             try/except wraps the full repeated/map handler."""
             m = len(bodies)
+            if m == 0:
+                return []
             sub_cols, sub_bad = sub_decoders[idx](bodies)
             dead = np.zeros(m, dtype=bool)
             if sub_bad is not None and sub_bad.any():
                 dead = sub_bad.astype(bool)
                 bad[item_rows[dead]] = True
             wmt = item_wkt.get(idx)
+            if wmt == "rec":
+                # validated then pruned: the row converter maps every
+                # parsed recursive item/value to the empty struct
+                return [None if dead[k] else () for k in range(m)]
             if wmt is None:
                 return [
                     None

@@ -332,11 +332,13 @@ def test_unsupported_shapes_return_none():
         ),
     )
     assert compile_wire_to_batch(rep_msg, CFG) is not None
-    # recursive-typed repeated items are the one remaining row-path shape
+    # recursive shapes (incl. repeated recursive items) vectorize in
+    # skip mode since r10; raise mode keeps the row path (which raises)
     from protarrow_spark.proto.fixtures import recursive_message_type
 
     skip_cfg = ProtarrowSparkConfig(skip_recursive_messages=True)
-    assert compile_wire_to_batch(recursive_message_type(), skip_cfg) is None
+    assert compile_wire_to_batch(recursive_message_type(), skip_cfg) is not None
+    assert compile_wire_to_batch(recursive_message_type(), CFG) is None
     # oneofs decode vectorized since r9 (sibling clearing)
     oneof = MessageType(
         "vd.O2",

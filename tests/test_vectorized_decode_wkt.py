@@ -571,3 +571,53 @@ def test_far_future_timestamp_item_no_ns_overflow():
     enc = compile_row_to_wire(REP_MT, CFG)
     w = enc(([], [far], 1))
     _assert_identical(REP_MT, [w])
+
+
+def test_repeated_recursive_items_decode_vectorized():
+    """r10: repeated recursive items — each occurrence validates via
+    the strict validator and prunes to (), matching h_rep_msg +
+    row_builder's recursion lambda."""
+    from protarrow_spark.proto.fixtures import recursive_message_type
+
+    rec = recursive_message_type()
+    enc = compile_row_to_wire(rec, SKIP_CFG)
+    wires = [
+        enc(("a", (), [(), ()])),
+        enc(("", None, [])),
+        enc(("b", ("x",), [(), (), ()])),
+        b"",
+    ]
+    _assert_identical(rec, wires, SKIP_CFG)
+    assert compile_wire_to_batch(rec, CFG) is None  # raise mode
+
+
+def test_map_recursive_values_decode_vectorized():
+    rec = MessageType("vdw.H", ())
+    rec.fields = (
+        map_field("m", 1, Kind.STRING, Kind.MESSAGE, value_message=rec),
+    )
+    enc = compile_row_to_wire(rec, SKIP_CFG)
+    wires = [enc(({"a": (), "b": ()},)), enc(({},)), b""]
+    _assert_identical(rec, wires, SKIP_CFG)
+    assert compile_wire_to_batch(rec, CFG) is None
+
+
+@pytest.mark.parametrize("seed", [840, 841, 842])
+def test_repeated_recursive_decode_corrupt_permissive(seed):
+    from protarrow_spark.proto.fixtures import recursive_message_type
+
+    rec = recursive_message_type()
+    enc = compile_row_to_wire(rec, SKIP_CFG)
+    rng = np.random.default_rng(seed)
+    base = [
+        enc(
+            (
+                f"n{i}",
+                () if rng.random() < 0.5 else None,
+                [()] * int(rng.integers(0, 4)),
+            )
+        )
+        for i in range(200)
+    ]
+    wires = _mutate(base, seed) + [b"\x1a\x02\x0a", b"\x1a\x01\xff"]
+    _assert_corrupt_parity(rec, wires, SKIP_CFG)

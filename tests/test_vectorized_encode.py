@@ -273,12 +273,14 @@ def test_unsupported_shapes_return_none():
         ),
     )
     assert compile_batch_to_wire(rep_msg, CFG) is not None
-    # recursive-typed repeated items are the one remaining row-path shape
+    # recursive shapes (incl. repeated recursive items) vectorize in
+    # skip mode since r10; raise mode keeps the row path (which raises)
     from protarrow_spark.proto.fixtures import recursive_message_type
 
     rec = recursive_message_type()
     skip_cfg = ProtarrowSparkConfig(skip_recursive_messages=True)
-    assert compile_batch_to_wire(rec, skip_cfg) is None
+    assert compile_batch_to_wire(rec, skip_cfg) is not None
+    assert compile_batch_to_wire(rec, CFG) is None
 
 
 def test_distributed_encode_uses_identical_bytes(spark):

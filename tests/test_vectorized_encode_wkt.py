@@ -523,3 +523,36 @@ def test_property_wkt_and_repeated_msg_equal_row(durs, items):
     df = pd.DataFrame({"d": durs, "ms": items}, dtype=object)
     df = df.where(pd.notna(df), None)
     _assert_identical(mt, df)
+
+
+def test_repeated_recursive_items_encode_vectorized():
+    """r10: repeated recursive items under skip_recursive_messages —
+    the row converter ignores each cell (even None), every item emits
+    an empty body."""
+    from protarrow_spark.proto.fixtures import recursive_message_type
+
+    rec = recursive_message_type()
+    cfg = ProtarrowSparkConfig(skip_recursive_messages=True)
+    df = pd.DataFrame(
+        {
+            "name": ["a", "", "b", "c"],
+            "child": [(), None, ("x",), None],
+            "children": [[(), ()], [], [None, ()], None],
+        },
+        dtype=object,
+    )
+    _assert_identical(rec, df, cfg)
+    assert compile_batch_to_wire(rec, CFG) is None  # raise mode
+
+
+def test_map_recursive_values_encode_vectorized():
+    rec = MessageType("vw.H", ())
+    rec.fields = (
+        map_field("m", 1, Kind.STRING, Kind.MESSAGE, value_message=rec),
+    )
+    cfg = ProtarrowSparkConfig(skip_recursive_messages=True)
+    df = pd.DataFrame(
+        {"m": [{"a": (), "b": None}, {}, None]}, dtype=object
+    )
+    _assert_identical(rec, df, cfg)
+    assert compile_batch_to_wire(rec, CFG) is None
