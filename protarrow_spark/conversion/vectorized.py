@@ -361,7 +361,7 @@ def _fill_side(buf, spos, parts, aflat):
                 buf[st : st + len(data)] = np.frombuffer(data, dtype=np.uint8)
 
 
-def _prepare_nested(field, cells, n, sub_encode, bad):
+def _prepare_nested(field, cells, n, config, sub_encode, bad):
     """Precompute one plain nested-message field: split the struct
     cells into sub-columns, batch-encode the submessage bodies with
     the recursively compiled encoder, and frame them like any LEN
@@ -385,9 +385,11 @@ def _prepare_nested(field, cells, n, sub_encode, bad):
             None if null[i] else _struct_get(cells[i], sf.name, j)
             for i in range(n)
         ]
-        if _is_timestamp_field(sf):
-            # let pandas infer datetime64 (exact); everything else
-            # stays object so big ints never round-trip through float
+        if _is_timestamp_field(sf) and config.timestamp_type != "long_nanos":
+            # let pandas infer datetime64 (exact); in long_nanos mode
+            # the cells are INTS and inference over ints + None gives
+            # float64, silently rounding nanos past 2^53 — keep object
+            # (everything else stays object for the same reason)
             sub_cols.append(pd.Series(vals))
         else:
             sub_cols.append(pd.Series(vals, dtype=object))
@@ -783,12 +785,23 @@ def _ts_sec_nano(s, null, config):
                 # reads via pd.Timestamp.value
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             vals = s.to_numpy()
-            if not np.issubdtype(vals.dtype, np.datetime64):
-                if vals.dtype == object and bool(null.all()):
+            if vals.dtype == object:
+                if bool(null.all()):
                     # an all-None column stays object dtype; every row
                     # skips the field so the values are irrelevant
                     z = np.zeros(len(s), dtype=np.int64)
                     return z, z.copy()
+                # object columns of datetime/pd.Timestamp cells (e.g.
+                # DataFrames built from records): let pandas infer the
+                # exact datetime64 form; mixed/naive+aware stays object
+                # and falls through to Unvectorizable below
+                import pandas as pd
+
+                s = pd.Series(s.tolist())
+                if getattr(s.dtype, "tz", None) is not None:
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                vals = s.to_numpy()
+            if not np.issubdtype(vals.dtype, np.datetime64):
                 raise Unvectorizable(f"timestamp dtype {vals.dtype}")
             unit = np.datetime_data(vals.dtype)[0]
             ints = vals.astype(np.int64)  # NaT -> INT64_MIN, masked
@@ -1016,7 +1029,8 @@ def _split_message_items(sub_mt, items, m, config):
     sub_cols = []
     for j, sf in enumerate(sub_mt.fields):
         vals = [_struct_get(items[i], sf.name, j) for i in range(m)]
-        if _is_timestamp_field(sf):
+        if _is_timestamp_field(sf) and config.timestamp_type != "long_nanos":
+            # same float64-rounding hazard as _prepare_nested's note
             sub_cols.append(pd.Series(vals))
         else:
             sub_cols.append(pd.Series(vals, dtype=object))
@@ -1355,6 +1369,7 @@ def compile_batch_to_wire(
                     field,
                     s.to_numpy(dtype=object),
                     n,
+                    config,
                     sub_encoders[idx],
                     bad,
                 )

@@ -1032,3 +1032,22 @@ def test_recursive_message_returns_none():
     assert (
         compile_batch_to_wire(NESTED_MT, CFG, _trace=("vec.NOuter",)) is None
     )
+
+
+def test_nested_long_nanos_big_timestamp_no_float_rounding():
+    """r10 regression (found by the full-matrix differential): a nested
+    Timestamp sub-column in long_nanos mode holding int cells PLUS a
+    None used pandas inference, landing on float64 and silently
+    rounding nanos past 2^53. The sub-column must stay object."""
+    cfg = ProtarrowSparkConfig(timestamp_type="long_nanos")
+    sub = MessageType(
+        "vec.LN", (Field("ts", 1, Kind.MESSAGE, message=TIMESTAMP),)
+    )
+    mt = MessageType("vec.LNO", (Field("m", 1, Kind.MESSAGE, message=sub),))
+    big = 941_655_628_529_072_089  # > 2^53, float64 would round it
+    df = pd.DataFrame({"m": [(big,), None, (0,)]}, dtype=object)
+    _assert_identical(mt, df, cfg)
+    be = compile_batch_to_wire(mt, cfg)
+    out = be([df["m"]])
+    re_ = compile_row_to_wire(mt, cfg)
+    assert out[0] == re_(((big,),))
