@@ -191,6 +191,14 @@ HEADLINE = [
     "conv_roundtrip_wkt",
     # repeated messages + message-valued maps through the codec (r10)
     "conv_roundtrip_nested_repeated",
+    # char-level exact-substring dedup (late r10)
+    "dedup_substring_windows",
+    # margin-based bitext/alignment mining (late r10)
+    "pairgen_bitext_margin",
+    # Heaps'-law vocabulary-growth diagnostic (late r10)
+    "report_heaps_law",
+    # exact-integer TF-IDF keyword extraction (late r10)
+    "text_keyword_tfidf",
 ]
 
 

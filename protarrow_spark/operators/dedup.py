@@ -806,3 +806,88 @@ def ngram_containment_pairs(
         )
         .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
     )
+
+
+#: Character-level exact-substring dedup (the Lee et al. 2022
+#: "Deduplicating Training Data Makes Language Models Better" shape):
+#: a window this many characters long occurring verbatim in >= 2
+#: distinct documents is corpus-duplicated text.
+SUBSTRING_WINDOW = 32
+
+
+def substring_window_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int = SUBSTRING_WINDOW,
+    stride: int = 1,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile.
+
+    Slides a ``length``-char window over every document at ``stride``
+    (default 1 — every alignment, the suffix-array-equivalent answer
+    for fixed window size) and reports, per document, how many window
+    positions land on text that occurs verbatim in at least one OTHER
+    document. This is the character-level complement of
+    :func:`span_dedup` (token spans): it catches duplicated runs that
+    token-span boundaries split and whitespace variants realign.
+
+    Output: id, n_windows, n_dup_windows, dup_millis (parts-per-1000
+    of window positions covered by cross-document duplicate text;
+    integer division so the gate is hash-exact). Documents shorter
+    than ``length`` chars carry no window and are excluded.
+
+    Scale: the window stream is ~(chars/stride) rows — the same
+    amplification a suffix array pays. It shuffles once on the window
+    text for the distinct-document count (map-side partial distinct
+    collapses within-doc repeats), once more to re-join the duplicated
+    -window set (broadcastable under AQE when small) — then rolls up
+    on the id. Never all-pairs. Raise ``stride`` to trade recall for
+    a proportionally smaller stream at 100 TB (stride s still detects
+    every duplicated run >= length + s - 1 chars).
+    """
+    text = F.col(text_col)
+    base = spread(
+        df.filter(F.length(text) >= length).select(
+            F.col(id_col), text.alias("__text")
+        )
+    )
+    t = F.col("__text")
+    starts = F.sequence(F.lit(1), F.length(t) - length + 1, F.lit(stride))
+    wins = base.select(
+        F.col(id_col),
+        F.explode(F.transform(starts, lambda i: t.substr(i, F.lit(length)))).alias(
+            "sub"
+        ),
+    )
+    # Distinct-then-count beats a groupBy(sub, id).count() pair
+    # aggregation AND a window-count formulation at the sf1 decade
+    # (A/B measured: aggregation buffers per 10M+ string groups and
+    # per-'sub' sorts both lose to the dedup-only hash aggregate).
+    dup = (
+        wins.select(F.col(id_col), "sub")
+        .distinct()
+        .groupBy("sub")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("sub")
+    )
+    hits = (
+        wins.join(dup, "sub")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
+    )
+    n_windows = F.expr(f"(length(__text) - {length}) div {stride}").cast("long") + 1
+    n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+    return (
+        base.select(F.col(id_col), n_windows.alias("n_windows"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_windows",
+            n_dup.alias("n_dup_windows"),
+            F.expr("coalesce(n_dup_windows, 0) * 1000 div n_windows")
+            .cast("long")
+            .alias("dup_millis"),
+        )
+    )

@@ -1136,3 +1136,80 @@ def _pca_component(
     if v[lead] < 0:
         v = [-x for x in v]
     return [int(x) for x in v]
+
+
+#: Margin-based pair mining (Artetxe & Schwenk 2019, "Margin-based
+#: Parallel Corpus Mining with Multilingual Sentence Embeddings"):
+#: a candidate pair is accepted when its cosine stands out from the
+#: query's local neighborhood by this ratio.
+MARGIN_TOPK = 4
+MARGIN_THRESHOLD = 1.10
+
+
+def margin_topk_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = MARGIN_TOPK,
+    threshold: float = MARGIN_THRESHOLD,
+) -> DataFrame:
+    """Forward ratio-margin pair mining between two embedding sets.
+
+    For each query vector, scores its nearest corpus vector by cosine
+    and normalizes by the mean of the top-``k`` neighborhood:
+    ``margin = cos(top1) / mean(cos(top1..topk))``. A pair whose best
+    match barely beats the runner-ups (margin ~ 1) is a hubness
+    artifact; a pair that stands out (margin >> 1) is a real alignment
+    — the standard mined-bitext / cross-modal-alignment filter.
+
+    Output: src_id, tgt_id (top-1 neighbor), cos_top1, margin,
+    accepted (margin >= threshold). One row per query with >= k
+    corpus candidates. Determinism: the top-k mean sums the ranked
+    cosines in rank order with a fixed parenthesization, so the margin
+    is bit-identical to a single-threaded oracle.
+
+    Scale: same shape as :func:`cosine_topk_bruteforce` — the bounded
+    query set broadcasts, the corpus never shuffles, norms project
+    once per vector; only the (queries x k) top rows cross the wire
+    after the per-partition TakeOrdered. This is the exact/audit form;
+    at 100 TB the candidate stage swaps to the banded-LSH or IVF index
+    (band_keys_udf / cosine_topk_ivf) with this same margin rescore on
+    the surviving candidates.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cosine"
+        ),
+    )
+    ranked = _ranked_topk(scored, k)
+    cs = [
+        F.max(F.when(F.col("rank") == i + 1, F.col("cosine"))).alias(f"c{i + 1}")
+        for i in range(k)
+    ]
+    piv = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias("tgt_id"), *cs
+    )
+    top_sum = F.col("c1")
+    for i in range(1, k):
+        top_sum = top_sum + F.col(f"c{i + 1}")
+    margin = F.col("c1") / (top_sum / F.lit(float(k)))
+    return piv.select(
+        F.col("query_id").alias("src_id"),
+        "tgt_id",
+        F.col("c1").alias("cos_top1"),
+        margin.alias("margin"),
+        (margin >= F.lit(threshold)).alias("accepted"),
+    )

@@ -580,3 +580,120 @@ def boilerplate_ngrams(
         n_boiler.alias("n_boiler_grams"),
         clean_ppm.cast("long").alias("clean_ppm"),
     )
+
+
+#: Vocabulary-growth (Heaps'-law) checkpoints: the corpus is measured
+#: at k/GROWTH_STEPS of the id range for k = 1..GROWTH_STEPS.
+GROWTH_STEPS = 8
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    steps: int = GROWTH_STEPS,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): distinct-token count vs
+    cumulative corpus size at ``steps`` checkpoints over the document
+    id range — the standard corpus-composition diagnostic (a corpus
+    whose vocabulary stops growing is repeating itself; one growing
+    linearly is noise/OCR garbage).
+
+    Output (one row per checkpoint k): k, bound (= k * max_id / steps),
+    n_docs, total_tokens, distinct_tokens — all integers, hash-exact.
+
+    Scale: one vocabulary-sized groupBy (first-occurrence id per
+    token, map-side partial min) and one doc-sized groupBy, each then
+    joined against the broadcast ``steps``-row checkpoint grid —
+    conditional aggregation, never a re-scan per checkpoint.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    bounds = (
+        df.agg(F.max(id_col).alias("max_id"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(steps))).alias("k"), "max_id"
+        )
+        .select(F.col("k").cast("long"), F.expr(f"k * max_id div {steps}").alias("bound"))
+    )
+    first = toks.groupBy("tok").agg(F.min(id_col).alias("first_doc"))
+    vocab = (
+        first.crossJoin(F.broadcast(bounds))
+        .filter(F.col("first_doc") <= F.col("bound"))
+        .groupBy("k", "bound")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_tokens"))
+    )
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
+    totals = (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .filter(F.col(id_col) <= F.col("bound"))
+        .groupBy("k", "bound")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )
+    return totals.join(vocab, ["k", "bound"]).select(
+        "k", "bound", "n_docs", "total_tokens", "distinct_tokens"
+    )
+
+
+#: TF-IDF keyword extraction: tokens present in more than half the
+#: corpus documents are treated as stopwords; scores are exact
+#: integers (tf * 1e6 // df) so the ranking is hash-verifiable.
+KEYWORDS_PER_GROUP = 5
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = KEYWORDS_PER_GROUP,
+) -> DataFrame:
+    """Top-``k`` characteristic keywords per group (e.g. per source)
+    by exact-integer TF-IDF: score = tf_in_group * 1_000_000 // df
+    where df is corpus-wide document frequency, with tokens appearing
+    in more than half of all documents excluded (the IDF stopword
+    gate). Total-order tiebreak (score desc, token asc) keeps the
+    top-k deterministic.
+
+    Scale: two vocabulary-sized aggregations (group tf, corpus df) and
+    a 1-row corpus-count broadcast; the per-group top-k prunes to
+    k rows per group via the rank window (WindowGroupLimit pushes the
+    limit map-side).
+    """
+    toks = df.select(
+        F.col(id_col), F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select(F.col(id_col), "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .select("tok", "df")
+    )
+    scored = tf.join(kept, "tok").select(
+        F.col(group_col),
+        "tok",
+        F.col("tf").cast("long"),
+        F.col("df").cast("long"),
+        F.expr("tf * 1000000 div df").cast("long").alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "tok", "tf", "df", "score_micro")
+    )

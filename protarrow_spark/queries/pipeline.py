@@ -5187,3 +5187,177 @@ def dedup_threshold_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
     the shingle explode; the quadratic pair stage shrinks ~1/M².
     """
     return _threshold_sweep(spark, sf_dir, sample_mod=SWEEP_SAMPLE_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: exact substring dedup (char-level), margin-based
+# bitext mining, Heaps'-law vocabulary growth, TF-IDF keywords.
+# ---------------------------------------------------------------------------
+
+_SUBL = dedup.SUBSTRING_WINDOW
+
+
+@query(
+    "dedup_substring_windows",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {_SUBL}
+),
+w AS (
+  SELECT doc_id,
+         unnest([substr(text, i, {_SUBL})
+                 for i in range(1, length(text) - {_SUBL} + 2)]) AS sub
+  FROM d
+),
+dup AS (
+  SELECT sub FROM (SELECT DISTINCT doc_id, sub FROM w)
+  GROUP BY sub HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+  FROM w JOIN dup USING (sub) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) - {_SUBL} + 1 AS BIGINT) AS n_windows,
+       CAST(COALESCE(hits.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(hits.n_dup, 0) * 1000
+            // (length(d.text) - {_SUBL} + 1) AS BIGINT) AS dup_millis
+FROM d LEFT JOIN hits USING (doc_id)
+""",
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact-substring dedup profile (the Lee et al.
+    2022 suffix-array pass, fixed window size): per document, the
+    fraction of sliding 32-char window positions whose text occurs
+    verbatim in another document. Not in the reference (a conversion
+    library, SURVEY §2.2) — north-star LLM-pipeline operator."""
+    return dedup.substring_window_profile(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_MK = similarity.MARGIN_TOPK
+_MT = similarity.MARGIN_THRESHOLD
+#: Query-set selector for margin mining: a bounded, broadcastable
+#: slice of the embedding corpus (every 50th id); the rest is the
+#: search corpus.
+MARGIN_QUERY_MOD = 50
+
+
+def _margin_oracle() -> str:
+    csum = " + ".join(f"c{i + 1}" for i in range(_MK))
+    cpiv = ",\n         ".join(
+        f"MAX(CASE WHEN rn={i + 1} THEN cosine END) AS c{i + 1}" for i in range(_MK)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS src_id, e AS qe FROM v WHERE vec_id % {MARGIN_QUERY_MOD} = 0),
+c AS (SELECT vec_id AS tgt_id, e FROM v WHERE vec_id % {MARGIN_QUERY_MOD} <> 0),
+scored AS (
+  SELECT src_id, tgt_id,
+         list_dot_product(qe, e)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cosine
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn
+  FROM scored
+),
+piv AS (
+  SELECT src_id,
+         MAX(CASE WHEN rn=1 THEN tgt_id END) AS tgt_id,
+         {cpiv}
+  FROM ranked WHERE rn <= {_MK} GROUP BY src_id
+)
+SELECT src_id, tgt_id, c1 AS cos_top1,
+       c1 / (({csum}) / {float(_MK)}) AS margin,
+       c1 / (({csum}) / {float(_MK)}) >= {_MT} AS accepted
+FROM piv
+"""
+
+
+@query("pairgen_bitext_margin", oracle=_margin_oracle())
+def pairgen_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019) between two
+    embedding sets: top-1 cosine normalized by the top-k neighborhood
+    mean, accepted when the ratio margin clears the threshold. The
+    exact/audit form — the broadcast query slice scans the corpus once
+    (see operators/similarity.py margin_topk_pairs for the 100 TB
+    candidate-index variant)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % MARGIN_QUERY_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % MARGIN_QUERY_MOD != 0)
+    return similarity.margin_topk_pairs(corpus, qs)
+
+
+_GS = text.GROWTH_STEPS
+
+
+@query(
+    "report_heaps_law",
+    oracle=f"""
+WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+b AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST((k * max_id) // {_GS} AS BIGINT) AS bound
+  FROM m, range(1, {_GS} + 1) t(k)
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+v AS (
+  SELECT k, bound, CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+  FROM first JOIN b ON first_doc <= bound GROUP BY k, bound
+),
+dt AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+tt AS (
+  SELECT k, bound, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM dt JOIN b ON doc_id <= bound GROUP BY k, bound
+)
+SELECT tt.k, tt.bound, tt.n_docs, tt.total_tokens, v.distinct_tokens
+FROM tt JOIN v USING (k, bound)
+""",
+)
+def report_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct tokens vs
+    cumulative corpus size at 8 checkpoints over the doc-id range —
+    corpus-composition diagnostic for a training-data pipeline."""
+    return text.vocab_growth(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_KWK = text.KEYWORDS_PER_GROUP
+
+
+@query(
+    "text_keyword_tfidf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok),
+docfreq AS (
+  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+  GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+kept AS (SELECT tok, df FROM docfreq CROSS JOIN n WHERE df * 2 <= n_docs),
+scored AS (
+  SELECT source, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         CAST(tf * 1000000 // df AS BIGINT) AS score_micro
+  FROM tf JOIN kept USING (tok)
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY score_micro DESC, tok) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT source, rank, tok, tf, df, score_micro FROM ranked WHERE rank <= {_KWK}
+""",
+)
+def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic keywords per source by exact-integer
+    TF-IDF (tokens in more than half the corpus documents excluded as
+    stopwords) — topic labeling / source characterization for corpus
+    curation."""
+    return text.tfidf_keywords(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )

@@ -118,6 +118,14 @@ GRADED_FIRST = [
     # -- ROUND-10 BIRTHS
     "conv_roundtrip_wkt",
     "conv_roundtrip_nested_repeated",
+    # late-r10 births: char-level exact-substring dedup, margin-based
+    # bitext mining, Heaps'-law vocab growth, TF-IDF keywords (each a
+    # new operator family; four r4-graded relational shapes rotate out
+    # below to make room — they stay oracle-verified every pytest run)
+    "dedup_substring_windows",
+    "pairgen_bitext_margin",
+    "report_heaps_law",
+    "text_keyword_tfidf",
     # -- codec anchors: both vectorized halves rewritten this round
     "conv_roundtrip_events",
     "conv_roundtrip_repeated",
@@ -160,8 +168,6 @@ GRADED_FIRST = [
     "window_lag_delta",
     "window_running_revenue",
     # -- longest-ungraded rotation (last graded r4)
-    "agg_grouping_sets",
-    "agg_percentile_disc",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "dedup_minhash_lsh",
@@ -169,8 +175,10 @@ GRADED_FIRST = [
     "dedup_simhash_hamming",
     "join_broadcast_brand_revenue",
     "join_range_bucketed",
-    "pivot_event_matrix",
-    "q3_shipping_priority",
+    # (agg_grouping_sets, agg_percentile_disc, pivot_event_matrix,
+    # q3_shipping_priority — r4-graded, displaced by the four late-r10
+    # births above; their families stay anchored by agg_cube_orders /
+    # agg_rollup_flags and the full-registry pytest parity.)
 ]
 
 

@@ -215,6 +215,13 @@ BNLJ_BY_DESIGN = {
     # bounded query-set broadcast against the corpus (both rankings of
     # the quantization audit, same shape as ann_cosine_topk/ann_int8)
     "ann_quantization_error_report",
+    # bounded query-slice broadcast against the corpus (margin mining,
+    # same shape as ann_cosine_topk)
+    "pairgen_bitext_margin",
+    # 8-row checkpoint-grid broadcast onto the vocab/doc dimensions
+    "report_heaps_law",
+    # 1-row corpus-doc-count broadcast onto the vocabulary dimension
+    "text_keyword_tfidf",
 }
 
 

@@ -1,0 +1,147 @@
+"""Unit tests for the late-round-10 operators: char-level exact
+substring dedup, margin-based pair mining, Heaps'-law vocab growth,
+TF-IDF keyword extraction. Value parity against the DuckDB oracles is
+covered by tests/test_oracle_parity.py (every registered query); these
+pin the operator-level edge cases the gate data can't exercise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from protarrow_spark.operators import dedup, similarity, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestSubstringWindows:
+    def test_exact_copy_fully_flagged(self, spark):
+        body = "abcdefghij" * 8  # 80 chars, shared verbatim
+        df = _docs(spark, [(1, body), (2, body), (3, "z" * 80)])
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_window_profile(df, "doc_id", "text").collect()
+        }
+        # 80 - 32 + 1 = 49 window positions, every one duplicated for
+        # the two copies; the unrelated doc has zero duplicated text
+        # (its windows are all 'z'*32 — identical WITHIN the doc, but
+        # present in no other doc).
+        assert out[1]["n_windows"] == 49
+        assert out[1]["n_dup_windows"] == 49
+        assert out[1]["dup_millis"] == 1000
+        assert out[2]["n_dup_windows"] == 49
+        assert out[3]["n_dup_windows"] == 0
+        assert out[3]["dup_millis"] == 0
+
+    def test_short_docs_excluded(self, spark):
+        df = _docs(spark, [(1, "tiny"), (2, "x" * 31), (3, "y" * 32)])
+        rows = dedup.substring_window_profile(df, "doc_id", "text").collect()
+        assert {r["doc_id"] for r in rows} == {3}
+        assert rows[0]["n_windows"] == 1
+
+    def test_partial_overlap_counts_positions(self, spark):
+        shared = "S" * 40  # 40-char shared run -> 9 aligned windows
+        df = _docs(
+            spark,
+            [(1, shared + "a" * 40), (2, "b" * 40 + shared)],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_window_profile(df, "doc_id", "text").collect()
+        }
+        # the shared run yields 40-32+1 = 9 all-S windows in each doc,
+        # duplicated across docs regardless of position offset.
+        assert out[1]["n_dup_windows"] == 9
+        assert out[2]["n_dup_windows"] == 9
+
+    def test_stride_reduces_stream_but_keeps_detection(self, spark):
+        body = "abcdefghij" * 8
+        df = _docs(spark, [(1, body), (2, body)])
+        out = dedup.substring_window_profile(
+            df, "doc_id", "text", stride=8
+        ).collect()
+        # positions 1, 9, 17, ... -> ceil(49/8) = 7 windows, all dup.
+        assert all(r["n_windows"] == 7 and r["n_dup_windows"] == 7 for r in out)
+
+
+class TestMarginTopk:
+    def test_margin_ranks_and_accepts(self, spark):
+        # query q aligned exactly with corpus vec 10; three decoys at
+        # increasing angles -> margin > 1 and top-1 is vec 10.
+        rows = [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.8, 0.6, 0.0, 0.0]),
+            (12, [0.6, 0.8, 0.0, 0.0]),
+            (13, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+        )
+        out = similarity.margin_topk_pairs(corpus, queries).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["src_id"] == 0 and r["tgt_id"] == 10
+        assert abs(r["cos_top1"] - 1.0) < 1e-12
+        # mean(1.0, 0.8, 0.6, 0.0) = 0.6 -> margin = 1/0.6
+        assert abs(r["margin"] - 1.0 / 0.6) < 1e-12
+        assert r["accepted"] is True
+
+    def test_hubness_rejected(self, spark):
+        # all corpus vectors equally similar -> margin == 1 < threshold
+        corpus = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(10, 14)], ["vec_id", "embedding"]
+        )
+        queries = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+        r = similarity.margin_topk_pairs(corpus, queries).collect()[0]
+        assert abs(r["margin"] - 1.0) < 1e-12
+        assert r["accepted"] is False
+        assert r["tgt_id"] == 10  # tiebreak: smallest neighbor id
+
+
+class TestVocabGrowth:
+    def test_monotone_and_exact(self, spark):
+        df = _docs(
+            spark,
+            [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(8)],
+        )
+        rows = sorted(
+            text.vocab_growth(df, "doc_id", "text").collect(), key=lambda r: r["k"]
+        )
+        assert [r["k"] for r in rows] == list(range(1, 9))
+        # doc ids 0..7 -> max_id 7; bound_k = 7k div 8
+        assert [r["bound"] for r in rows] == [0, 1, 2, 3, 4, 5, 6, 7]
+        # cumulative counts are non-decreasing and end at the corpus totals
+        for a, b in zip(rows, rows[1:]):
+            assert b["n_docs"] >= a["n_docs"]
+            assert b["total_tokens"] >= a["total_tokens"]
+            assert b["distinct_tokens"] >= a["distinct_tokens"]
+        last = rows[-1]
+        assert last["n_docs"] == 8
+        assert last["total_tokens"] == sum(range(1, 9))
+        assert last["distinct_tokens"] == 8  # w0..w7
+
+
+class TestTfidfKeywords:
+    def test_stopword_gate_and_ranking(self, spark):
+        rows = [
+            (1, "the alpha alpha beta", "s1"),
+            (2, "the alpha gamma", "s1"),
+            (3, "the delta", "s2"),
+            (4, "the delta epsilon", "s2"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = text.tfidf_keywords(df, "doc_id", "text", "source", k=2)
+        got = {(r["source"], r["rank"]): r for r in out.collect()}
+        # 'the' is in 4/4 docs -> df*2 > n_docs -> excluded everywhere
+        assert all(r["tok"] != "the" for r in got.values())
+        # s1: alpha tf=3 df=2 -> 1.5e6; beta/gamma tf=1 df=1 -> 1e6 (beta wins tie)
+        assert got[("s1", 1)]["tok"] == "alpha"
+        assert got[("s1", 1)]["score_micro"] == 1_500_000
+        assert got[("s1", 2)]["tok"] == "beta"
+        # s2: delta tf=2 df=2 -> 1e6; epsilon tf=1 df=1 -> 1e6; tie -> delta...
+        # (score tie resolves token-ascending: delta < epsilon)
+        assert got[("s2", 1)]["tok"] == "delta"
+        assert got[("s2", 2)]["tok"] == "epsilon"
