@@ -199,6 +199,10 @@ HEADLINE = [
     "report_heaps_law",
     # exact-integer TF-IDF keyword extraction (late r10)
     "text_keyword_tfidf",
+    # soft dedup: duplicate-aware sampling weights (late r10)
+    "sample_downweight_duplicates",
+    # char-level integer-bits entropy quality gate (late r10)
+    "text_char_entropy",
 ]
 
 

@@ -78,6 +78,7 @@ def ngram_jaccard_pairs(
     max_df: int = MAX_SHINGLE_DF,
     dense_vocab_cap: int | None = None,
     block_size: int = 2048,
+    include_sizes: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -125,7 +126,14 @@ def ngram_jaccard_pairs(
         probe = vocab.limit(dense_vocab_cap + 1).collect()
         if len(probe) <= dense_vocab_cap:
             return _jaccard_dense_blocked(
-                grams, sizes, probe, id_col, threshold, max_df, block_size
+                grams,
+                sizes,
+                probe,
+                id_col,
+                threshold,
+                max_df,
+                block_size,
+                include_sizes=include_sizes,
             )
 
     rare_shingles = vocab.filter(F.col("df_g") <= max_df)
@@ -140,6 +148,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("n_b"))
+    out_cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    if include_sizes:
+        # The full-set sizes are already joined for the denominator —
+        # exposing them is free and saves callers (the threshold
+        # sweep) a second shingle pass + re-join of the pair stream.
+        out_cols += ["n_a", "n_b"]
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -148,7 +162,7 @@ def ngram_jaccard_pairs(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .select(*out_cols)
     )
 
 
@@ -161,6 +175,8 @@ def _jaccard_dense_blocked(
     max_df: int,
     block_size: int,
     mode: str = "jaccard",
+    include_sizes: bool = False,
+    band_scale: int = 20,
 ) -> DataFrame:
     """Dense-vocab Jaccard: blocked all-pairs intersection counting.
 
@@ -211,11 +227,14 @@ def _jaccard_dense_blocked(
 
     id_type = grams.schema[id_col].dataType.simpleString()
 
-    out_cols = (
-        ["doc_a", "doc_b", "n_common", "jaccard"]
-        if mode == "jaccard"
-        else ["doc_a", "doc_b", "n_common", "containment_a", "containment_b"]
-    )
+    if mode == "bands":
+        out_cols = ["band", "n_pairs"]
+    elif mode == "jaccard":
+        out_cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    else:
+        out_cols = ["doc_a", "doc_b", "n_common", "containment_a", "containment_b"]
+    if include_sizes and mode != "bands":
+        out_cols += ["n_a", "n_b"]
 
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = int(key[0]), int(key[1])
@@ -259,29 +278,40 @@ def _jaccard_dense_blocked(
             na = np.where(swap, ng_r[jj], ng_l[ii])
             nb = np.where(swap, ng_l[ii], ng_r[jj])
         common = common.astype(np.int64)
+        if mode == "bands":
+            # Aggregation pushdown: the (quadratic) pair stream never
+            # leaves numpy — only the ~|bands| histogram rows do.
+            union = na.astype(np.int64) + nb.astype(np.int64) - common
+            keep = common / union >= threshold
+            band = (band_scale * common[keep]) // union[keep]
+            vals, counts = np.unique(band, return_counts=True)
+            return pd.DataFrame(
+                {"band": vals.astype(np.int64), "n_pairs": counts.astype(np.int64)}
+            )
         if mode == "jaccard":
             jac = common / (na + nb - common)
             keep = jac >= threshold
-            return pd.DataFrame(
-                {
-                    "doc_a": ids_a[keep],
-                    "doc_b": ids_b[keep],
-                    "n_common": common[keep],
-                    "jaccard": jac[keep],
-                }
-            )
-        ca = common / na
-        cb = common / nb
-        keep = (ca >= threshold) | (cb >= threshold)
-        return pd.DataFrame(
-            {
+            out = {
+                "doc_a": ids_a[keep],
+                "doc_b": ids_b[keep],
+                "n_common": common[keep],
+                "jaccard": jac[keep],
+            }
+        else:
+            ca = common / na
+            cb = common / nb
+            keep = (ca >= threshold) | (cb >= threshold)
+            out = {
                 "doc_a": ids_a[keep],
                 "doc_b": ids_b[keep],
                 "n_common": common[keep],
                 "containment_a": ca[keep],
                 "containment_b": cb[keep],
             }
-        )
+        if include_sizes:
+            out["n_a"] = na[keep].astype(np.int64)
+            out["n_b"] = nb[keep].astype(np.int64)
+        return pd.DataFrame(out)
 
     # Keyed repartition before the grouped-pandas op: the block rows
     # are byte-small, so AQE would coalesce this shuffle to one
@@ -290,13 +320,17 @@ def _jaccard_dense_blocked(
     # exempt from AQE coalescing and the groupBy reuses it (no second
     # shuffle).
     parallelism = grams.sparkSession.sparkContext.defaultParallelism
-    if mode == "jaccard":
+    if mode == "bands":
+        schema = "band bigint, n_pairs bigint"
+    elif mode == "jaccard":
         schema = f"doc_a {id_type}, doc_b {id_type}, n_common bigint, jaccard double"
     else:
         schema = (
             f"doc_a {id_type}, doc_b {id_type}, n_common bigint, "
             "containment_a double, containment_b double"
         )
+    if include_sizes and mode != "bands":
+        schema += ", n_a bigint, n_b bigint"
     return (
         pairs.repartition(parallelism, "gi", "gj")
         .groupBy("gi", "gj")
@@ -890,4 +924,71 @@ def substring_window_profile(
             .cast("long")
             .alias("dup_millis"),
         )
+    )
+
+
+def jaccard_band_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = NGRAM_N,
+    band_scale: int = 20,
+    max_df: int = MAX_SHINGLE_DF,
+    dense_vocab_cap: int | None = None,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Jaccard-band pair histogram with the banding pushed INTO the
+    pair stage: returns (band, n_pairs) where band =
+    (band_scale * n_common) div union for every pair at or above
+    ``threshold``. Value-identical to banding the
+    :func:`ngram_jaccard_pairs` output, but on the dense-matmul path
+    the (quadratic) pair stream is reduced to a ~band_scale-row
+    histogram inside each block-pair task — pairs never cross the
+    Arrow boundary or any shuffle, which is the difference between
+    moving ~20 rows and ~10M rows per block pair at sweep thresholds.
+    """
+    grams = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    if dense_vocab_cap:
+        vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+        probe = vocab.limit(dense_vocab_cap + 1).collect()
+        if len(probe) <= dense_vocab_cap:
+            h = _jaccard_dense_blocked(
+                grams,
+                sizes,
+                probe,
+                id_col,
+                threshold,
+                max_df,
+                block_size,
+                mode="bands",
+                band_scale=band_scale,
+            )
+            return h.groupBy("band").agg(
+                F.sum("n_pairs").cast("long").alias("n_pairs")
+            )
+    # Sparse regime: the pair stream stays JVM-side (no Arrow hop), so
+    # banding after the inverted-index join costs one codegen'd
+    # projection; reuse the pair operator with sizes exposed.
+    pairs = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        n=n,
+        max_df=max_df,
+        include_sizes=True,
+    )
+    return (
+        pairs.select(
+            F.expr(
+                f"({band_scale} * n_common) div (n_a + n_b - n_common)"
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )

@@ -774,10 +774,12 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_oracle() -> str:
-    """Connected components over the MinHash-LSH candidate pairs via
-    a recursive-CTE transitive closure (fine at gate scale; the Spark
-    side runs the O(log n)-round pointer-jumping algorithm)."""
+def _cc_assign_ctes() -> str:
+    """Shared WITH-body computing per-document connected-component
+    cluster ids over the MinHash-LSH candidate pairs via a
+    recursive-CTE transitive closure (fine at gate scale; the Spark
+    side runs the O(log n)-round pointer-jumping algorithm). Ends with
+    an ``assign(doc_id, cluster_id)`` CTE."""
     k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
     rpb = k // bands
     band_selects = "\nUNION ALL ".join(
@@ -787,8 +789,7 @@ def _cc_oracle() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH RECURSIVE {_toks_cte()},
+    return f"""WITH RECURSIVE {_toks_cte()},
 {_grams_cte(dedup.NGRAM_N)},
 {_sig_cte(k)},
 bands AS ({band_selects}),
@@ -807,9 +808,17 @@ reach(a, b) AS (
   UNION
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 ),
-labels AS (SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
-SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN labels l ON l.a = d.doc_id
+labels AS (SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.a = d.doc_id
+)"""
+
+
+def _cc_oracle() -> str:
+    return f"""
+{_cc_assign_ctes()}
+SELECT doc_id, cluster_id FROM assign
 """
 
 
@@ -5114,7 +5123,11 @@ def _threshold_sweep(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
         ).cast("bigint")
         docs = docs.filter(key % sample_mod == 0)
-    pairs = dedup.ngram_jaccard_pairs(
+    # Banding is pushed INTO the dense pair stage (operators/dedup.py
+    # jaccard_band_counts): each block-pair matmul task emits its own
+    # ~20-row band histogram, so the ~12M-pair stream (sf0.1) never
+    # crosses the Arrow boundary or a shuffle — only histogram rows do.
+    counts = dedup.jaccard_band_counts(
         docs,
         "doc_id",
         "text",
@@ -5122,21 +5135,6 @@ def _threshold_sweep(
         n=JACCARD_N,
         dense_vocab_cap=4096,
     )
-    sizes = (
-        dedup.doc_shingles(docs, "doc_id", "text", JACCARD_N)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_grams"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
-    banded = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.expr("(20 * n_common) div (n_a + n_b - n_common)").alias("band")
-        )
-    )
-    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs"))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("band"))
@@ -5360,4 +5358,107 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation."""
     return text.tfidf_keywords(
         table(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
+@query(
+    "sample_downweight_duplicates",
+    oracle=f"""
+{_cc_assign_ctes()},
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm,
+       doc_id = cluster_id AS is_canonical
+FROM assign JOIN sizes USING (cluster_id)
+""",
+)
+def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — duplicate-aware sampling weights: instead of
+    dropping near-duplicates, every document in a duplicate cluster
+    gets weight 1/cluster_size (integer ppm), so each cluster
+    contributes one document's worth of probability mass to training
+    sampling regardless of how many copies crawled in — the
+    downweight-don't-delete dedup policy. ``is_canonical`` marks the
+    cluster representative for pipelines that keep-one instead.
+
+    Scale: the cluster assignment is the pointer-jumping CC the dedup
+    collapse already runs; the weight rollup adds one cluster-keyed
+    count + a co-keyed join back (both keyed on cluster_id, one
+    planned partitioning)."""
+    from protarrow_spark.operators.graph import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
+    cl = dedup_clusters(docs, edges, "doc_id")
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cl.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.expr("1000000 div cluster_size").cast("long").alias("weight_ppm"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+lens AS (SELECT doc_id, length(text) AS n FROM documents),
+bits AS (
+  SELECT cc.doc_id, cc.c,
+         CAST(length(bin(lens.n // cc.c)) - 1 AS BIGINT) AS b
+  FROM cc JOIN lens USING (doc_id)
+)
+SELECT lens.doc_id,
+       CAST(lens.n AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       CAST(SUM(bits.c * bits.b) * 1000 // lens.n AS BIGINT)
+         AS entropy_millibits
+FROM bits JOIN lens USING (doc_id)
+GROUP BY lens.doc_id, lens.n
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level unigram entropy per document, in exact integer
+    bits: per character class, self-information is the INTEGER
+    floor(log2(n/c)) = length(bin(n div c)) - 1 (the same no-libm
+    construction as score_unigram_surprisal, applied within-document
+    at char level); the per-char average is reported in millibits.
+    Low entropy flags repetitive/templated garbage, high entropy flags
+    base64/binary spill — the char-level quality gate that token-level
+    scoring misses.
+
+    Scale: one shuffle of the (doc, char-class) stream (alphabet-
+    bounded per doc — partial map-side combine collapses the ~chars
+    rows to <= |alphabet| per doc before the wire), then a doc-keyed
+    rollup."""
+    docs = table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    lens = docs.select("doc_id", F.length("text").alias("n"))
+    bits = cc.join(lens, "doc_id").select(
+        "doc_id",
+        "n",
+        "c",
+        (F.length(F.bin(F.expr("n div c"))) - 1).cast("long").alias("b"),
+    )
+    return bits.groupBy("doc_id", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.expr("sum(c * b) * 1000 div first(n)").cast("long").alias("__em"),
+    ).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        "distinct_chars",
+        F.col("__em").alias("entropy_millibits"),
     )
