@@ -203,6 +203,12 @@ HEADLINE = [
     "sample_downweight_duplicates",
     # char-level integer-bits entropy quality gate (late r10)
     "text_char_entropy",
+    # product-quantization ANN with integer ADC scoring (late r10)
+    "ann_pq_topk",
+    # PQ recall audit vs brute-force truth (late r10)
+    "ann_pq_recall_report",
+    # IVF-PQ composite index (late r10)
+    "ann_ivfpq_topk",
 ]
 
 

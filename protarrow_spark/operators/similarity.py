@@ -1213,3 +1213,190 @@ def margin_topk_pairs(
         margin.alias("margin"),
         (margin >= F.lit(threshold)).alias("accepted"),
     )
+
+
+#: Product quantization: M subspaces, K codewords per subspace. With
+#: 64-dim int8 vectors this stores M=8 bytes per vector instead of 64
+#: — the memory lever that holds billion-vector indexes in RAM. K=128
+#: sampled codewords per 8-dim subspace is the measured knee on the
+#: test corpora (recall@10 vs the exact int8 ranking roughly doubles
+#: from K=16 at M=4; real k-means codebooks would do better still but
+#: float training breaks cross-engine hash parity).
+PQ_M = 8
+PQ_K = 128
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_subspaces: int = PQ_M,
+    codebook_k: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), exact-integer end to end.
+
+    Index build: vectors int8-quantize (:func:`quantize_int8`), split
+    into ``n_subspaces`` contiguous subspaces; the per-subspace
+    codebook is the subvectors of the ``codebook_k`` md5-ranked
+    training vectors (deterministic sampled codebook — every executor,
+    every retry, and an independent SQL engine reproduce it from the
+    data alone); each vector stores only its per-subspace nearest-
+    codeword index (integer L2 argmin, ties to the smallest index).
+    Query scoring is ADC: score = sum over subspaces of the integer
+    dot product between the query's int8 subvector and the assigned
+    codeword — one ``codebook_k``-entry lookup table per (query,
+    subspace) instead of a full-vector scan.
+
+    Everything is int64 arithmetic (codes, LUT entries, scores), so
+    results are hash-exact against a SQL oracle — unlike float PQ
+    where codebook training (k-means) breaks cross-engine parity.
+
+    Scale: codes are ``n_subspaces`` bytes/vector (8x smaller than
+    int8, 32x smaller than float32 at the defaults); the corpus never shuffles — the
+    (query x subspace x codeword) LUT broadcasts onto the exploded
+    code column and the only aggregations key on (query, neighbor).
+    The bounded driver collects (codebook_k index rows + the query
+    set) follow the IVF-centroid / MMR-query-vector pattern.
+    """
+    codes, lut = _pq_index(corpus, queries, id_col, vec_col, n_subspaces, codebook_k)
+    ex = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("m", "j")
+    )
+    scored = (
+        ex.join(F.broadcast(lut), ["m", "j"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dot").cast("long").alias("score_pq"))
+    )
+    return _pq_ranked(scored, k)
+
+
+def _pq_index(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    codebook_k: int,
+):
+    """Shared PQ index build: (codes, lut) DataFrames.
+
+    ``codes``: (id, codes array<int> of length n_subspaces).
+    ``lut``: (query_id, m, j, dot) — integer ADC lookup table, one row
+    per (query, subspace, codeword).
+    """
+    q8 = quantize_int8(corpus, id_col, vec_col)
+    cb_rows = (
+        q8.select(id_col, "q")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(codebook_k)
+        .collect()
+    )
+    dim = len(cb_rows[0]["q"])
+    sub = dim // n_subspaces
+    # C[j, m, :] = codeword j's subvector in subspace m
+    C = np.array(
+        [
+            [list(r["q"][m * sub : (m + 1) * sub]) for m in range(n_subspaces)]
+            for r in cb_rows
+        ],
+        dtype=np.int64,
+    )
+
+    @F.pandas_udf("array<int>")
+    def pq_codes(qs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in qs.values])
+        out = np.zeros((X.shape[0], n_subspaces), dtype=np.int32)
+        for m in range(n_subspaces):
+            Xm = X[:, m * sub : (m + 1) * sub]
+            Cm = C[:, m, :]
+            d = (
+                (Xm * Xm).sum(1)[:, None]
+                - 2 * (Xm @ Cm.T)
+                + (Cm * Cm).sum(1)[None, :]
+            )
+            out[:, m] = np.argmin(d, axis=1)  # ties -> smallest index
+        return pd.Series(list(out))
+
+    codes = q8.select(F.col(id_col), pq_codes(F.col("q")).alias("codes"))
+
+    lut_rows = []
+    for qr in quantize_int8(queries, id_col, vec_col).collect():
+        qv = np.asarray(qr["q"], dtype=np.int64)
+        for m in range(n_subspaces):
+            for j in range(len(cb_rows)):
+                lut_rows.append(
+                    (
+                        qr[id_col],
+                        m,
+                        j,
+                        int(qv[m * sub : (m + 1) * sub] @ C[j, m]),
+                    )
+                )
+    lut = corpus.sparkSession.createDataFrame(lut_rows, ["query_id", "m", "j", "dot"])
+    return codes, lut
+
+
+def _pq_ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_pq")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
+    n_subspaces: int = PQ_M,
+    codebook_k: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN index — IVF coarse
+    cells bound the candidate set (~nprobe/n_cells of the corpus per
+    query), PQ codes + integer ADC score the survivors without ever
+    touching the full vectors. Candidate generation is
+    :func:`cosine_topk_ivf`'s cell equi-join; scoring is
+    :func:`pq_topk`'s broadcast-LUT sum, restricted to the joined
+    candidates. Exact-integer scores keep the whole composite
+    hash-verifiable against a SQL oracle.
+
+    Scale: per query the work is (corpus/n_cells)*nprobe candidates x
+    n_subspaces LUT lookups — no full-vector reads after the one-off
+    code build; the corpus partition never shuffles (cells and codes
+    are projections; queries/LUT broadcast)."""
+    cents = _centroid_matrix(corpus, id_col, vec_col, n_cells)
+    top1 = _cell_assign_udf(cents, 1)
+    topm = _cell_assign_udf(cents, nprobe)
+    codes, lut = _pq_index(corpus, queries, id_col, vec_col, n_subspaces, codebook_k)
+    cellc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), top1(F.col(vec_col))[0].alias("cell")
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(topm(F.col(vec_col))).alias("cell")
+    )
+    cand = (
+        cellc.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    ex = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("m", "j")
+    )
+    scored = (
+        cand.join(ex, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "j"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dot").cast("long").alias("score_pq"))
+    )
+    return _pq_ranked(scored, k)

@@ -5462,3 +5462,218 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_chars",
         F.col("__em").alias("entropy_millibits"),
     )
+
+
+def _pq_ctes() -> str:
+    """Shared PQ CTE block (assumes a ``v(vec_id, e)`` CTE is already
+    defined): int8 quantization, md5-ranked sampled codebook, subspace
+    views, integer-L2 encode -> ``codes(vec_id, m, j)`` plus the
+    ``subv``/``cbs`` subvector views for ADC scoring."""
+    m_, k_ = similarity.PQ_M, similarity.PQ_K
+    sub = 64 // m_
+    return f"""s AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+  FROM v
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS q
+  FROM s
+),
+ranked_cb AS (
+  SELECT vec_id, q,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM q8
+),
+cb AS (SELECT j, q FROM ranked_cb WHERE j < {k_}),
+mm AS (SELECT unnest(range({m_})) AS m),
+subv AS (SELECT vec_id, m, q[m*{sub}+1 : m*{sub}+{sub}] AS x FROM q8 CROSS JOIN mm),
+cbs AS (SELECT j, m, q[m*{sub}+1 : m*{sub}+{sub}] AS c FROM cb CROSS JOIN mm),
+enc AS (
+  SELECT subv.vec_id, subv.m, cbs.j,
+         ROW_NUMBER() OVER (
+           PARTITION BY subv.vec_id, subv.m
+           ORDER BY list_inner_product(subv.x, subv.x)
+                    - 2 * list_inner_product(subv.x, cbs.c)
+                    + list_inner_product(cbs.c, cbs.c),
+                    cbs.j) AS rn
+  FROM subv JOIN cbs USING (m)
+),
+codes AS (SELECT vec_id, m, j FROM enc WHERE rn = 1)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_pq_ctes()},
+qsx AS (SELECT vec_id AS query_id, m, x AS qx FROM subv
+        WHERE vec_id < {N_QUERY_VECS}),
+adc AS (
+  SELECT query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(list_inner_product(qsx.qx, cbs.c)) AS BIGINT) AS score_pq
+  FROM codes
+  JOIN cbs USING (m, j)
+  JOIN qsx USING (m)
+  WHERE codes.vec_id <> query_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, score_pq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_pq DESC, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score_pq
+FROM r WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scoring) — 8-byte codes per
+    vector, exact-integer codebook/encode/score so the whole index is
+    hash-verifiable (operators/similarity.py pq_topk). Completes the
+    ANN family's memory axis: brute float -> int8 -> IVF cells ->
+    PQ codes."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.pq_topk(emb, qs, k=TOPK_NEIGHBORS)
+
+
+#: PQ recall audit depth: overlap@10 is stable where overlap@3 on an
+#: 8-byte code would be all-or-nothing noise.
+PQ_AUDIT_K = 10
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+brute AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COSINE_SQL} DESC, vec_id) AS rank
+  FROM q JOIN v ON vec_id <> query_id
+),
+truth AS (SELECT query_id, neighbor_id FROM brute WHERE rank <= {PQ_AUDIT_K}),
+{_pq_ctes()},
+qsx AS (SELECT vec_id AS query_id, m, x AS qx FROM subv
+        WHERE vec_id < {N_QUERY_VECS}),
+adc AS (
+  SELECT query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(list_inner_product(qsx.qx, cbs.c)) AS BIGINT) AS score_pq
+  FROM codes JOIN cbs USING (m, j) JOIN qsx USING (m)
+  WHERE codes.vec_id <> query_id GROUP BY 1, 2
+),
+pqk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_pq DESC, neighbor_id) AS rank
+    FROM adc
+  ) WHERE rank <= {PQ_AUDIT_K}
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN pqk p USING (query_id, neighbor_id)
+GROUP BY t.query_id
+"""
+
+
+@query("ann_pq_recall_report", oracle=_pq_recall_oracle())
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the PQ (ADC) index against exact
+    brute-force cosine truth, per query — the PQ member of the audit
+    family (LSH recall, IVF recall, quantization error, sketch
+    error): 8-byte codes are lossy BY DESIGN, so the index ships with
+    its own measured error. Both rankings run the engine's own
+    operators; hits are exact integers.
+
+    Scale: the truth side is the linear scan — run it on a sampled
+    query stratum at 100 TB (the standing audit prescription); the PQ
+    side is the broadcast-LUT scoring that never reads full vectors.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    truth = similarity.cosine_topk_bruteforce(emb, qs, k=PQ_AUDIT_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        similarity.pq_topk(emb, qs, k=PQ_AUDIT_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
+def _ivfpq_oracle() -> str:
+    cos = (
+        "list_dot_product(a.e, ce) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(ce, ce)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (
+  SELECT e AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM v ORDER BY vec_id LIMIT {similarity.IVF_N_CELLS}
+),
+assign AS (
+  SELECT vec_id, cidx,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {cos} DESC, cidx
+         ) AS rn
+  FROM v a CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cidx AS cell FROM assign WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM assign
+  WHERE rn <= {similarity.IVF_NPROBE} AND vec_id < {N_QUERY_VECS}
+),
+{_pq_ctes()},
+qsx AS (SELECT vec_id AS query_id, m, x AS qx FROM subv
+        WHERE vec_id < {N_QUERY_VECS}),
+adc AS (
+  SELECT qc.query_id, cl.vec_id AS neighbor_id,
+         CAST(SUM(list_inner_product(qsx.qx, cbs.c)) AS BIGINT) AS score_pq
+  FROM qcells qc
+  JOIN cells cl ON cl.cell = qc.cell AND cl.vec_id <> qc.query_id
+  JOIN codes ON codes.vec_id = cl.vec_id
+  JOIN cbs ON cbs.m = codes.m AND cbs.j = codes.j
+  JOIN qsx ON qsx.query_id = qc.query_id AND qsx.m = codes.m
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, neighbor_id, score_pq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_pq DESC, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score_pq
+FROM r WHERE rank <= {TOPK_NEIGHBORS}
+"""
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.py ivfpq_topk) —
+    the canonical billion-scale index: IVF cells bound candidates,
+    8-byte PQ codes + integer ADC score them without touching full
+    vectors; hash-verifiable end to end."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivfpq_topk(emb, qs, k=TOPK_NEIGHBORS)

@@ -128,6 +128,9 @@ GRADED_FIRST = [
     "text_keyword_tfidf",
     "sample_downweight_duplicates",
     "text_char_entropy",
+    "ann_pq_topk",
+    "ann_pq_recall_report",
+    "ann_ivfpq_topk",
     # -- codec anchors: both vectorized halves rewritten this round
     "conv_roundtrip_events",
     "conv_roundtrip_repeated",
@@ -170,17 +173,16 @@ GRADED_FIRST = [
     "window_lag_delta",
     "window_running_revenue",
     # -- longest-ungraded rotation (last graded r4)
-    "ann_cosine_topk",
     "ann_ivf_topk",
     "dedup_minhash_lsh",
-    "dedup_simhash_hamming",
-    "join_range_bucketed",
     # (agg_grouping_sets, agg_percentile_disc, pivot_event_matrix,
     # q3_shipping_priority, dedup_ngram_jaccard,
-    # join_broadcast_brand_revenue — r4-graded, displaced by the six
-    # late-r10 births above; their families stay anchored in-window
-    # (agg_cube_orders / agg_rollup_flags / dedup_minhash_lsh /
-    # join_range_bucketed) and the full-registry pytest parity covers
+    # join_broadcast_brand_revenue, ann_cosine_topk,
+    # dedup_simhash_hamming, join_range_bucketed — r4-graded,
+    # displaced by the nine late-r10 births above; their families
+    # stay anchored in-window (agg_cube_orders / agg_rollup_flags /
+    # dedup_minhash_lsh / join_anti+left+semi / ann_ivf_topk +
+    # the three PQ births) and the full-registry pytest parity covers
     # every rotated-out name.)
 ]
 

@@ -218,6 +218,9 @@ BNLJ_BY_DESIGN = {
     # bounded query-slice broadcast against the corpus (margin mining,
     # same shape as ann_cosine_topk)
     "pairgen_bitext_margin",
+    # bounded query-set broadcast against the corpus (the brute-force
+    # truth side of the PQ recall audit, same shape as ann_ivf_recall)
+    "ann_pq_recall_report",
     # 8-row checkpoint-grid broadcast onto the vocab/doc dimensions
     "report_heaps_law",
     # 1-row corpus-doc-count broadcast onto the vocabulary dimension

@@ -229,3 +229,78 @@ class TestJaccardBandCounts:
                 ).collect()
             }
             assert got == expected, f"cap={cap}"
+
+
+class TestPqTopk:
+    def test_reconstruction_beats_random_and_is_deterministic(self, spark, sf_dir):
+        """PQ top-k must strongly overlap the exact int8 ranking (the
+        codes preserve locality) and be run-to-run identical."""
+        from protarrow_spark.sources.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3)
+        a = similarity.pq_topk(emb, qs, k=10).collect()
+        b = similarity.pq_topk(emb, qs, k=10).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        exact = similarity.int8_topk(emb, qs, k=10).collect()
+        ex = {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got = {}
+        for r in a:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # 8-byte codes are lossy; require clearly-better-than-chance
+        # overlap with the exact ranking (chance ~ 10/500 per query;
+        # measured 13/30 at the default M=8 K=128 config)
+        overlaps = [len(ex[q] & got[q]) for q in ex]
+        assert sum(overlaps) >= 8, overlaps
+
+    def test_identical_vectors_share_codes(self, spark):
+        rows = [(i, [float(i % 2)] * 64) for i in range(20)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        qs = df.filter(F.col("vec_id") == 0)
+        out = similarity.pq_topk(df, qs, k=19).collect()
+        # all even vectors are identical to the query -> identical codes
+        # -> identical (maximal) ADC scores; odd vectors likewise tie
+        # below them. Ranks break ties by neighbor id.
+        evens = [r for r in out if r["neighbor_id"] % 2 == 0]
+        assert len({r["score_pq"] for r in evens}) == 1
+        top = max(r["score_pq"] for r in out)
+        assert all(r["score_pq"] == top for r in evens)
+
+
+class TestIvfPq:
+    def test_subset_of_pq_scores_and_cells(self, spark, sf_dir):
+        """IVF-PQ results must be exactly the PQ-ADC ranking restricted
+        to the query's probed cells: every (query, neighbor, score) it
+        returns appears with the identical integer score in the
+        unrestricted ADC scoring."""
+        from protarrow_spark.sources.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3)
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["score_pq"]
+            for r in similarity.pq_topk(emb, qs, k=500).collect()
+        }
+        composite = similarity.ivfpq_topk(emb, qs, k=5).collect()
+        assert composite, "IVF-PQ returned nothing"
+        for r in composite:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in full
+            assert full[key] == r["score_pq"]
+
+
+class TestPqRecallReport:
+    def test_report_shape_and_bounds(self, spark, sf_dir):
+        from protarrow_spark.queries.pipeline import (
+            PQ_AUDIT_K,
+            ann_pq_recall_report,
+        )
+
+        rows = ann_pq_recall_report(spark, sf_dir).collect()
+        assert len(rows) == 5  # one per query vector
+        for r in rows:
+            assert r["n_truth"] == PQ_AUDIT_K
+            assert 0 <= r["n_hits"] <= PQ_AUDIT_K
+            assert abs(r["recall_at_k"] - r["n_hits"] / r["n_truth"]) < 1e-12
