@@ -1287,31 +1287,38 @@ def _pq_index(
     ``codes``: (id, codes array<int> of length n_subspaces).
     ``lut``: (query_id, m, j, dot) — integer ADC lookup table, one row
     per (query, subspace, codeword).
+
+    Quantization runs in numpy (:func:`_np_quantize_int8` — the exact
+    elementwise op sequence of :func:`quantize_int8`, so values are
+    bit-identical) fused into the encode UDF: the md5 codebook ranking
+    needs only ids, so the corpus is never quantized by interpreted
+    JVM lambdas on this path — one vectorized pass total.
     """
-    q8 = quantize_int8(corpus, id_col, vec_col)
     cb_rows = (
-        q8.select(id_col, "q")
+        corpus.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(codebook_k)
         .collect()
     )
-    dim = len(cb_rows[0]["q"])
+    dim = len(cb_rows[0][vec_col])
     sub = dim // n_subspaces
     # C[j, m, :] = codeword j's subvector in subspace m
-    C = np.array(
+    C = np.stack(
         [
-            [list(r["q"][m * sub : (m + 1) * sub]) for m in range(n_subspaces)]
+            _np_quantize_int8(r[vec_col]).reshape(n_subspaces, sub)
             for r in cb_rows
-        ],
-        dtype=np.int64,
+        ]
     )
 
     @F.pandas_udf("array<int>")
-    def pq_codes(qs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(x, dtype=np.int64) for x in qs.values])
-        out = np.zeros((X.shape[0], n_subspaces), dtype=np.int32)
+    def pq_codes(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs.values])
+        s = np.abs(X).max(axis=1)
+        s[s == 0.0] = 1.0
+        Q = np.floor(X / s[:, None] * 127 + 0.5).astype(np.int64)
+        out = np.zeros((Q.shape[0], n_subspaces), dtype=np.int32)
         for m in range(n_subspaces):
-            Xm = X[:, m * sub : (m + 1) * sub]
+            Xm = Q[:, m * sub : (m + 1) * sub]
             Cm = C[:, m, :]
             d = (
                 (Xm * Xm).sum(1)[:, None]
@@ -1321,11 +1328,11 @@ def _pq_index(
             out[:, m] = np.argmin(d, axis=1)  # ties -> smallest index
         return pd.Series(list(out))
 
-    codes = q8.select(F.col(id_col), pq_codes(F.col("q")).alias("codes"))
+    codes = corpus.select(F.col(id_col), pq_codes(F.col(vec_col)).alias("codes"))
 
     lut_rows = []
-    for qr in quantize_int8(queries, id_col, vec_col).collect():
-        qv = np.asarray(qr["q"], dtype=np.int64)
+    for qr in queries.select(id_col, vec_col).collect():
+        qv = _np_quantize_int8(qr[vec_col])
         for m in range(n_subspaces):
             for j in range(len(cb_rows)):
                 lut_rows.append(
@@ -1338,6 +1345,17 @@ def _pq_index(
                 )
     lut = corpus.sparkSession.createDataFrame(lut_rows, ["query_id", "m", "j", "dot"])
     return codes, lut
+
+
+def _np_quantize_int8(vec) -> "np.ndarray":
+    """Numpy mirror of :func:`quantize_int8`'s per-vector math, same
+    elementwise IEEE op order (abs-max scale; floor(x/s*127 + 0.5)) —
+    bit-identical values, verified by the PQ oracle-parity gates."""
+    x = np.asarray(vec, dtype=np.float64)
+    s = float(np.abs(x).max()) if x.size else 1.0
+    if s == 0.0:
+        s = 1.0
+    return np.floor(x / s * 127 + 0.5).astype(np.int64)
 
 
 def _pq_ranked(scored: DataFrame, k: int) -> DataFrame:
