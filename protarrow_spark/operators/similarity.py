@@ -792,123 +792,131 @@ def mmr_select_int8(
 
     Exactness: vectors are int8-quantized (quantize_int8), relevance
     and pairwise similarity are INTEGER dot products (exact in any
-    accumulation order), and lambda = 1/2 is folded into the
-    integer-valued objective mmr2 = rel - max_sim (the x2-scaled MMR);
-    ties break on id. A single-threaded SQL oracle therefore
-    reproduces every selection bit-for-bit — a float MMR could flip
-    selections on accumulation order and would be unverifiable.
+    accumulation order — |dot| <= 127^2 * dim << 2^53), and
+    lambda = 1/2 is folded into the integer-valued objective
+    mmr2 = rel - max_sim (the x2-scaled MMR); ties break on id. A
+    single-threaded SQL oracle therefore reproduces every selection
+    bit-for-bit — a float MMR could flip selections on accumulation
+    order and would be unverifiable.
 
-    Scale: the greedy loop is ``k`` driver-unrolled steps in ONE
-    Catalyst plan. Per step the corpus moves nothing: the selected
-    set (< k rows of int8 vectors) broadcasts into a scan-stage
-    dot-product + max, and the winner is a 1-row TakeOrdered. The
-    quadratic term is k * n dot products, same cost class as the
-    brute-force scorer; for large k, localCheckpoint the selected
-    frame every ~10 steps (connected_components pattern).
+    Scale: the corpus is scanned ONCE into a materialized (id, q, rel)
+    frame (quantize + a vectorized int64 matmul against the collected
+    1-row query vector), then each greedy step is a SINGLE job: the
+    selected matrix S (< k int8 vectors — the same bounded
+    driver-held closure state as the IVF centroid table) rides into
+    an Arrow-batched max-dot kernel, and the winner comes back as a
+    1-row collect. k+2 bounded driver collects total (1 query vector,
+    k winners, 1 sizing count); the corpus itself never shuffles and
+    never reaches the driver. The r10 form instead ran 3 jobs per
+    step (collect_list aggregate, broadcast-scored TakeOrdered, eager
+    checkpoint) plus per-step broadcast builds — measured 2.6x slower
+    at sf0.1 for identical output (benchmarks/BENCH_AB_R11.json).
 
     Output: sel_order (1-based), id, rel, max_sim, mmr2 (all bigint;
     max_sim = 0 for the first pick).
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from protarrow_spark.sources.tables import spread
 
-    qz = quantize_int8(spread(corpus), id_col, vec_col).select(F.col(id_col), "q")
+    spark = corpus.sparkSession
+    sp = spread(corpus)
+    out_schema = StructType(
+        [
+            StructField("sel_order", LongType(), False),
+            StructField(id_col, sp.schema[id_col].dataType, True),
+            StructField("rel", LongType(), True),
+            StructField("max_sim", LongType(), True),
+            StructField("mmr2", LongType(), True),
+        ]
+    )
+    qz = quantize_int8(sp, id_col, vec_col).select(F.col(id_col), "q")
+    qv_rows = qz.filter(F.col(id_col) == query_id).select("q").limit(1).collect()
+    if not qv_rows:
+        return spark.createDataFrame([], out_schema)
+    qvec = np.asarray(qv_rows[0]["q"], dtype=np.int64)
 
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    @F.pandas_udf("double")
+    def _rel(q: pd.Series) -> pd.Series:
+        if q.empty:
+            return pd.Series([], dtype=np.float64)
+        Q = np.stack([np.asarray(v, dtype=np.int64) for v in q.values])
+        return pd.Series((Q @ qvec).astype(np.float64))
 
-    qv = qz.filter(F.col(id_col) == query_id).select(F.col("q").alias("__qv"))
-    # Materialize (id, q, rel) ONCE: every unrolled step references it
-    # 2-3 times (anti-join, scoring, winner join-back), and without
-    # the barrier Catalyst re-runs the interpreted quantization fold
-    # per reference — the same scan-once barrier pagerank puts on its
-    # edge list (measured 17.2s -> ~2s at sf0.1 on local[32]).
+    # Materialize (id, q, rel) ONCE: every greedy step rescans it, and
+    # without the barrier Catalyst would re-run quantization per step.
     cand = (
         qz.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(qv))
-        .select(F.col(id_col), "q", idot(F.col("q"), F.col("__qv")).alias("rel"))
+        .select(F.col(id_col), "q", _rel(F.col("q")).alias("rel"))
         .localCheckpoint(eager=True)
     )
     # Right-size partitioning for the k sequential scoring passes:
     # each step launches an Arrow-UDF stage over cand, so on a small
     # candidate set per-task overhead dominates — pack ~8k vectors
     # per partition (a 2k-row corpus collapses to 1 task/step; a
-    # billion-row corpus still fans out to ~128k tasks).
+    # billion-row corpus still fans out to ~128k tasks). The count is
+    # free: cand is already materialized.
     n_parts = max(1, -(-cand.count() // 8192))
     if n_parts < cand.rdd.getNumPartitions():
         cand = cand.coalesce(n_parts)
-    sel = None
+
+    sel_rows: list[tuple] = []
+    taken_ids: list = []
+    sel_vecs: list[np.ndarray] = []
     for t in range(1, k + 1):
-        if sel is None:
-            nxt = (
+        if not sel_vecs:
+            rows = (
                 cand.orderBy(F.desc("rel"), F.asc(id_col))
                 .limit(1)
-                .select(
-                    F.lit(1).alias("sel_order"),
-                    F.col(id_col),
-                    F.col("q"),
-                    F.col("rel"),
-                    F.lit(0.0).alias("max_sim"),
-                    F.col("rel").alias("mmr2"),
-                )
+                .select(id_col, "q", "rel")
+                .collect()
             )
+            if not rows:
+                break
+            r = rows[0]
+            max_sim = 0
+            mmr2 = int(r["rel"])
         else:
-            # The selected set rides as ONE array<array> cell; the
-            # per-candidate max-similarity is a vectorized int64
-            # matmul per Arrow batch (exact — |dot| <= 127^2 * dim
-            # << 2^53), not an interpreted per-pair fold: same
-            # bit-exactness argument as int8_topk, ~10x faster.
-            smat = sel.agg(F.collect_list("q").alias("__smat"))
+            smat = np.stack(sel_vecs)
 
-            @F.pandas_udf("double")
-            def _max_dot(q: pd.Series, smat_col: pd.Series) -> pd.Series:
-                if q.empty:
-                    return pd.Series([], dtype=np.float64)
-                S = np.array(
-                    [np.asarray(v, dtype=np.int64) for v in smat_col.iloc[0]]
-                )
-                Q = np.stack([np.asarray(v, dtype=np.int64) for v in q.values])
-                return pd.Series((Q @ S.T).max(axis=1).astype(np.float64))
+            def _make_max_dot(_s: np.ndarray):
+                @F.pandas_udf("double")
+                def _max_dot(q: pd.Series) -> pd.Series:
+                    if q.empty:
+                        return pd.Series([], dtype=np.float64)
+                    Q = np.stack(
+                        [np.asarray(v, dtype=np.int64) for v in q.values]
+                    )
+                    return pd.Series((Q @ _s.T).max(axis=1).astype(np.float64))
 
-            scored = (
-                cand.join(F.broadcast(sel.select(id_col)), id_col, "left_anti")
-                .crossJoin(F.broadcast(smat))
+                return _max_dot
+
+            _max_dot = _make_max_dot(smat)
+
+            rows = (
+                cand.filter(~F.col(id_col).isin(taken_ids))
                 .select(
                     F.col(id_col),
                     "q",
                     "rel",
-                    _max_dot(F.col("q"), F.col("__smat")).alias("max_sim"),
+                    _max_dot(F.col("q")).alias("max_sim"),
                 )
-            )
-            nxt = (
-                scored.withColumn("mmr2", F.col("rel") - F.col("max_sim"))
+                .withColumn("mmr2", F.col("rel") - F.col("max_sim"))
                 .orderBy(F.desc("mmr2"), F.asc(id_col))
                 .limit(1)
-                .select(
-                    F.lit(t).alias("sel_order"),
-                    F.col(id_col),
-                    F.col("q"),
-                    F.col("rel"),
-                    F.col("max_sim"),
-                    F.col("mmr2"),
-                )
+                .collect()
             )
-        # Each winner is ONE row; eagerly checkpointing it truncates
-        # the recursive plan — step t references sel twice (selected
-        # matrix + anti-join), so without the barrier the step-(t-1)
-        # scoring subplan would re-execute ~2^k times.
-        nxt = nxt.localCheckpoint(eager=True)
-        sel = nxt if sel is None else sel.unionByName(nxt)
-    return sel.select(
-        F.col("sel_order").cast("long").alias("sel_order"),
-        F.col(id_col),
-        F.col("rel").cast("long").alias("rel"),
-        F.col("max_sim").cast("long").alias("max_sim"),
-        F.col("mmr2").cast("long").alias("mmr2"),
-    )
+            if not rows:
+                break
+            r = rows[0]
+            max_sim = int(r["max_sim"])
+            mmr2 = int(r["mmr2"])
+        taken_ids.append(r[id_col])
+        sel_vecs.append(np.asarray(r["q"], dtype=np.int64))
+        sel_rows.append((t, r[id_col], int(r["rel"]), max_sim, mmr2))
+    return spark.createDataFrame(sel_rows, out_schema)
+
+
 
 
 #: SemDeDup within-cluster near-duplicate threshold, as the exact

@@ -175,8 +175,6 @@ BNLJ_BY_DESIGN = {
     # same 1-row rule broadcasts (training chain) + 1-row (N, T) stats row
     "text_bpe_encode",
     "text_bm25_topk",
-    # <k-row selected-set broadcast per greedy MMR step + 1-row query vec
-    "ann_mmr_select",
     # 1-row corpus-total broadcast onto the unigram dimension
     "score_unigram_surprisal",
     # 1-row corpus-total + 1-row weight-total broadcasts into the
