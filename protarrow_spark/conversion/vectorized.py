@@ -776,7 +776,7 @@ def _ts_sec_nano(s, null, config):
 
     try:
         if config.timestamp_type == "long_nanos":
-            nanos_total = s.fillna(0).to_numpy(dtype=np.int64)
+            nanos_total = s.where(s.notna(), 0).to_numpy(dtype=np.int64)
             sec = nanos_total // 1_000_000_000
             nano = nanos_total - sec * 1_000_000_000
         else:
@@ -882,7 +882,7 @@ def _wkt_sub_columns(mtype: MessageType, cells, n, null, config):
     if name == DURATION.full_name:
         if config.duration_type == "long_nanos":
             try:
-                ns = s.fillna(0).to_numpy(dtype=np.int64)
+                ns = s.where(s.notna(), 0).to_numpy(dtype=np.int64)
             except (TypeError, ValueError) as exc:
                 raise Unvectorizable(str(exc)) from exc
             sec = ns // 1_000_000_000
@@ -945,7 +945,7 @@ def _wkt_sub_columns(mtype: MessageType, cells, n, null, config):
         return [pd.Series(y), pd.Series(mo), pd.Series(d)]
     if name == TIME_OF_DAY.full_name:
         try:
-            total = s.fillna(0).to_numpy(dtype=np.int64)
+            total = s.where(s.notna(), 0).to_numpy(dtype=np.int64)
         except (TypeError, ValueError) as exc:
             raise Unvectorizable(str(exc)) from exc
         nanos = total % 1_000_000_000
@@ -1480,7 +1480,7 @@ def compile_batch_to_wire(
                     flen = np.where(skip, 0, len(tag) + lnb + plen)
             elif kind is Kind.BOOL:
                 try:
-                    v = s.fillna(False).to_numpy(dtype=bool)
+                    v = s.where(s.notna(), False).to_numpy(dtype=bool)
                 except (TypeError, ValueError) as exc:
                     raise Unvectorizable(str(exc)) from exc
                 u = v.astype(np.uint64)
@@ -1510,7 +1510,7 @@ def compile_batch_to_wire(
                 flen = np.where(skip, 0, len(tag) + width)
             elif kind in (Kind.FIXED64, Kind.SFIXED64, Kind.FIXED32, Kind.SFIXED32):
                 try:
-                    v = s.fillna(0).to_numpy(dtype=np.int64)
+                    v = s.where(s.notna(), 0).to_numpy(dtype=np.int64)
                 except (TypeError, ValueError) as exc:
                     raise Unvectorizable(str(exc)) from exc
                 if kind in (Kind.FIXED32, Kind.SFIXED32):
@@ -1529,7 +1529,7 @@ def compile_batch_to_wire(
                 flen = np.where(skip, 0, len(tag) + width)
             else:  # varint family: int32/64, uint32/64, sint32/64, enum(int)
                 try:
-                    v = s.fillna(0).to_numpy(dtype=np.int64)
+                    v = s.where(s.notna(), 0).to_numpy(dtype=np.int64)
                 except (TypeError, ValueError) as exc:
                     raise Unvectorizable(str(exc)) from exc
                 _range_check(kind, v, ~null, bad)

@@ -299,7 +299,7 @@ def _int_col(col, n):
 
     if isinstance(col, np.ndarray) and col.dtype != object:
         return col.astype(np.int64, copy=False)
-    return pd.Series(col).fillna(0).to_numpy(dtype=np.int64)
+    return pd.Series(col).pipe(lambda s: s.where(s.notna(), 0)).to_numpy(dtype=np.int64)
 
 
 def _wkt_values(mtype, sub_cols, m, live, config):
