@@ -136,6 +136,24 @@ def ngram_jaccard_pairs(
                 include_sizes=include_sizes,
             )
 
+    return _jaccard_sparse_pairs(
+        grams, sizes, vocab, id_col, threshold, max_df, include_sizes
+    )
+
+
+def _jaccard_sparse_pairs(
+    grams: DataFrame,
+    sizes: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int,
+    include_sizes: bool = False,
+) -> DataFrame:
+    """Sparse-regime pair join over ALREADY-BUILT shingle frames, so
+    callers that computed grams/sizes for their own probing (the
+    threshold sweep's band histogram) don't pay the shingle explode
+    and vocab aggregation twice on the fallback path."""
     rare_shingles = vocab.filter(F.col("df_g") <= max_df)
     rare = grams.join(rare_shingles.select("g"), "g")
     a = rare.select(F.col(id_col).alias("doc_a"), "g")
@@ -848,6 +866,12 @@ def ngram_containment_pairs(
 #: distinct documents is corpus-duplicated text.
 SUBSTRING_WINDOW = 32
 
+#: Window positions per segment row in substring_window_profile's
+#: two-level expansion: caps the in-flight per-row window array at
+#: ~_SUBSTRING_CHUNK * window-length chars (a few MB) no matter how
+#: large the source document is.
+_SUBSTRING_CHUNK = 8192
+
 
 def substring_window_profile(
     df: DataFrame,
@@ -879,6 +903,16 @@ def substring_window_profile(
     on the id. Never all-pairs. Raise ``stride`` to trade recall for
     a proportionally smaller stream at 100 TB (stride s still detects
     every duplicated run >= length + s - 1 chars).
+
+    Memory bound: the window expansion is TWO-LEVEL — documents are
+    first cut into overlapping segments of ``_SUBSTRING_CHUNK``
+    window positions (each segment row carries only its own
+    ~chunk*stride + length chars of text), and only a segment's
+    windows materialize as one in-flight array (~chunk * length
+    chars, a few MB). A single-level transform+explode would instead
+    inflate a document into length/stride x its size INSIDE one row
+    (a 10 MB document -> ~320 MB with 32-char windows) — executor
+    OOM territory at the 100 TB target.
     """
     text = F.col(text_col)
     base = spread(
@@ -887,12 +921,37 @@ def substring_window_profile(
         )
     )
     t = F.col("__text")
-    starts = F.sequence(F.lit(1), F.length(t) - length + 1, F.lit(stride))
-    wins = base.select(
+    # Level 1: segment rows. Segment k covers window positions
+    # [1 + k*span, min(k*span + span, n_starts)]; its text slice is
+    # span*stride + length - 1 chars, so consecutive segments overlap
+    # by length-1 chars and every global window lands in EXACTLY one
+    # segment at its original alignment (span is a multiple of
+    # stride, so the in-segment progression 1, 1+stride, ... maps to
+    # the global one).
+    span = _SUBSTRING_CHUNK * stride
+    n_starts = F.length(t) - length + 1
+    seg = base.select(
         F.col(id_col),
-        F.explode(F.transform(starts, lambda i: t.substr(i, F.lit(length)))).alias(
-            "sub"
-        ),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_starts, F.lit(span)),
+                lambda cs: t.substr(cs, F.lit(span + length - 1)),
+            )
+        ).alias("__ctext"),
+    )
+    # Level 2: windows within a segment.
+    wins = seg.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.length("__ctext") - length + 1,
+                    F.lit(stride),
+                ),
+                lambda i: F.col("__ctext").substr(i, F.lit(length)),
+            )
+        ).alias("sub"),
     )
     # Distinct-then-count beats a groupBy(sub, id).count() pair
     # aggregation AND a window-count formulation at the sf1 decade
@@ -953,8 +1012,8 @@ def jaccard_band_counts(
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     if dense_vocab_cap:
-        vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
         probe = vocab.limit(dense_vocab_cap + 1).collect()
         if len(probe) <= dense_vocab_cap:
             h = _jaccard_dense_blocked(
@@ -973,15 +1032,11 @@ def jaccard_band_counts(
             )
     # Sparse regime: the pair stream stays JVM-side (no Arrow hop), so
     # banding after the inverted-index join costs one codegen'd
-    # projection; reuse the pair operator with sizes exposed.
-    pairs = ngram_jaccard_pairs(
-        df,
-        id_col,
-        text_col,
-        threshold=threshold,
-        n=n,
-        max_df=max_df,
-        include_sizes=True,
+    # projection; reuse the sparse join body WITH the frames already
+    # built above — the fallback must not pay the shingle explode and
+    # vocab aggregation a second time.
+    pairs = _jaccard_sparse_pairs(
+        grams, sizes, vocab, id_col, threshold, max_df, include_sizes=True
     )
     return (
         pairs.select(

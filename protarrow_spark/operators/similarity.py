@@ -1172,10 +1172,14 @@ def margin_topk_pairs(
     — the standard mined-bitext / cross-modal-alignment filter.
 
     Output: src_id, tgt_id (top-1 neighbor), cos_top1, margin,
-    accepted (margin >= threshold). One row per query with >= k
-    corpus candidates. Determinism: the top-k mean sums the ranked
-    cosines in rank order with a fixed parenthesization, so the margin
-    is bit-identical to a single-threaded oracle.
+    accepted (margin >= threshold). One row per query with >= 1
+    corpus candidate; a query with FEWER than ``k`` candidates still
+    emits its row, but the missing ranks contribute NULL to the top-k
+    sum, so ``margin`` and ``accepted`` are NULL for it (the oracle
+    agrees) — consumers wanting fully-ranked queries only should
+    filter ``accepted IS NOT NULL``. Determinism: the top-k mean sums
+    the ranked cosines in rank order with a fixed parenthesization, so
+    the margin is bit-identical to a single-threaded oracle.
 
     Scale: same shape as :func:`cosine_topk_bruteforce` — the bounded
     query set broadcasts, the corpus never shuffles, norms project
@@ -1308,7 +1312,15 @@ def _pq_index(
         .limit(codebook_k)
         .collect()
     )
+    if not cb_rows:
+        raise ValueError("PQ index requires a non-empty corpus")
     dim = len(cb_rows[0][vec_col])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by n_subspaces "
+            f"{n_subspaces}; trailing dimensions would be silently "
+            "dropped from codes and ADC scores"
+        )
     sub = dim // n_subspaces
     # C[j, m, :] = codeword j's subvector in subspace m
     C = np.stack(

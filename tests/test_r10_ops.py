@@ -170,34 +170,26 @@ class TestDownweightDuplicates:
 
 
 class TestCharEntropy:
-    def test_extremes(self, spark):
-        # single repeated char -> 0 bits; distinct chars -> ~log2(n)
+    def test_extremes(self, spark, tmp_path):
+        # single repeated char -> 0 bits; distinct chars -> ~log2(n).
+        # Exercise the REAL registered query (not a re-implementation)
+        # by pointing it at a temp documents table.
         df = spark.createDataFrame(
             [(1, "aaaaaaaaaaaaaaaa"), (2, "abcdefghijklmnop")],
             ["doc_id", "text"],
         )
-        from protarrow_spark.operators import text as _  # noqa: F401
-        from protarrow_spark.queries import all_queries
+        df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+        from protarrow_spark.queries.pipeline import text_char_entropy
 
-        # call the registered query body directly on a temp view-less
-        # frame: reuse the operator expression by rebuilding it here
-        import pyspark.sql.functions as F
-
-        chars = df.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
-        cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-        lens = df.select("doc_id", F.length("text").alias("n"))
-        bits = cc.join(lens, "doc_id").select(
-            "doc_id", "n", "c",
-            (F.length(F.bin(F.expr("n div c"))) - 1).cast("long").alias("b"),
-        )
         out = {
             r["doc_id"]: r
-            for r in bits.groupBy("doc_id", "n")
-            .agg(F.expr("sum(c * b) * 1000 div first(n)").alias("em"))
-            .collect()
+            for r in text_char_entropy(spark, str(tmp_path)).collect()
         }
-        assert out[1]["em"] == 0  # floor(log2(16/16)) = 0 bits
-        assert out[2]["em"] == 4000  # 16 distinct chars -> 4 bits each
+        assert out[1]["entropy_millibits"] == 0  # floor(log2(16/16)) = 0
+        assert out[1]["distinct_chars"] == 1
+        assert out[2]["entropy_millibits"] == 4000  # 16 distinct -> 4 bits
+        assert out[2]["distinct_chars"] == 16
+        assert out[1]["n_chars"] == out[2]["n_chars"] == 16
 
 
 class TestJaccardBandCounts:
