@@ -291,8 +291,16 @@ class TestPqRecallReport:
         )
 
         rows = ann_pq_recall_report(spark, sf_dir).collect()
-        assert len(rows) == 5  # one per query vector
+        # one row per (config, query vector): 2 configs x 5 queries
+        assert len(rows) == 10
+        assert {r["config"] for r in rows} == {"m8_k128", "m16_k256"}
         for r in rows:
             assert r["n_truth"] == PQ_AUDIT_K
             assert 0 <= r["n_hits"] <= PQ_AUDIT_K
             assert abs(r["recall_at_k"] - r["n_hits"] / r["n_truth"]) < 1e-12
+        # the comparison row must show the tradeoff: the 2x-bytes
+        # config strictly improves TOTAL recall on the gate data
+        tot = {c: 0 for c in ("m8_k128", "m16_k256")}
+        for r in rows:
+            tot[r["config"]] += r["n_hits"]
+        assert tot["m16_k256"] > tot["m8_k128"]
