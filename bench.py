@@ -209,6 +209,10 @@ HEADLINE = [
     "ann_pq_recall_report",
     # IVF-PQ composite index (late r10)
     "ann_ivfpq_topk",
+    # two-scale exact-substring dedup profile (r11)
+    "dedup_substring_multiscale",
+    # train->eval vs eval->train containment asymmetry audit (r11)
+    "report_contamination_direction",
 ]
 
 

@@ -5234,6 +5234,182 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Second window length for the multi-scale substring profile: the
+#: long scale (2x the base 32) separates short boilerplate snippets
+#: (duplicated at 32 but not 64) from long verbatim runs (duplicated
+#: at both) — a 2-point approximation of the length-free Lee et al.
+#: suffix-array pass.
+_SUBL2 = 2 * dedup.SUBSTRING_WINDOW
+
+
+def _substring_oracle_block(length: int, sfx: str) -> str:
+    """One window length's per-doc duplication profile CTEs, suffixed
+    so two scales coexist in one statement (mirrors
+    dedup_substring_windows' oracle with a window_len label)."""
+    return f"""d{sfx} AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {length}
+),
+w{sfx} AS (
+  SELECT doc_id,
+         unnest([substr(text, i, {length})
+                 for i in range(1, length(text) - {length} + 2)]) AS sub
+  FROM d{sfx}
+),
+dup{sfx} AS (
+  SELECT sub FROM (SELECT DISTINCT doc_id, sub FROM w{sfx})
+  GROUP BY sub HAVING COUNT(*) >= 2
+),
+hits{sfx} AS (
+  SELECT w{sfx}.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+  FROM w{sfx} JOIN dup{sfx} USING (sub) GROUP BY w{sfx}.doc_id
+),
+rep{sfx} AS (
+  SELECT CAST({length} AS BIGINT) AS window_len, d{sfx}.doc_id,
+         CAST(length(d{sfx}.text) - {length} + 1 AS BIGINT) AS n_windows,
+         CAST(COALESCE(hits{sfx}.n_dup, 0) AS BIGINT) AS n_dup_windows,
+         CAST(COALESCE(hits{sfx}.n_dup, 0) * 1000
+              // (length(d{sfx}.text) - {length} + 1) AS BIGINT) AS dup_millis
+  FROM d{sfx} LEFT JOIN hits{sfx} USING (doc_id)
+)"""
+
+
+@query(
+    "dedup_substring_multiscale",
+    oracle=f"""
+WITH {_substring_oracle_block(dedup.SUBSTRING_WINDOW, "_s")},
+{_substring_oracle_block(_SUBL2, "_l")}
+SELECT * FROM rep_s UNION ALL SELECT * FROM rep_l
+""",
+)
+def dedup_substring_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale exact-substring dedup profile: the fixed-window
+    pass (dedup_substring_windows) run at TWO window lengths (32 and
+    64 chars) and stacked with a window_len label — a 2-point
+    approximation of the length-free Lee et al. 2022 suffix-array
+    dedup. A document duplicated at 32 but NOT at 64 carries short
+    boilerplate snippets (navigation chrome, license headers); one
+    duplicated at both carries long verbatim runs (true copies) —
+    the distinction drives remove-the-span vs remove-the-document
+    decisions downstream.
+
+    Scale: two independent window streams (~chars/stride rows each,
+    the documented suffix-array-equivalent amplification), each with
+    the bounded two-level segment expansion; they never join each
+    other — the stack is a unionByName of two per-doc rollups."""
+    docs = table(spark, sf_dir, "documents")
+    parts = []
+    for length in (dedup.SUBSTRING_WINDOW, _SUBL2):
+        parts.append(
+            dedup.substring_window_profile(
+                docs, "doc_id", "text", length=length
+            ).select(
+                F.lit(length).cast("long").alias("window_len"),
+                "doc_id",
+                "n_windows",
+                "n_dup_windows",
+                "dup_millis",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@query(
+    "report_contamination_direction",
+    oracle=f"""
+WITH {_toks_cte()},
+{_grams_cte(DECON_N)},
+ev AS (SELECT doc_id, g FROM dg WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, g FROM dg WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+eval_set AS (SELECT DISTINCT g FROM ev),
+train_hits AS (SELECT tr.doc_id, tr.g FROM tr JOIN eval_set USING (g)),
+shared AS (SELECT DISTINCT g FROM train_hits),
+tr_sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+tr_rep AS (
+  SELECT 'train_gram_in_eval' AS direction, h.doc_id,
+         CAST(s.n_grams AS BIGINT) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(COUNT(*) * 1000 // s.n_grams AS BIGINT) AS containment_millis
+  FROM train_hits h JOIN tr_sizes s USING (doc_id)
+  GROUP BY h.doc_id, s.n_grams
+),
+ev_rep AS (
+  SELECT 'eval_gram_in_train' AS direction, e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(sh.g) AS BIGINT) AS n_shared,
+         CAST(COUNT(sh.g) * 1000 // COUNT(*) AS BIGINT) AS containment_millis
+  FROM ev e LEFT JOIN shared sh USING (g)
+  GROUP BY e.doc_id
+)
+SELECT * FROM tr_rep UNION ALL SELECT * FROM ev_rep
+""",
+)
+def report_contamination_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination DIRECTION audit: text_decontaminate tells you
+    WHICH training docs share eval n-grams; this reports the
+    asymmetry that decides what to do about it. Per contaminated
+    TRAIN doc: what fraction of ITS distinct {DECON_N}-grams lie in
+    the eval set (high -> the train doc is essentially an eval copy
+    — drop it). Per EVAL doc (all of them, clean ones at 0): what
+    fraction of its grams occur anywhere in train (high -> the
+    benchmark itself leaked — distrust the score, whatever you drop
+    from train). The same pair can legitimately score high one way
+    and low the other (a benchmark quoted inside a much larger train
+    doc), which is exactly why one-directional containment audits
+    misjudge.
+
+    Scale: the eval gram set is benchmark-sized and BROADCASTS (the
+    text_decontaminate topology); train never shuffles for the match
+    — only the per-train-doc gram counts pay one map-side-combined
+    doc-keyed aggregation. The shared-gram set (bounded by the eval
+    set) broadcasts back onto the eval grams for the reverse
+    direction. Output: direction, doc_id, n_grams (distinct grams of
+    the doc), n_shared, containment_millis (exact integer millis).
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = dedup.doc_shingles(docs, "doc_id", "text", DECON_N)
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev = grams.filter(is_eval)
+    tr = grams.filter(~is_eval)
+    eval_set = ev.select("g").distinct()
+    train_hits = tr.join(F.broadcast(eval_set), "g")
+    shared = train_hits.select("g").distinct()
+    tr_sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    tr_rep = (
+        train_hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(tr_sizes, "doc_id")
+        .select(
+            F.lit("train_gram_in_eval").alias("direction"),
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "n_shared",
+            F.expr("n_shared * 1000 div n_grams")
+            .cast("long")
+            .alias("containment_millis"),
+        )
+    )
+    ev_rep = (
+        ev.join(
+            F.broadcast(shared.withColumn("__hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .select(
+            F.lit("eval_gram_in_train").alias("direction"),
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.expr("n_shared * 1000 div n_grams")
+            .cast("long")
+            .alias("containment_millis"),
+        )
+    )
+    return tr_rep.unionByName(ev_rep)
+
+
 _MK = similarity.MARGIN_TOPK
 _MT = similarity.MARGIN_THRESHOLD
 #: Query-set selector for margin mining: a bounded, broadcastable
