@@ -103,87 +103,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # ROUND-10 ROTATION. Cumulative driver coverage reached 100% in
-    # r9, so from r10 the window is: (1) this round's BIRTHS (graded
-    # in their birth round, the standing convention), (2) anchors on
-    # the surfaces r10 code touched — the vectorized wire codec gained
-    # its final quarter (WKTs, repeated messages, message-valued maps,
-    # recursive types) in BOTH halves, so every conv_* query re-grades;
-    # the JPEG ns=0 fuzz fix + the blob-fixture cache-version change
-    # touch the jpeg decode queries — and (3) the 35 LONGEST-UNGRADED
-    # queries (last driver grade r2-r4), rotating staleness out.
-    # Rotated-out queries stay oracle-verified every pytest run via
-    # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
-    # tools/gate_rehearsal.py before commit.
-    # -- ROUND-10 BIRTHS
-    "conv_roundtrip_wkt",
-    "conv_roundtrip_nested_repeated",
-    # late-r10 births: char-level exact-substring dedup, margin-based
-    # bitext mining, Heaps'-law vocab growth, TF-IDF keywords (each a
-    # new operator family; four r4-graded relational shapes rotate out
-    # below to make room — they stay oracle-verified every pytest run)
-    "dedup_substring_windows",
-    "pairgen_bitext_margin",
-    "report_heaps_law",
-    "text_keyword_tfidf",
-    "sample_downweight_duplicates",
-    "text_char_entropy",
-    "ann_pq_topk",
+    # ROUND-11 ROTATION. Standing convention: (1) this round's BIRTHS,
+    # (2) anchors on every surface r11 code touched — the MMR greedy
+    # loop was restructured to driver-held selection state, the PQ
+    # recall audit became a 2-config comparison, _pq_index gained
+    # validation, substring_window_profile switched to the two-level
+    # bounded expansion, the jaccard sparse path was factored for
+    # reuse, and the wire codec's fillna sites changed (warning-class,
+    # but anchor two conv gates anyway) — and (3) the longest-ungraded
+    # cohort: every remaining r4-graded query plus the 16 oldest
+    # r5-graded. Rotated-out queries stay oracle-verified every pytest
+    # run via tests/test_oracle_parity.py; rehearsed green at sf0.01
+    # via tools/gate_rehearsal.py before commit.
+    # -- ROUND-11 BIRTHS
+    "dedup_substring_multiscale",
+    "report_contamination_direction",
+    # -- touched-code anchors (r11 edits)
+    "ann_mmr_select",
     "ann_pq_recall_report",
+    "ann_pq_topk",
     "ann_ivfpq_topk",
-    # -- codec anchors: both vectorized halves rewritten this round
+    "dedup_substring_windows",
+    "dedup_threshold_sweep",
+    "dedup_threshold_sweep_sampled",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "conv_roundtrip_wkt",
     "conv_roundtrip_events",
-    "conv_roundtrip_repeated",
-    "conv_roundtrip_map",
-    "conv_oneof_roundtrip",
-    "conv_encode_error_tolerance",
-    "conv_decode_corrupt_tolerance",
-    "conv_encode_fixture",
-    # -- jpeg anchors: ns=0 validation + fixture-cache version token
-    "mm_image_features_jpeg",
-    "mm_image_features_jpeg_color",
-    "mm_image_features_jpeg_progressive",
-    "mm_thumbnail_jpeg",
-    # -- longest-ungraded rotation (last graded r2)
-    "subquery_above_avg_parts",
-    # -- longest-ungraded rotation (last graded r3)
-    "agg_cube_orders",
-    "agg_distinct_users",
-    "agg_rollup_flags",
-    "ann_lsh_bucketed_topk",
-    "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "join_anti_dormant_customers",
-    "join_left_outer_order_items",
-    "join_semi_active_customers",
-    "mm_audio_windows",
-    "mm_blob_metadata",
-    "mm_frame_sample",
-    "mm_resize_nearest",
-    "scalar_string_date_funcs",
-    "set_except_nations",
-    "set_intersect_segments",
-    "text_fingerprints",
-    "text_language_id",
-    "text_stats",
-    "text_tf_scores",
-    "text_token_bpe",
-    "window_lag_delta",
-    "window_running_revenue",
     # -- longest-ungraded rotation (last graded r4)
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    # (agg_grouping_sets, agg_percentile_disc, pivot_event_matrix,
-    # q3_shipping_priority, dedup_ngram_jaccard,
-    # join_broadcast_brand_revenue, ann_cosine_topk,
-    # dedup_simhash_hamming, join_range_bucketed — r4-graded,
-    # displaced by the nine late-r10 births above; their families
-    # stay anchored in-window (agg_cube_orders / agg_rollup_flags /
-    # dedup_minhash_lsh / join_anti+left+semi / ann_ivf_topk +
-    # the three PQ births) and the full-registry pytest parity covers
-    # every rotated-out name.)
+    "agg_grouping_sets",
+    "agg_percentile_disc",
+    "ann_cosine_topk",
+    "dedup_simhash_hamming",
+    "join_broadcast_brand_revenue",
+    "join_range_bucketed",
+    "mm_image_features",
+    "pivot_event_matrix",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "scalar_json_extract",
+    "score_quality_linear",
+    "set_union_priority_keys",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "stream_session_windows",
+    "text_winnow_fingerprint",
+    "window_sessionize",
+    "window_topk_per_segment",
+    # -- longest-ungraded rotation (last graded r5)
+    "agg_linreg_exact",
+    "ann_lsh_banded_topk",
+    "dedup_embedding_lsh_banded",
+    "dedup_incremental_lsh",
+    "dedup_span_clean",
+    "embed_random_projection",
+    "graph_triangle_count",
+    "join_salted_skew",
+    "layout_zorder_lineitem",
+    "mine_association_rules",
+    "mm_audio_fingerprint_match",
+    "pack_sequences",
+    "pipeline_rag_ingest",
+    "q1_pricing_summary",
+    "sample_stratified_sources",
+    "score_unigram_surprisal",
 ]
 
 
