@@ -211,6 +211,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     # two-scale exact-substring dedup profile (r11)
     "dedup_substring_multiscale",
+    # stride-sampled scale form of the substring profile (r11)
+    "dedup_substring_windows_sampled",
     # train->eval vs eval->train containment asymmetry audit (r11)
     "report_contamination_direction",
 ]

@@ -5241,6 +5241,62 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: suffix-array pass.
 _SUBL2 = 2 * dedup.SUBSTRING_WINDOW
 
+#: Stride for the sampled substring profile: every 4th alignment, a
+#: ~4x smaller window stream that still detects every duplicated run
+#: >= window + stride - 1 = 35 chars.
+SUBSTRING_STRIDE = 4
+
+
+@query(
+    "dedup_substring_windows_sampled",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {_SUBL}
+),
+w AS (
+  SELECT doc_id,
+         unnest([substr(text, i, {_SUBL})
+                 for i in range(1, length(text) - {_SUBL} + 2,
+                                {SUBSTRING_STRIDE})]) AS sub
+  FROM d
+),
+dup AS (
+  SELECT sub FROM (SELECT DISTINCT doc_id, sub FROM w)
+  GROUP BY sub HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+  FROM w JOIN dup USING (sub) GROUP BY w.doc_id
+),
+nw AS (
+  SELECT doc_id,
+         (length(text) - {_SUBL}) // {SUBSTRING_STRIDE} + 1 AS n_windows
+  FROM d
+)
+SELECT nw.doc_id,
+       CAST(nw.n_windows AS BIGINT) AS n_windows,
+       CAST(COALESCE(hits.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(hits.n_dup, 0) * 1000 // nw.n_windows AS BIGINT)
+         AS dup_millis
+FROM nw LEFT JOIN hits USING (doc_id)
+""",
+)
+def dedup_substring_windows_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of dedup_substring_windows (the
+    threshold_sweep_sampled pattern): stride-{SUBSTRING_STRIDE}
+    window alignments on BOTH the probe and index sides, a ~4x
+    smaller window stream that still flags every duplicated run of
+    at least window + stride - 1 chars — the knob a 100 TB run turns
+    instead of paying every alignment. Duplication rates are reported
+    against the SAMPLED position count, so dup_millis stays a
+    comparable parts-per-1000 profile."""
+    return dedup.substring_window_profile(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        stride=SUBSTRING_STRIDE,
+    )
+
 
 def _substring_oracle_block(length: int, sfx: str) -> str:
     """One window length's per-doc duplication profile CTEs, suffixed

@@ -54,6 +54,39 @@ class TestSubstringMultiscale:
         assert {r["window_len"] for r in rows} == {32}
 
 
+class TestSubstringSampled:
+    def test_stride_detects_long_runs_and_counts_sampled_positions(
+        self, spark, tmp_path
+    ):
+        """stride s detects every duplicated run >= window + s - 1;
+        n_windows counts SAMPLED alignments only."""
+        run = "".join(chr(97 + (i * 5) % 26) for i in range(40))  # 40 >= 32+4-1
+        rows = [
+            (1, run + "#" + "a" * 27),  # len 68
+            (2, run + "%" + "b" * 27),
+            (3, "q" * 68),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+        from protarrow_spark.queries.pipeline import (
+            SUBSTRING_STRIDE,
+            dedup_substring_windows_sampled,
+        )
+
+        assert SUBSTRING_STRIDE == 4
+        out = {
+            r["doc_id"]: r
+            for r in dedup_substring_windows_sampled(spark, str(tmp_path)).collect()
+        }
+        # 68 chars -> (68-32) div 4 + 1 = 10 sampled alignments
+        assert out[1]["n_windows"] == 10
+        # sampled starts 1,5,9 fall inside the shared 40-char run
+        # (start <= 40-32+1 = 9): exactly 3 duplicated sampled windows
+        assert out[1]["n_dup_windows"] == 3
+        assert out[2]["n_dup_windows"] == 3
+        assert out[3]["n_dup_windows"] == 0
+
+
 class TestContaminationDirection:
     def test_asymmetry(self, spark, tmp_path):
         """An eval doc quoted verbatim inside a much larger train doc:
