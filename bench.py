@@ -213,6 +213,8 @@ HEADLINE = [
     "dedup_substring_multiscale",
     # stride-sampled scale form of the substring profile (r11)
     "dedup_substring_windows_sampled",
+    # kNN label-noise audit over the embeddings label column (r11)
+    "dq_label_knn_consistency",
     # train->eval vs eval->train containment asymmetry audit (r11)
     "report_contamination_direction",
 ]

@@ -292,6 +292,101 @@ def _bucket_gram_pairs(
     )
 
 
+def knn_label_consistency(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_components: int = SIGN_BUCKET_COMPONENTS,
+) -> DataFrame:
+    """Per-vector kNN label agreement among LSH sign-bucket candidates
+    (the Confident-Learning mislabel screen): for each labeled vector,
+    how many of its ``k`` nearest bucket-mates (exact cosine) share
+    its label; ``suspect`` = the neighborhood majority disagrees.
+
+    Exactness: per bucket the cosine matrix comes from rank-1 Gram
+    accumulation (the _bucket_gram_pairs kernel) — every dot is the
+    identical left-to-right double fold the SQL oracle computes, so
+    the top-k selection (cosine DESC, id ASC via a STABLE argsort
+    over ascending-id columns) matches ROW_NUMBER bit-for-bit; the
+    agreement counts are exact integers.
+
+    Scale: the corpus shuffles ONCE onto its sign bucket; each
+    bucket's Gram + row-wise top-k runs as one numpy kernel, and only
+    the per-vector report rows leave the task — the pair stream never
+    materializes anywhere. Pick ``n_components`` so 2^n buckets bound
+    the per-bucket Gram (the embedding_neardup_pairs prescription);
+    a hot bucket splits by salting + cross-block rescore."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    keyed = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).cast("long").alias("__lbl"),
+        sign_bucket(F.col(vec_col), n_components).alias("bucket"),
+    )
+
+    def bucket_report(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_id_out": pd.Series([], dtype=object),
+                "label": pd.Series([], dtype=np.int64),
+                "n_nbrs": pd.Series([], dtype=np.int64),
+                "n_same_label": pd.Series([], dtype=np.int64),
+                "agree_millis": pd.Series([], dtype=np.int64),
+                "suspect": pd.Series([], dtype=bool),
+            }
+        )
+        if n < 2:
+            return empty
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
+        g = np.zeros((n, n))
+        for i in range(A.shape[1]):
+            g += A[:, i, None] * A[None, :, i]
+        nrm = np.sqrt(np.diag(g)).copy()
+        cos = g / (nrm[:, None] * nrm[None, :])
+        np.fill_diagonal(cos, -np.inf)  # self is never a neighbor
+        kk = min(k, n - 1)
+        # rows are in ascending id order, so a STABLE sort on -cosine
+        # breaks ties toward the smaller neighbor id — exactly the SQL
+        # ORDER BY cosine DESC, nid
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        labels = pdf["__lbl"].to_numpy(dtype=np.int64)
+        same = (labels[top] == labels[:, None]).sum(axis=1).astype(np.int64)
+        n_nbrs = np.full(n, kk, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id_out": pdf[id_col].values,
+                "label": labels,
+                "n_nbrs": n_nbrs,
+                "n_same_label": same,
+                "agree_millis": same * 1000 // n_nbrs,
+                "suspect": 2 * same < n_nbrs,
+            }
+        )
+
+    parallelism = keyed.sparkSession.sparkContext.defaultParallelism
+    out = (
+        keyed.repartition(parallelism, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(
+            bucket_report,
+            f"vec_id_out {id_type}, label long, n_nbrs long, "
+            "n_same_label long, agree_millis long, suspect boolean",
+        )
+    )
+    return out.select(
+        F.col("vec_id_out").alias(id_col),
+        "label",
+        "n_nbrs",
+        "n_same_label",
+        "agree_millis",
+        "suspect",
+    )
+
+
 def embedding_neardup_lsh_banded(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -616,6 +616,79 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+#: Neighborhood size for the label-consistency audit.
+LABEL_KNN_K = 5
+#: Sign-bucket width for the audit's candidate generation: 2^5 = 32
+#: buckets. More buckets than the neardup default (3) because EVERY
+#: vector is a query here, so per-bucket Gram cost is the whole
+#: query's cost — measured 15.2 -> 4.4 s at sf1 going 8 -> 32 buckets
+#: while the gate corpus keeps ~15-vector buckets (full k=5
+#: neighborhoods).
+LABEL_KNN_COMPONENTS = 5
+
+
+@query(
+    "dq_label_knn_consistency",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         {_lsh_bucket_sql('embedding', LABEL_KNN_COMPONENTS)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel,
+         b.vec_id AS nid, b.label AS nlabel,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, qlabel, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid) AS rank
+  FROM scored
+),
+nbrs AS (SELECT * FROM ranked WHERE rank <= {LABEL_KNN_K})
+SELECT qid AS vec_id,
+       CAST(qlabel AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS agree_millis,
+       2 * SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) < COUNT(*)
+         AS suspect
+FROM nbrs
+GROUP BY qid, qlabel
+""",
+)
+def dq_label_knn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (the Confident-Learning / kNN-majority
+    screen, Northcutt et al. 2021): for every labeled vector, how many
+    of its {LABEL_KNN_K} nearest neighbors (exact cosine among its
+    LSH sign-bucket candidates) share its label. ``suspect`` flags
+    vectors whose neighborhood MAJORITY disagrees — the review
+    work-list for mislabeled training examples, the label-quality
+    sibling of the dq_* data-quality family.
+
+    Scale: every vector is a query, so the broadcast-query ANN shape
+    does not apply — instead the corpus shuffles ONCE on the sign
+    bucket and candidates are bucket-local pairs (never all-pairs;
+    pick n_components so 2^n buckets bound the per-bucket candidate
+    count). The per-query top-k is a WindowGroupLimit that prunes
+    map-side; the rollup keys on the vector id. Exact integer
+    agreement counts keep the report hash-verifiable; only the rank
+    ordering rides on (engine-identical IEEE) cosine.
+    """
+    return similarity.knn_label_consistency(
+        spread(table(spark, sf_dir, "embeddings")),
+        k=LABEL_KNN_K,
+        n_components=LABEL_KNN_COMPONENTS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish token counting / SimHash hamming probing / IVF ANN
 # ---------------------------------------------------------------------------

@@ -119,6 +119,7 @@ GRADED_FIRST = [
     "dedup_substring_multiscale",
     "report_contamination_direction",
     "dedup_substring_windows_sampled",
+    "dq_label_knn_consistency",
     # -- touched-code anchors (r11 edits)
     "ann_mmr_select",
     "ann_pq_recall_report",
@@ -168,9 +169,9 @@ GRADED_FIRST = [
     "pack_sequences",
     "pipeline_rag_ingest",
     "q1_pricing_summary",
-    "sample_stratified_sources",
-    # (score_unigram_surprisal displaced to keep the window at 50 when
-    # the third birth landed; it stays oracle-verified every pytest run)
+    # (sample_stratified_sources and score_unigram_surprisal displaced
+    # to keep the window at 50 as the r11 births landed; both stay
+    # oracle-verified every pytest run)
 ]
 
 

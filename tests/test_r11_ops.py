@@ -87,6 +87,53 @@ class TestSubstringSampled:
         assert out[3]["n_dup_windows"] == 0
 
 
+class TestLabelKnnConsistency:
+    def test_planted_label_flip_is_suspect(self, spark, tmp_path):
+        """Two tight same-label clusters + one vector whose label was
+        flipped: the flipped vector's kNN majority disagrees ->
+        suspect; its cluster-mates stay majority-consistent."""
+        import numpy as np
+
+        # the audit buckets on the SIGNS of the first 5 components, so
+        # each cluster keeps a constant sign pattern there
+        rng = [
+            # cluster A: first five components all positive, label 0
+            *[(i, [1.0 + 0.01 * i, 1.0, 1.0, 0.5, 0.5, 0.1 * (i % 3), 0.0, 0.0], 0)
+              for i in range(6)],
+            # one A-located vector mislabeled as 1 — id 6
+            (6, [1.0, 1.0, 1.05, 0.5, 0.45, 0.05, 0.0, 0.0], 1),
+            # cluster B: first five components all negative, label 1
+            *[(7 + i,
+               [-1.0 - 0.01 * i, -1.0, -1.0, -0.5, -0.5, 0.1 * (i % 3), 0.0, 0.0],
+               1)
+              for i in range(6)],
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], lbl) for i, v, lbl in rng],
+            ["vec_id", "embedding", "label"],
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+        from protarrow_spark.queries.pipeline import dq_label_knn_consistency
+
+        out = {
+            r["vec_id"]: r
+            for r in dq_label_knn_consistency(spark, str(tmp_path)).collect()
+        }
+        # the mislabeled vector shares a sign bucket with cluster A
+        # (all-positive leading components), so its neighbors are all
+        # label 0 -> fully suspect
+        assert out[6]["n_same_label"] == 0
+        assert out[6]["suspect"] is True
+        assert out[6]["agree_millis"] == 0
+        # a genuine cluster-A member sees at most one disagreeing
+        # neighbor (the flipped one) among its 5
+        assert out[0]["n_same_label"] >= 4
+        assert out[0]["suspect"] is False
+        # cluster B is in the opposite sign bucket: no cross-cluster
+        # candidates, full agreement
+        assert out[8]["agree_millis"] == 1000
+
+
 class TestContaminationDirection:
     def test_asymmetry(self, spark, tmp_path):
         """An eval doc quoted verbatim inside a much larger train doc:
