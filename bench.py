@@ -220,6 +220,40 @@ HEADLINE = [
 ]
 
 
+# Host-steal probe (r12, VERDICT r11 item #1a). BASELINE.md's r11
+# characterization: this box suffers INTERMITTENT CPU STEAL — a fixed
+# 2048x4096x2048 float32 numpy matmul swings 0.095 -> 1.06 s (11x)
+# across back-to-back reps with zero local load, which poisoned the
+# r11 graded sweep (mm_image_features_jpeg read 15.13 s official vs
+# 1.34 s clean on identical code). The probe re-runs that exact
+# matmul between query segments and records every reading into the
+# artifact, so a poisoned sweep is detectable from the artifact
+# itself instead of by manual forensics.
+_PROBE_CLEAN_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN", "0.095"))
+_PROBE_POISON_RATIO = float(os.environ.get("SPARK_GRAFT_PROBE_RATIO", "2.0"))
+
+
+def _steal_probe(reps: int = 3) -> float:
+    """Best-of-`reps` wall seconds for the characterized fixed matmul.
+
+    min-of-3 answers "is the host stealing RIGHT NOW": a momentary
+    scheduler blip loses to the other two reps, a genuine steal window
+    (seconds long per BASELINE.md) elevates all three.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2048, 4096), dtype=np.float32)
+    b = rng.standard_normal((4096, 2048), dtype=np.float32)
+    a @ b  # untimed warm-up: first call pays BLAS thread-pool spin-up
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _refresh_baseline_row(payload: dict) -> None:
     """Regenerate BASELINE.md's 'query-layer headline wall' table row
     from the just-measured artifact, so the prose can never drift from
@@ -317,9 +351,25 @@ def main() -> None:
     # the compile.
     import gc
 
+    # Steal-probe cadence: at run start, every PROBE_EVERY queries
+    # (between queries, Spark idle), and at run end. Each reading is
+    # (query_index, best_of_3_sec); any reading above
+    # ratio x characterized-clean marks the run poisoned.
+    probe_every = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "25"))
+    probe_readings: list[list] = []
+
+    def probe(slot: int) -> None:
+        sec = round(_steal_probe(), 4)
+        probe_readings.append([slot, sec])
+        tag = "STEAL" if sec > _PROBE_POISON_RATIO * _PROBE_CLEAN_SEC else "ok"
+        print(f"BENCH PROBE at q{slot}: {sec}s [{tag}]", file=sys.stderr)
+
+    probe(0)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qi, name in enumerate(names):
+        if qi and probe_every > 0 and qi % probe_every == 0:
+            probe(qi)
         if qi and recycle_every > 0 and qi % recycle_every == 0:
             spark.stop()
             spark = fresh_session()
@@ -345,6 +395,9 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    probe(len(names))
+    worst_probe = max(s for _, s in probe_readings)
+    poisoned = worst_probe > _PROBE_POISON_RATIO * _PROBE_CLEAN_SEC
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -353,7 +406,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "steal_probe": {
+            "matmul": "2048x4096x2048 float32, best-of-3 per reading",
+            "clean_ref_sec": _PROBE_CLEAN_SEC,
+            "poison_ratio": _PROBE_POISON_RATIO,
+            "readings": probe_readings,
+            "max_sec": round(worst_probe, 4),
+            "poisoned": poisoned,
+        },
     }
+    if poisoned:
+        print(
+            f"BENCH POISONED: steal probe peaked at {worst_probe:.3f}s "
+            f"(> {_PROBE_POISON_RATIO}x clean {_PROBE_CLEAN_SEC}s) — "
+            "timings in this artifact include host CPU steal; do not "
+            "treat per-query drift as regression (BASELINE.md r11 "
+            "host-noise characterization)",
+            file=sys.stderr,
+        )
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
@@ -370,7 +440,10 @@ def main() -> None:
     except OSError as exc:
         print(f"BENCH WARN could not write {out_path}: {exc}", file=sys.stderr)
         out_path = None
-    if not only and abs(sf - 0.1) < 1e-9:
+    # Only a clean-probed full headline run may rewrite the official
+    # baseline row — a poisoned sweep embedding 11-17x steal into
+    # BASELINE.md is exactly the r11 failure this probe exists to stop.
+    if not only and abs(sf - 0.1) < 1e-9 and not poisoned:
         _refresh_baseline_row(payload)
     # LAST stdout line: a compact self-describing summary that survives
     # the driver's 2,000-char tail capture (the full line above is
@@ -385,6 +458,8 @@ def main() -> None:
         "cpus": cpus,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "steal_probe_max_sec": round(worst_probe, 4),
+        "steal_poisoned": poisoned,
         "queries_file": out_path and os.path.abspath(out_path),
     }
     print(json.dumps(summary))

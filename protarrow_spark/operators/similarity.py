@@ -299,11 +299,18 @@ def knn_label_consistency(
     label_col: str = "label",
     k: int = 5,
     n_components: int = SIGN_BUCKET_COMPONENTS,
+    max_bucket_rows: int = 16384,
 ) -> DataFrame:
     """Per-vector kNN label agreement among LSH sign-bucket candidates
     (the Confident-Learning mislabel screen): for each labeled vector,
     how many of its ``k`` nearest bucket-mates (exact cosine) share
     its label; ``suspect`` = the neighborhood majority disagrees.
+
+    Input contract: rows with a NULL label or a zero-norm (or NULL)
+    vector are excluded up front — an unlabeled vector can't be
+    audited and a zero vector has no cosine (NaN would rank
+    differently in numpy vs SQL DESC order). The filter is a JVM-side
+    codegen scan, and the SQL oracle applies the same predicate.
 
     Exactness: per bucket the cosine matrix comes from rank-1 Gram
     accumulation (the _bucket_gram_pairs kernel) — every dot is the
@@ -315,15 +322,21 @@ def knn_label_consistency(
     Scale: the corpus shuffles ONCE onto its sign bucket; each
     bucket's Gram + row-wise top-k runs as one numpy kernel, and only
     the per-vector report rows leave the task — the pair stream never
-    materializes anywhere. Pick ``n_components`` so 2^n buckets bound
-    the per-bucket Gram (the embedding_neardup_pairs prescription);
-    a hot bucket splits by salting + cross-block rescore."""
+    materializes anywhere. Per-bucket memory is bounded explicitly:
+    a bucket larger than ``max_bucket_rows`` raises with instructions
+    to raise ``n_components`` (each extra component halves the
+    expected bucket), instead of silently attempting an n^2 float64
+    Gram that would OOM the executor (16384^2 doubles = ~2.1 GiB per
+    matrix, the largest safe footprint for a 4 GiB task slot)."""
     id_type = df.schema[id_col].dataType.simpleString()
     keyed = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         F.col(label_col).cast("long").alias("__lbl"),
         sign_bucket(F.col(vec_col), n_components).alias("bucket"),
+    ).filter(
+        F.col("__lbl").isNotNull()
+        & (F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x) > 0.0)
     )
 
     def bucket_report(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -341,6 +354,14 @@ def knn_label_consistency(
         )
         if n < 2:
             return empty
+        if n > max_bucket_rows:
+            raise ValueError(
+                f"knn_label_consistency: sign bucket holds {n} vectors "
+                f"(> max_bucket_rows={max_bucket_rows}); the n^2 Gram "
+                "would exhaust task memory. Raise n_components (each "
+                "extra component halves the expected bucket) or raise "
+                "max_bucket_rows if the task slot has headroom."
+            )
         A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
         g = np.zeros((n, n))
         for i in range(A.shape[1]):
@@ -940,8 +961,15 @@ def mmr_select_int8(
 
     # Materialize (id, q, rel) ONCE: every greedy step rescans it, and
     # without the barrier Catalyst would re-run quantization per step.
+    # NULL ids are excluded explicitly: the per-step `~isin(taken)`
+    # exclusion evaluates to NULL (= dropped) for a NULL id anyway, so
+    # the filter makes the non-null-id contract visible up front
+    # instead of silently mid-loop. The isin literal list grows the
+    # plan O(k) per step — fine for re-ranking-sized k (tens); a
+    # k >> 100 selection would want an anti-join against a small
+    # selected-ids frame instead, at the cost of a per-step join.
     cand = (
-        qz.filter(F.col(id_col) != query_id)
+        qz.filter(F.col(id_col).isNotNull() & (F.col(id_col) != query_id))
         .select(F.col(id_col), "q", _rel(F.col("q")).alias("rel"))
         .localCheckpoint(eager=True)
     )
