@@ -217,6 +217,8 @@ HEADLINE = [
     "dq_label_knn_consistency",
     # train->eval vs eval->train containment asymmetry audit (r11)
     "report_contamination_direction",
+    # cluster-level downweight form — no per-doc join-back (r12)
+    "sample_downweight_cluster_sizes",
 ]
 
 

@@ -5718,6 +5718,43 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_downweight_cluster_sizes",
+    oracle=f"""
+{_cc_assign_ctes()}
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(1000000 // COUNT(*) AS BIGINT) AS weight_ppm
+FROM assign GROUP BY cluster_id
+""",
+)
+def sample_downweight_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level form of the downweight-don't-delete dedup
+    policy: one row per duplicate cluster with its size and 1/size
+    sampling weight (integer ppm) — WITHOUT the per-document
+    join-back. This is the shape a mixing pipeline actually consumes
+    (it samples cluster representatives by weight, or broadcast-maps
+    doc->weight from this compact table); the per-doc sibling
+    ``sample_downweight_duplicates`` exists for pipelines that need
+    the weight ON every document row.
+
+    Scale: ends at the cluster-keyed count — the r10 decade audit
+    measured the per-doc form at 4.4x/decade, dominated by the THREE
+    SortMergeJoins the join-back adds downstream of the
+    pointer-jumping connected components; stopping at the rollup
+    drops that entire tail (output is |clusters| rows, not |docs|),
+    so the slope reverts to the CC stage's own."""
+    from protarrow_spark.operators.graph import dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
+    cl = dedup_clusters(docs, edges, "doc_id")
+    return cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.expr("1000000 div count(1)").cast("long").alias("weight_ppm"),
+    )
+
+
+@query(
     "text_char_entropy",
     oracle="""
 WITH chars AS (

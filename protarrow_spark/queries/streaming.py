@@ -1048,3 +1048,111 @@ def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.est_q90").alias("est_q90"),
         )
     )
+
+
+def _stream_decon_oracle() -> str:
+    from protarrow_spark.queries.pipeline import (
+        DECON_EVAL_MOD,
+        DECON_N,
+        _grams_cte,
+        _toks_cte,
+    )
+
+    return f"""
+WITH {_toks_cte()},
+{_grams_cte(DECON_N)},
+eval_g AS (SELECT DISTINCT g FROM dg WHERE doc_id % {DECON_EVAL_MOD} = 0),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS n
+  FROM dg d JOIN eval_g USING (g)
+  WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+  GROUP BY d.doc_id
+)
+SELECT doc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN h.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated_docs,
+       CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_contaminated_grams
+FROM documents doc LEFT JOIN hits h USING (doc_id)
+WHERE doc.doc_id % {DECON_EVAL_MOD} <> 0
+GROUP BY doc.source
+"""
+
+
+@query("stream_decontaminate", oracle=_stream_decon_oracle())
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark-decontamination gate — the always-on ingest
+    form of ``text_decontaminate``: training documents arrive as a
+    stream, each is scored against the (static, benchmark-sized)
+    eval-set shingle vocabulary AT INGEST, and a per-source monitor
+    rolls up how much contamination is flowing in. The shape an
+    ingest pipeline actually runs in front of a training corpus: new
+    crawl lands on Kafka, every doc is stamped contaminated/clean
+    before it is admitted, and the per-source totals feed the intake
+    dashboard.
+
+    Topology (reuses text_decontaminate's broadcast argument): the
+    eval shingle set is MBs against a 100 TB stream, so it is
+    computed ONCE batch-side (same doc_shingles operator, residue
+    class 0 mod 20) and shipped to executors as a SparkContext
+    broadcast read inside a STATELESS Arrow-batched mapInPandas —
+    per-doc shingling + set intersection never touches streaming
+    state or the shuffle. The only stateful operator is the final
+    per-source rollup (state = |sources| rows, volume-independent).
+    Word n-grams replicate functions.text.text_ngrams exactly
+    (token-anchored overlapping windows, whole-text fallback for
+    short docs, per-doc distinct), so the completed output is
+    hash-equal to the batch oracle.
+    """
+    import pandas as pd
+    import re as _re
+
+    from protarrow_spark.operators import dedup
+    from protarrow_spark.queries.pipeline import DECON_EVAL_MOD, DECON_N
+    from protarrow_spark.sources.tables import table
+
+    docs_batch = table(spark, sf_dir, "documents")
+    eval_g = (
+        dedup.doc_shingles(docs_batch, "doc_id", "text", DECON_N)
+        .filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(frozenset(r["g"] for r in eval_g))
+    tok_pat = _re.compile(r"\S+")
+    n = DECON_N
+
+    def score(batches):
+        ev = bc.value
+        for b in batches:
+            counts = []
+            for text in b["text"]:
+                t = str(text)
+                toks = list(tok_pat.finditer(t))
+                if len(toks) >= n:
+                    grams = {
+                        t[toks[i].start() : toks[i + n - 1].end()]
+                        for i in range(len(toks) - n + 1)
+                    }
+                else:
+                    grams = {t}
+                counts.append(len(grams & ev))
+            yield pd.DataFrame(
+                {"source": b["source"], "n_contaminated": counts}
+            )
+
+    train = _stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % DECON_EVAL_MOD != 0
+    )
+    scored = train.select("source", "text").mapInPandas(
+        score, "source string, n_contaminated long"
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum((F.col("n_contaminated") > 0).cast("long"))
+        .cast("long")
+        .alias("n_contaminated_docs"),
+        F.sum("n_contaminated").cast("long").alias("n_contaminated_grams"),
+    )
+    return _run_to_memory(agg, "mem_stream_decontaminate")

@@ -23,6 +23,18 @@ def test_all_queries_return_rows(spark, sf_dir):
         assert df.count() >= 0, name
 
 
+def test_kmeans_tolerance_vs_oracle(spark, sf_dir):
+    """The one rows-only registry entry gets a VALUE gate here:
+    population counts exact vs the unrolled DuckDB Lloyd's replica,
+    centroid coordinates within epsilon (r11 verdict item #5)."""
+    from tests.oracle_utils import kmeans_tolerance_report
+
+    rep = kmeans_tolerance_report(spark, sf_dir)
+    assert rep["rows_match"], rep
+    assert rep["counts_exact"], rep
+    assert rep["centroid_max_abs_diff"] < rep["eps"], rep
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

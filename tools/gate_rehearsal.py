@@ -55,6 +55,16 @@ def main() -> None:
                     "rows": rows,
                     "err": None,
                 }
+            elif name == "cluster_kmeans_embeddings":
+                # The one rows-only entry also carries the r12
+                # tolerance gate: counts exact vs the unrolled DuckDB
+                # Lloyd's replica, centroids within epsilon.
+                from tests.oracle_utils import kmeans_tolerance_report
+
+                rep = kmeans_tolerance_report(spark, sf_dir)
+                if not rep["tolerance_ok"]:
+                    raise AssertionError(f"kmeans tolerance gate: {rep}")
+                results[name] = {"rows_only": rep["rows"], "err": None, **rep}
             else:
                 rows = int(queries[name](spark, sf_dir).count())
                 results[name] = {"rows_only": rows, "err": None}
