@@ -233,6 +233,11 @@ HEADLINE = [
 # itself instead of by manual forensics.
 _PROBE_CLEAN_SEC = float(os.environ.get("SPARK_GRAFT_PROBE_CLEAN", "0.095"))
 _PROBE_POISON_RATIO = float(os.environ.get("SPARK_GRAFT_PROBE_RATIO", "2.0"))
+#: The per-query quick probe gets a LOOSER ratio than the segment
+#: probe: residual JVM activity right after a query inflates a ~30 ms
+#: matmul 2-3x even on a quiet host (measured), while genuine steal
+#: windows read 10-30x — 4x separates the two populations cleanly.
+_QPROBE_RATIO = float(os.environ.get("SPARK_GRAFT_QPROBE_RATIO", "4.0"))
 
 
 def _steal_probe(reps: int = 3) -> float:
@@ -254,6 +259,50 @@ def _steal_probe(reps: int = 3) -> float:
         a @ b
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+class _QuickProbe:
+    """Per-query steal bracket: a ~25 ms 1024x4096x1024 matmul timed
+    immediately after each query (and, by chaining, immediately before
+    the next), cheap enough to run 170+ times per sweep. The r12
+    segment-probe experience showed steal windows shorter than a
+    10-query cadence (a 4.3x query between two clean probes), so the
+    bracket has to be per-query to assign blame.
+
+    The clean reference is the RUNNING MINIMUM of every reading the
+    run takes (plus the initial calibration): calibrating once up
+    front is wrong because the calibration itself can land inside a
+    steal window (observed: 0.35 s calibrated vs 0.03 s true clean,
+    which silently raised the hot threshold 10x). The minimum
+    converges to the host's true clean figure as soon as ONE quiet
+    reading occurs; on a host with NO quiet moments nothing flags,
+    which is also correct — uniform slowness is the boot's real
+    speed, not steal. Bracket classification therefore happens
+    RETROACTIVELY against the final converged reference."""
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        self._a = rng.standard_normal((1024, 4096), dtype=np.float32)
+        self._b = rng.standard_normal((4096, 1024), dtype=np.float32)
+        for _ in range(3):  # warm the BLAS pool before calibrating
+            self._a @ self._b
+        self.clean = float("inf")
+        for _ in range(5):
+            self.read()
+
+    def read(self) -> float:
+        best = float("inf")
+        for _ in range(2):  # min-of-2: halves scheduler-jitter noise
+            t0 = time.perf_counter()
+            self._a @ self._b
+            best = min(best, time.perf_counter() - t0)
+        self.clean = min(self.clean, best)
+        return best
+
+    def hot(self, sec: float) -> bool:
+        return sec > _QPROBE_RATIO * max(self.clean, 1e-4)
 
 
 def _refresh_baseline_row(payload: dict) -> None:
@@ -367,8 +416,23 @@ def main() -> None:
         print(f"BENCH PROBE at q{slot}: {sec}s [{tag}]", file=sys.stderr)
 
     probe(0)
+    qp = _QuickProbe()
+    print(f"BENCH QPROBE calibrated clean={qp.clean:.4f}s", file=sys.stderr)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    query_probes: dict[str, float] = {}
+    brackets: dict[str, tuple] = {}
+    last_qp = qp.clean  # the bracket BEFORE the first query
+
+    def run_best_of_3(name: str) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     for qi, name in enumerate(names):
         if qi and probe_every > 0 and qi % probe_every == 0:
             probe(qi)
@@ -376,15 +440,11 @@ def main() -> None:
             spark.stop()
             spark = fresh_session()
             print(f"BENCH RECYCLE session at query {qi}", file=sys.stderr)
-        best = float("inf")
+        ok = False
         try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df = queries[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            print(f"BENCH OK {name}: {timings[name]}s", file=sys.stderr)
+            pre = last_qp
+            best = run_best_of_3(name)
+            ok = True
         except Exception as exc:  # one broken query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -392,14 +452,89 @@ def main() -> None:
         # between queries: long multi-query sessions otherwise
         # accumulate JVM heap pressure that inflates later timings
         # 2-3x (GC pauses mid-query), which would misread as
-        # operator cost.
+        # operator cost. The post-probe reads AFTER this synchronous
+        # GC — probing straight off the query's tail measures the
+        # JVM's own wind-down (2-3x on a quiet host), not the host.
         df = None
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        if ok:
+            post = qp.read()
+            last_qp = post
+            query_probes[name] = round(post, 4)
+            brackets[name] = (pre, post)
+            timings[name] = round(best, 3)
+            tag = " [hot bracket]" if qp.hot(pre) or qp.hot(post) else ""
+            print(f"BENCH OK {name}: {timings[name]}s{tag}", file=sys.stderr)
+
+    # Retroactive bracket classification with the CONVERGED clean
+    # reference (see _QuickProbe: inline classification would trust a
+    # possibly-steal-inflated calibration).
+    suspects = [
+        n
+        for n, (pre, post) in brackets.items()
+        if n in timings and (qp.hot(pre) or qp.hot(post))
+    ]
+    if suspects:
+        print(
+            f"BENCH {len(suspects)} suspect(s) vs converged clean "
+            f"{qp.clean:.4f}s: {', '.join(suspects)}",
+            file=sys.stderr,
+        )
+
+    # Retry-on-steal: steal only ever INFLATES a wall reading, so a
+    # suspect re-measured under a clean bracket takes min(old, new).
+    # Two rounds, each waiting up to 60 s for the host to go quiet —
+    # per-query retries converge where whole-sweep retries can't (a
+    # clean 25-minute window may never occur on a stealing host; a
+    # clean 5-second window almost always does).
+    retried: list[str] = []
+    for _round in range(2):
+        if not suspects:
+            break
+        still: list[str] = []
+        for name in suspects:
+            pre = qp.read()
+            for _ in range(30):
+                if not qp.hot(pre):
+                    break
+                time.sleep(2)
+                pre = qp.read()
+            try:
+                best = run_best_of_3(name)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                still.append(name)
+                continue
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            post = qp.read()
+            new = round(min(timings[name], best), 3)
+            improved = new < timings[name]
+            timings[name] = new
+            retried.append(name)
+            if qp.hot(pre) or qp.hot(post):
+                still.append(name)
+                print(
+                    f"BENCH RETRY-HOT {name}: {new}s "
+                    f"(bracket {pre:.3f}/{post:.3f}s)",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"BENCH RETRY-CLEAN {name}: {new}s"
+                    f"{' (improved)' if improved else ''}",
+                    file=sys.stderr,
+                )
+        suspects = still
 
     probe(len(names))
     worst_probe = max(s for _, s in probe_readings)
-    poisoned = worst_probe > _PROBE_POISON_RATIO * _PROBE_CLEAN_SEC
+    # poisoned = some query NEVER got a clean-bracketed reading; the
+    # coarse segment probes are kept as the run's noise ledger but no
+    # longer decide the flag (a steal window between queries does not
+    # contaminate any query's accepted timing).
+    poisoned = bool(suspects)
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -414,21 +549,71 @@ def main() -> None:
             "poison_ratio": _PROBE_POISON_RATIO,
             "readings": probe_readings,
             "max_sec": round(worst_probe, 4),
+            "quick_clean_sec": round(qp.clean, 4),
+            "query_post_probes": query_probes,
+            "retried": sorted(set(retried)),
+            "unresolved": sorted(suspects),
             "poisoned": poisoned,
         },
     }
     if poisoned:
         print(
-            f"BENCH POISONED: steal probe peaked at {worst_probe:.3f}s "
-            f"(> {_PROBE_POISON_RATIO}x clean {_PROBE_CLEAN_SEC}s) — "
-            "timings in this artifact include host CPU steal; do not "
-            "treat per-query drift as regression (BASELINE.md r11 "
-            "host-noise characterization)",
+            f"BENCH POISONED: {len(suspects)} quer"
+            f"{'y' if len(suspects) == 1 else 'ies'} never got a "
+            f"clean-bracketed reading ({', '.join(sorted(suspects))}) — "
+            "those timings include host CPU steal; do not treat their "
+            "drift as regression (BASELINE.md Appendix A)",
             file=sys.stderr,
         )
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # Repair mode (SPARK_GRAFT_BENCH_MERGE=<artifact>): a subset run
+    # re-measures its queries INTO an existing full artifact instead
+    # of writing a separate file — the surgical fix for a sweep whose
+    # retry pass left 1-2 unresolved steal suspects (observed r12: a
+    # 173-query sweep fully clean except ONE 0.23 s query whose
+    # brackets kept landing in steal windows; re-running 25 minutes of
+    # clean measurements to repair 0.23 s is the wrong trade). Rules:
+    # merged timings take min(old, new) — steal only inflates — a
+    # merged query only LEAVES the unresolved list if this run's
+    # brackets were clean, and the baseline row refreshes only once
+    # the merged artifact has no unresolved queries left.
+    merge_path = os.environ.get("SPARK_GRAFT_BENCH_MERGE")
+    if only and merge_path and os.path.exists(merge_path):
+        with open(merge_path) as fh:
+            full = json.load(fh)
+        sp = full.setdefault("steal_probe", {})
+        unresolved = set(sp.get("unresolved", []))
+        for name, sec in timings.items():
+            if name not in full.get("queries", {}):
+                continue
+            old_sec = full["queries"][name]
+            full["queries"][name] = min(old_sec, sec)
+            if name not in suspects:  # this run's brackets were clean
+                unresolved.discard(name)
+                print(
+                    f"BENCH MERGE {name}: {old_sec} -> "
+                    f"{full['queries'][name]}s (clean bracket)",
+                    file=sys.stderr,
+                )
+        full["value"] = round(sum(full["queries"].values()), 3)
+        sp["unresolved"] = sorted(unresolved)
+        sp["poisoned"] = bool(unresolved)
+        sp.setdefault("merged_repairs", []).extend(sorted(timings))
+        with open(merge_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+        print(
+            f"BENCH MERGED into {merge_path}: total {full['value']}s, "
+            f"unresolved={sp['unresolved']}",
+            file=sys.stderr,
+        )
+        if abs(sf - 0.1) < 1e-9 and not sp["poisoned"]:
+            _refresh_baseline_row(full)
+        print(json.dumps(payload))
+        spark.stop()
+        return
+
     # Self-recorded artifact: the driver's capture truncates long JSON
     # tails (BENCH_r04 lost 14 of 80 per-query timings), so persist
     # the complete payload next to the repo-root BENCH_r*.json files.

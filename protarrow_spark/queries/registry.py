@@ -103,75 +103,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # ROUND-11 ROTATION. Standing convention: (1) this round's BIRTHS,
-    # (2) anchors on every surface r11 code touched — the MMR greedy
-    # loop was restructured to driver-held selection state, the PQ
-    # recall audit became a 2-config comparison, _pq_index gained
-    # validation, substring_window_profile switched to the two-level
-    # bounded expansion, the jaccard sparse path was factored for
-    # reuse, and the wire codec's fillna sites changed (warning-class,
-    # but anchor two conv gates anyway) — and (3) the longest-ungraded
-    # cohort: every remaining r4-graded query plus the 16 oldest
-    # r5-graded. Rotated-out queries stay oracle-verified every pytest
+    # ROUND-12 ROTATION. Standing convention: (1) this round's BIRTHS,
+    # (2) anchors on every surface r12 code touched — the kNN label
+    # audit gained the null/zero-norm input filter (oracle predicate
+    # changed with it), the PQ oracle CTE block was re-templated
+    # (verified token-equal, anchored anyway), the MMR candidate frame
+    # gained the explicit non-null-id filter, and the new cluster-size
+    # downweight shares the per-doc form's CC plan prefix — and
+    # (3) the longest-ungraded cohort: ALL 18 remaining r5-graded
+    # queries plus the 24 alphabetically-first r7-graded (the r7
+    # cohort is the oldest after r5 is exhausted; the pick includes
+    # ann_int8_topk / embed_feature_hash_chunks / mm_image_features_png
+    # from the r11 noise-flag list, giving the driver fresh readings
+    # on them). Rotated-out queries stay oracle-verified every pytest
     # run via tests/test_oracle_parity.py; rehearsed green at sf0.01
     # via tools/gate_rehearsal.py before commit.
-    # -- ROUND-11 BIRTHS
-    "dedup_substring_multiscale",
-    "report_contamination_direction",
-    "dedup_substring_windows_sampled",
+    # -- ROUND-12 BIRTHS
+    "sample_downweight_cluster_sizes",
+    "stream_decontaminate",
+    # -- touched-code anchors (r12 edits)
     "dq_label_knn_consistency",
-    # -- touched-code anchors (r11 edits)
-    "ann_mmr_select",
-    "ann_pq_recall_report",
     "ann_pq_topk",
+    "ann_pq_recall_report",
     "ann_ivfpq_topk",
-    "dedup_substring_windows",
-    "dedup_threshold_sweep",
-    "dedup_threshold_sweep_sampled",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "conv_roundtrip_wkt",
-    "conv_roundtrip_events",
-    # -- longest-ungraded rotation (last graded r4)
-    "agg_grouping_sets",
-    "agg_percentile_disc",
-    "ann_cosine_topk",
-    "dedup_simhash_hamming",
-    "join_broadcast_brand_revenue",
-    "join_range_bucketed",
-    "mm_image_features",
-    "pivot_event_matrix",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "scalar_json_extract",
-    "score_quality_linear",
-    "set_union_priority_keys",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "stream_session_windows",
-    "text_winnow_fingerprint",
-    "window_sessionize",
-    "window_topk_per_segment",
-    # -- longest-ungraded rotation (last graded r5)
-    "agg_linreg_exact",
-    "ann_lsh_banded_topk",
-    "dedup_embedding_lsh_banded",
-    "dedup_incremental_lsh",
-    "dedup_span_clean",
-    "embed_random_projection",
-    "graph_triangle_count",
-    "join_salted_skew",
-    "layout_zorder_lineitem",
-    "mine_association_rules",
-    "mm_audio_fingerprint_match",
-    "pack_sequences",
-    "pipeline_rag_ingest",
-    "q1_pricing_summary",
-    # (sample_stratified_sources and score_unigram_surprisal displaced
-    # to keep the window at 50 as the r11 births landed; both stay
-    # oracle-verified every pytest run)
+    "ann_mmr_select",
+    "sample_downweight_duplicates",
+    # -- longest-ungraded rotation (last graded r5 — cohort exhausted)
+    "sample_stratified_sources",
+    "score_unigram_surprisal",
+    "sketch_kmv_set_ops",
+    "sort_topk_lineitems",
+    "stream_cms_topk",
+    "stream_interval_join",
+    "table_incremental_rollup",
+    "table_merge_upsert",
+    "table_scd2_history",
+    "text_bm25_topk",
+    "text_bpe_encode",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition_filter",
+    "window_ewma_decay",
+    "window_gapfill_resample",
+    "window_time_range_sum",
+    # -- longest-ungraded rotation (last graded r7, first 24 of 43)
+    "agg_cohort_retention",
+    "agg_corr_exact",
+    "ann_int8_topk",
+    "cluster_kmeans_int8_exact",
+    "dedup_exact",
+    "dedup_lsh_recall_sampled",
+    "dedup_lsh_verified",
+    "dq_outlier_mad",
+    "dq_rule_violations",
+    "embed_doc_meanpool",
+    "embed_feature_hash_chunks",
+    "graph_pagerank",
+    "join_asof_events",
+    "join_bloom_prefilter",
+    "join_scd2_asof",
+    "layout_compaction_bins",
+    "lm_bigram_generate",
+    "mm_image_features_bmp",
+    "mm_image_features_png",
+    "mm_scene_cuts",
+    "q12_priority_lines",
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
 ]
 
 
