@@ -69,7 +69,11 @@ def test_knn_label_audit_excludes_null_and_zero_norm(spark):
         (5, [0.7, 0.3], None),  # unlabeled: not auditable, excluded
         (6, None, 1),  # null vector: excluded
     ]
-    out = knn_label_consistency(_knn_frame(spark, rows), k=2).collect()
+    # n_components=1: every surviving vector has a positive first
+    # component, so all land in ONE bucket and every survivor reports
+    out = knn_label_consistency(
+        _knn_frame(spark, rows), k=2, n_components=1
+    ).collect()
     ids = {r["vec_id"] for r in out}
     assert ids == {1, 2, 3}
     by_id = {r["vec_id"]: r for r in out}
