@@ -96,3 +96,19 @@ def test_knn_label_audit_bucket_bound_raises(spark):
     # on the message, not the wrapper type (which differs by version)
     with pytest.raises(Exception, match="max_bucket_rows"):
         df.collect()
+
+
+def test_quickprobe_running_min_and_hot():
+    """The steal bracket's clean reference must converge downward (a
+    calibration taken inside a steal window must not stick) and the
+    hot() threshold must follow the converged minimum."""
+    import bench
+
+    qp = bench._QuickProbe()
+    first_clean = qp.clean
+    assert first_clean > 0
+    for _ in range(3):
+        qp.read()
+    assert qp.clean <= first_clean  # running min never rises
+    assert not qp.hot(qp.clean)
+    assert qp.hot(qp.clean * bench._QPROBE_RATIO * 1.01)
