@@ -487,13 +487,27 @@ def main() -> None:
     # Two rounds, each waiting up to 60 s for the host to go quiet —
     # per-query retries converge where whole-sweep retries can't (a
     # clean 25-minute window may never occur on a stealing host; a
-    # clean 5-second window almost always does).
+    # clean 5-second window almost always does). A global budget caps
+    # the pass: a steal STORM marking dozens of suspects must not turn
+    # an automated sweep into hours of quiet-waiting — whatever is
+    # still hot when the budget runs out ships as unresolved, which is
+    # the honest answer anyway.
+    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET_SEC", "600"))
+    retry_t0 = time.perf_counter()
     retried: list[str] = []
     for _round in range(2):
         if not suspects:
             break
         still: list[str] = []
         for name in suspects:
+            if time.perf_counter() - retry_t0 > retry_budget:
+                print(
+                    f"BENCH RETRY-BUDGET exhausted ({retry_budget}s) — "
+                    f"{name} and later suspects stay unresolved",
+                    file=sys.stderr,
+                )
+                still.append(name)
+                continue
             pre = qp.read()
             for _ in range(30):
                 if not qp.hot(pre):
