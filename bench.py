@@ -305,12 +305,47 @@ class _QuickProbe:
         return sec > _QPROBE_RATIO * max(self.clean, 1e-4)
 
 
-def _refresh_baseline_row(payload: dict) -> None:
+def _git_rev() -> str | None:
+    """Short HEAD rev, stamped into artifacts so merge mode can warn
+    when min()-merging timings measured on different code versions."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
+def _refresh_baseline_row(payload: dict, headline_names: set[str]) -> None:
     """Regenerate BASELINE.md's 'query-layer headline wall' table row
     from the just-measured artifact, so the prose can never drift from
     BENCH_LOCAL.json again (it went two rounds stale when hand-edited).
     Matched by the row's leading cell; only full sf0.1 headline runs
-    rewrite it."""
+    rewrite it — the coverage check lives HERE (not just at call
+    sites) because the r12 merge-repair path proved a caller can pass
+    a clean-but-partial artifact: a 4-query decade sweep merged into
+    its own subset file and clobbered the official row to '10.7 s for
+    4 queries' (commit 0f650af) while the real committed artifact held
+    218.7 s / 173."""
+    got = set(payload.get("queries", {})) | set(payload.get("errors", {}))
+    if got != headline_names:
+        missing = sorted(headline_names - got)[:5]
+        print(
+            "BENCH baseline row NOT refreshed: artifact covers "
+            f"{len(got)}/{len(headline_names)} headline queries "
+            f"(missing e.g. {missing})",
+            file=sys.stderr,
+        )
+        return
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     try:
         with open(path) as fh:
@@ -355,6 +390,10 @@ def main() -> None:
 
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # The full-coverage set the baseline row requires: every headline
+    # query registered at this code version. Captured BEFORE any
+    # subset filter so a partial sweep can never pass the guard.
+    headline_names = set(names)
     # Optional subset (comma-separated) for targeted sweeps, e.g. the
     # sf1 scaling decade over the headliner six.
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -458,9 +497,13 @@ def main() -> None:
         df = None
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        # Refresh the chained bracket even when the query ERRORED:
+        # otherwise the next query's pre-bracket is a stale reading
+        # taken before the failure, and a steal window starting during
+        # the failed query can hide behind a clean-looking bracket.
+        post = qp.read()
+        last_qp = post
         if ok:
-            post = qp.read()
-            last_qp = post
             query_probes[name] = round(post, 4)
             brackets[name] = (pre, post)
             timings[name] = round(best, 3)
@@ -495,9 +538,16 @@ def main() -> None:
     retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET_SEC", "600"))
     retry_t0 = time.perf_counter()
     retried: list[str] = []
+    retry_errors: dict[str, str] = {}
     for _round in range(2):
         if not suspects:
             break
+        # Triage DESCENDING by recorded time: when the budget runs out
+        # mid-pass (r12 driver sweep: 34 unresolved at 600 s), the
+        # multi-second steal-inflated readings distort the total most,
+        # so they must be re-measured first — not whatever sub-second
+        # query happened to come earlier in registry order.
+        suspects = sorted(suspects, key=lambda n: -timings.get(n, 0.0))
         still: list[str] = []
         for name in suspects:
             if time.perf_counter() - retry_t0 > retry_budget:
@@ -517,7 +567,15 @@ def main() -> None:
             try:
                 best = run_best_of_3(name)
             except Exception as exc:
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                # NOT the shared errors dict: the query already has a
+                # valid (if steal-inflated) timing from the main pass;
+                # reporting it as both timed and errored would make the
+                # artifact self-contradictory.
+                retry_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"BENCH RETRY-ERROR {name}: {retry_errors[name]}",
+                    file=sys.stderr,
+                )
                 still.append(name)
                 continue
             gc.collect()
@@ -557,6 +615,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "git_rev": _git_rev(),
         "steal_probe": {
             "matmul": "2048x4096x2048 float32, best-of-3 per reading",
             "clean_ref_sec": _PROBE_CLEAN_SEC,
@@ -570,6 +629,8 @@ def main() -> None:
             "poisoned": poisoned,
         },
     }
+    if retry_errors:
+        payload["steal_probe"]["retry_errors"] = retry_errors
     if poisoned:
         print(
             f"BENCH POISONED: {len(suspects)} quer"
@@ -597,6 +658,29 @@ def main() -> None:
     if only and merge_path and os.path.exists(merge_path):
         with open(merge_path) as fh:
             full = json.load(fh)
+        # min() across runs is only valid when both runs measured the
+        # SAME thing: refuse cross-SF merges outright (an sf0.1 repair
+        # min()-merged into an sf1 artifact keeps nonsense "faster"
+        # numbers), and warn on code-version mismatch (post-change
+        # timings merged into a pre-change artifact keep stale minima).
+        if full.get("sf") is not None and full["sf"] != sf:
+            print(
+                f"BENCH MERGE REFUSED: artifact sf={full['sf']} != run "
+                f"sf={sf} — min()-merging across scale factors corrupts "
+                "the artifact",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return
+        rev = _git_rev()
+        if full.get("git_rev") and rev and full["git_rev"] != rev:
+            print(
+                f"BENCH MERGE WARNING: artifact measured at rev "
+                f"{full['git_rev']}, this run is {rev} — min() keeps the "
+                "stale faster reading if the code changed; re-run the "
+                "full sweep if these queries' code differs between revs",
+                file=sys.stderr,
+            )
         sp = full.setdefault("steal_probe", {})
         unresolved = set(sp.get("unresolved", []))
         for name, sec in timings.items():
@@ -623,7 +707,7 @@ def main() -> None:
             file=sys.stderr,
         )
         if abs(sf - 0.1) < 1e-9 and not sp["poisoned"]:
-            _refresh_baseline_row(full)
+            _refresh_baseline_row(full, headline_names)
         print(json.dumps(payload))
         spark.stop()
         return
@@ -645,7 +729,7 @@ def main() -> None:
     # baseline row — a poisoned sweep embedding 11-17x steal into
     # BASELINE.md is exactly the r11 failure this probe exists to stop.
     if not only and abs(sf - 0.1) < 1e-9 and not poisoned:
-        _refresh_baseline_row(payload)
+        _refresh_baseline_row(payload, headline_names)
     # LAST stdout line: a compact self-describing summary that survives
     # the driver's 2,000-char tail capture (the full line above is
     # ~4 KB and was truncated to parsed:null in BENCH_r04/r05). Anyone
