@@ -1050,6 +1050,33 @@ def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_text_ngrams(text: str | None, n: int) -> set:
+    """Python replica of ``functions.text.text_ngrams`` for the
+    streaming scorer's broadcast-set intersection: the SAME lookahead
+    regex (n tokens separated by exactly one literal space, anchored
+    at start-or-whitespace), the SAME whole-text fallback keyed on
+    zero regex matches, and NULL passes through as the empty set (a
+    NULL gram never equi-joins batch-side). ``re.ASCII`` pins
+    ``\\s``/``\\S`` to the ASCII class so Python's Unicode-aware
+    default cannot diverge from Java regex / DuckDB RE2 (both
+    ASCII-``\\s`` by default) on exotic whitespace."""
+    import re
+
+    if text is None:
+        return set()
+    pat = _PY_NGRAM_PATS.get(n)
+    if pat is None:
+        pat = re.compile(
+            r"(?:^|(?<=\s))(?=(" + " ".join([r"\S+"] * n) + r"))", re.ASCII
+        )
+        _PY_NGRAM_PATS[n] = pat
+    grams = set(pat.findall(text))
+    return grams if grams else {text}
+
+
+_PY_NGRAM_PATS: dict[int, object] = {}
+
+
 def _stream_decon_oracle() -> str:
     from protarrow_spark.queries.pipeline import (
         DECON_EVAL_MOD,
@@ -1105,7 +1132,6 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-equal to the batch oracle.
     """
     import pandas as pd
-    import re as _re
 
     from protarrow_spark.operators import dedup
     from protarrow_spark.queries.pipeline import DECON_EVAL_MOD, DECON_N
@@ -1119,25 +1145,17 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    bc = spark.sparkContext.broadcast(frozenset(r["g"] for r in eval_g))
-    tok_pat = _re.compile(r"\S+")
+    # A NULL gram can never equi-join batch-side, so drop it from the
+    # broadcast set rather than letting Python None-equality diverge.
+    bc = spark.sparkContext.broadcast(
+        frozenset(r["g"] for r in eval_g if r["g"] is not None)
+    )
     n = DECON_N
 
     def score(batches):
         ev = bc.value
         for b in batches:
-            counts = []
-            for text in b["text"]:
-                t = str(text)
-                toks = list(tok_pat.finditer(t))
-                if len(toks) >= n:
-                    grams = {
-                        t[toks[i].start() : toks[i + n - 1].end()]
-                        for i in range(len(toks) - n + 1)
-                    }
-                else:
-                    grams = {t}
-                counts.append(len(grams & ev))
+            counts = [len(_py_text_ngrams(text, n) & ev) for text in b["text"]]
             yield pd.DataFrame(
                 {"source": b["source"], "n_contaminated": counts}
             )

@@ -79,3 +79,44 @@ def test_stateful_totals_sink_saw_multiple_batches(
     finally:
         streaming_mod.FORCE_MAX_FILES_PER_TRIGGER = None
     assert sink_rows > n_keys
+
+
+def test_py_text_ngrams_matches_jvm_on_irregular_whitespace(spark):
+    """The streaming decontamination scorer's Python shingler must
+    produce the exact gram set functions.text.text_ngrams produces
+    (ADVICE r12: the old char-span slicer diverged on multi-space /
+    tab / newline separators and str()-coerced NULL to 'None')."""
+    import pyspark.sql.functions as F
+
+    from protarrow_spark.functions.text import text_ngrams
+    from protarrow_spark.queries.streaming import _py_text_ngrams
+
+    texts = [
+        "plain single space separated tokens here",
+        "double  space",
+        "tab\tseparated\ttokens and a normal gap",
+        "newline\nbroken doc with more tokens after",
+        "short",
+        "",
+        "  leading and trailing  ",
+        "exactly three toks",
+        "a b",
+        None,
+        "mixed   runs \t of\n whitespace between these tokens",
+        "nbsp\xa0joined tokens stay together here",
+    ]
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    jvm = {
+        r["i"]: set(r["g"])
+        for r in df.select(
+            "i", text_ngrams(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        got = _py_text_ngrams(t, n)
+        exp = jvm.get(i, set())
+        exp = {g for g in exp if g is not None}
+        assert got == exp, f"text={t!r}: python={got} jvm={exp}"
