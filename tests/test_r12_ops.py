@@ -85,17 +85,9 @@ def test_knn_label_audit_excludes_null_and_zero_norm(spark):
     assert by_id[3]["suspect"]
 
 
-def test_knn_label_audit_bucket_bound_raises(spark):
-    from protarrow_spark.operators.similarity import knn_label_consistency
-
-    rows = [(i, [1.0, float(i)], 0) for i in range(8)]
-    df = knn_label_consistency(
-        _knn_frame(spark, rows), k=2, n_components=0, max_bucket_rows=4
-    )
-    # the Python-kernel ValueError surfaces wrapped by the JVM; match
-    # on the message, not the wrapper type (which differs by version)
-    with pytest.raises(Exception, match="max_bucket_rows"):
-        df.collect()
+# r12's fail-stop on a hot bucket (ValueError above max_bucket_rows)
+# was replaced in r13 by the block-pair split; the equivalence tests
+# live in tests/test_r13_ops.py.
 
 
 def test_quickprobe_running_min_and_hot():

@@ -1,0 +1,138 @@
+"""Round-13 operator tests.
+
+* kNN label-audit hot-bucket split: a bucket over ``max_bucket_rows``
+  now runs as block-pair tasks + a window merge instead of raising
+  (the r12 fail-stop). The split must be INVISIBLE: identical report
+  to the one-task kernel on a raised bound, bit-for-bit, including
+  cosine ties from exact duplicate vectors (the duplicate-heavy
+  corpus is exactly the case that floods one sign bucket at scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _knn_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+
+
+def _skewed_rows(n: int = 60) -> list:
+    """One sign bucket (all-positive first component), duplicate-heavy:
+    every third vector is an EXACT copy of vector 0 (cosine ties that
+    must break toward the smaller neighbor id), labels alternate so
+    agreement counts are informative."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            v = [1.0, 0.5, 0.25]
+        else:
+            v = [1.0, 0.1 * (i % 7), 0.01 * i]
+        rows.append((i, v, i % 3))
+    return rows
+
+
+def _canon(df) -> list:
+    return sorted(
+        (
+            r["vec_id"],
+            r["label"],
+            r["n_nbrs"],
+            r["n_same_label"],
+            r["agree_millis"],
+            r["suspect"],
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("max_bucket_rows", [8, 16, 59])
+def test_knn_hot_bucket_split_matches_unsplit_kernel(spark, max_bucket_rows):
+    from protarrow_spark.operators.similarity import knn_label_consistency
+
+    frame = _knn_frame(spark, _skewed_rows(60))
+    # n_components=0 -> a single bucket of 60 rows: over every tested
+    # bound, so the block-pair path handles the whole corpus.
+    split = knn_label_consistency(
+        frame, k=5, n_components=0, max_bucket_rows=max_bucket_rows
+    )
+    unsplit = knn_label_consistency(
+        frame, k=5, n_components=0, max_bucket_rows=10_000
+    )
+    got, want = _canon(split), _canon(unsplit)
+    assert len(want) == 60
+    assert got == want
+
+
+def test_knn_split_handles_bucket_mix(spark):
+    """Small buckets keep the one-task kernel while a hot sibling
+    bucket splits — the union must cover every auditable vector
+    exactly once."""
+    from protarrow_spark.operators.similarity import knn_label_consistency
+
+    rows = _skewed_rows(40)
+    # a second bucket: negative first component flips the first sign
+    rows += [
+        (100 + i, [-1.0, 0.2 * i, 0.1], i % 2) for i in range(6)
+    ]
+    frame = _knn_frame(spark, rows)
+    split = knn_label_consistency(
+        frame, k=3, n_components=1, max_bucket_rows=10
+    )
+    unsplit = knn_label_consistency(
+        frame, k=3, n_components=1, max_bucket_rows=10_000
+    )
+    got, want = _canon(split), _canon(unsplit)
+    assert len(want) == 46
+    assert got == want
+
+
+def test_knn_split_exact_under_census_overcount(spark):
+    """The routing census deliberately skips the zero-norm predicate
+    (an upper bound); zero-norm and unlabeled rows must still be
+    excluded from the report and must not perturb n_nbrs (which the
+    merge derives from the actual candidate count, not the census)."""
+    from protarrow_spark.operators.similarity import knn_label_consistency
+
+    rows = _skewed_rows(20)
+    rows += [(200 + i, [0.0, 0.0, 0.0], 1) for i in range(30)]  # zero-norm
+    rows += [(300 + i, [1.0, 0.2, 0.3], None) for i in range(10)]  # unlabeled
+    frame = _knn_frame(spark, rows)
+    # census sees 60 rows in the single bucket -> hot at bound 25,
+    # but only 20 auditable rows actually flow through the split.
+    split = knn_label_consistency(
+        frame, k=5, n_components=0, max_bucket_rows=25
+    )
+    unsplit = knn_label_consistency(
+        frame, k=5, n_components=0, max_bucket_rows=10_000
+    )
+    got, want = _canon(split), _canon(unsplit)
+    assert len(want) == 20
+    assert got == want
+
+
+def test_knn_in_task_blocked_fallback_matches(spark, monkeypatch):
+    """A stale routing census (memoized statistics after the data
+    changed under the same plan) can send an over-bound bucket to the
+    one-task kernel; the kernel's in-task blocked sweep must then
+    reproduce the full-Gram report exactly instead of fail-stopping."""
+    from protarrow_spark.operators import similarity
+
+    class _StaleCensus(dict):
+        def get(self, key, default=None):  # pretend: no hot buckets
+            return {}
+
+    frame = _knn_frame(spark, _skewed_rows(60))
+    monkeypatch.setattr(similarity, "_CENSUS_MEMO", _StaleCensus())
+    fallback = similarity.knn_label_consistency(
+        frame, k=5, n_components=0, max_bucket_rows=8
+    )
+    monkeypatch.setattr(similarity, "_CENSUS_MEMO", {})
+    unsplit = similarity.knn_label_consistency(
+        frame, k=5, n_components=0, max_bucket_rows=10_000
+    )
+    got, want = _canon(fallback), _canon(unsplit)
+    assert len(want) == 60
+    assert got == want
