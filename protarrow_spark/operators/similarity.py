@@ -1167,12 +1167,44 @@ def cosine_topk_lsh_banded(
 # ---------------------------------------------------------------------------
 
 
+def _mmr_excluded(
+    cand: DataFrame, id_col: str, taken_ids: list, large_k: bool
+) -> DataFrame:
+    """The not-yet-selected candidate frame for one greedy MMR step.
+
+    ``large_k=False``: a literal ``~isin`` filter — O(len(taken))
+    expression-tree growth per step, ideal at re-ranking k (tens,
+    plan stays join-free). ``large_k=True``: a broadcast LEFT ANTI
+    join against a one-column LocalRelation of the selected ids —
+    the exclusion set grows as DATA (k rows broadcast) instead of as
+    an expression tree, so a k >> 100 selection keeps O(1) plan size
+    per step. Identical semantics on the non-null-id candidates
+    ``cand`` is contracted to hold."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not taken_ids:
+        return cand
+    if not large_k:
+        return cand.filter(~F.col(id_col).isin(taken_ids))
+    spark = cand.sparkSession
+    taken_df = spark.createDataFrame(
+        [(x,) for x in taken_ids],
+        StructType([StructField("__taken", cand.schema[id_col].dataType, True)]),
+    )
+    return cand.join(
+        F.broadcast(taken_df),
+        cand[id_col] == taken_df["__taken"],
+        "left_anti",
+    )
+
+
 def mmr_select_int8(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     query_id: int = 0,
+    large_k: bool = False,
 ) -> DataFrame:
     """Maximal-marginal-relevance selection (Carbonell & Goldstein
     1998): greedily pick ``k`` results balancing relevance to the
@@ -1239,10 +1271,9 @@ def mmr_select_int8(
     # NULL ids are excluded explicitly: the per-step `~isin(taken)`
     # exclusion evaluates to NULL (= dropped) for a NULL id anyway, so
     # the filter makes the non-null-id contract visible up front
-    # instead of silently mid-loop. The isin literal list grows the
-    # plan O(k) per step — fine for re-ranking-sized k (tens); a
-    # k >> 100 selection would want an anti-join against a small
-    # selected-ids frame instead, at the cost of a per-step join.
+    # instead of silently mid-loop. Per-step exclusion is _mmr_excluded:
+    # a literal isin at re-ranking k, a broadcast anti-join under
+    # ``large_k=True`` (hash-equal by construction and by test).
     cand = (
         qz.filter(F.col(id_col).isNotNull() & (F.col(id_col) != query_id))
         .select(F.col(id_col), "q", _rel(F.col("q")).alias("rel"))
@@ -1292,7 +1323,7 @@ def mmr_select_int8(
             _max_dot = _make_max_dot(smat)
 
             rows = (
-                cand.filter(~F.col(id_col).isin(taken_ids))
+                _mmr_excluded(cand, id_col, taken_ids, large_k)
                 .select(
                     F.col(id_col),
                     "q",

@@ -136,3 +136,34 @@ def test_knn_in_task_blocked_fallback_matches(spark, monkeypatch):
     got, want = _canon(fallback), _canon(unsplit)
     assert len(want) == 60
     assert got == want
+
+
+def test_mmr_large_k_anti_join_matches_literal_path(spark):
+    """mmr_select_int8(large_k=True) swaps the per-step ~isin literal
+    for a broadcast LEFT ANTI join; at k=20 both paths must produce
+    the identical selection, and the exclusion frame's plan must show
+    the anti-join (no isin literal growth)."""
+    import numpy as np
+
+    from protarrow_spark.operators.similarity import (
+        _mmr_excluded,
+        mmr_select_int8,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)])
+        for i in range(64)
+    ]
+    frame = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = mmr_select_int8(frame, k=20, query_id=0).collect()
+    anti = mmr_select_int8(frame, k=20, query_id=0, large_k=True).collect()
+    assert len(lit) == 20
+    assert [tuple(r) for r in lit] == [tuple(r) for r in anti]
+
+    cand = frame.select("vec_id")
+    plan_anti = _mmr_excluded(cand, "vec_id", [1, 2, 3], True)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan_anti
+    assert "INSET" not in plan_anti and " IN (" not in plan_anti
+    plan_lit = _mmr_excluded(cand, "vec_id", [1, 2, 3], False)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan_lit
