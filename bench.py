@@ -219,6 +219,8 @@ HEADLINE = [
     "report_contamination_direction",
     # cluster-level downweight form — no per-doc join-back (r12)
     "sample_downweight_cluster_sizes",
+    # DSIR importance-weighted data selection (r13)
+    "sample_dsir_importance",
 ]
 
 

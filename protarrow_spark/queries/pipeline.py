@@ -6078,3 +6078,160 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.ivfpq_topk(emb, qs, k=TOPK_NEIGHBORS)
+
+
+# ---------------------------------------------------------------------------
+# sample_dsir_importance — DSIR data selection (r13 birth)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature space size for the DSIR importance models. 2^12
+#: buckets: the per-distribution dimension tables are at most
+#: 4096 rows REGARDLESS of corpus size (the paper uses 10^4-scale
+#: hashed n-gram buckets), so both models broadcast everywhere.
+DSIR_BUCKETS = 4096
+#: The 'target' distribution: documents from this source play the
+#: high-quality corpus (the paper's Wikipedia/books side); every
+#: other source is the raw pool being scored.
+DSIR_TARGET_SOURCE = "src1"
+#: Resampling budget: how many raw documents the selection keeps.
+DSIR_TOPN = 128
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+WITH tokb AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('dsir|' || tok), 1, 15) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+tgt AS (SELECT b, COUNT(*) AS ct FROM tokb
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS cs FROM tokb
+        WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY b),
+tt AS (SELECT COALESCE(SUM(ct), 0) AS t_tgt FROM tgt),
+tr AS (SELECT SUM(cs) AS t_raw FROM raw),
+bits AS (
+  SELECT raw.b,
+         CAST(length(bin((t_tgt + {DSIR_BUCKETS}) // (COALESCE(ct, 0) + 1)))
+              - 1 AS BIGINT) AS bits_t,
+         CAST(length(bin((t_raw + {DSIR_BUCKETS}) // (cs + 1)))
+              - 1 AS BIGINT) AS bits_s
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN tr
+),
+scored AS (
+  SELECT tokb.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(bits_t) AS BIGINT) AS tgt_bits,
+         CAST(SUM(bits_s) AS BIGINT) AS raw_bits,
+         CAST(SUM(bits_s) - SUM(bits_t) AS BIGINT) AS llr_bits
+  FROM tokb JOIN bits ON tokb.b = bits.b
+  WHERE tokb.source <> '{DSIR_TARGET_SOURCE}'
+  GROUP BY tokb.doc_id
+)
+SELECT doc_id, n_tokens, tgt_bits, raw_bits, llr_bits
+FROM scored
+ORDER BY llr_bits DESC, doc_id
+LIMIT {DSIR_TOPN}
+""",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw-pool document by the
+    log-likelihood ratio of two bag-of-hashed-features unigram models
+    (target corpus vs raw corpus) and keep the top-N most target-like
+    documents — the standard automatic 'make the crawl look like
+    Wikipedia' selection stage of LLM pretraining pipelines.
+
+    Exactness (the score_unigram_surprisal trick, applied
+    contrastively): per-feature self-information under each model is
+    the INTEGER bit count floor(log2((T + B) / (c + 1))) — Laplace
+    smoothing over the B hashed buckets — computed as
+    length(bin((T + B) div (c + 1))) - 1 with no libm anywhere, so
+    llr_bits = raw_bits - tgt_bits is an exact integer in any
+    accumulation order and the top-N (total order: llr DESC, doc_id)
+    is hash-exact against DuckDB.
+
+    Scale: the two distribution models are per-bucket counts over a
+    FIXED 4096-bucket hashed feature space — map-side partial
+    aggregation collapses any corpus to <= 2 x 4096 rows before the
+    shuffle, and the joint bits table broadcasts. Scoring is one
+    broadcast join on the token stream + a per-doc rollup; selection
+    is TakeOrderedAndProject (bounded driver heap, no global sort).
+    The corpus itself shuffles once (doc_id rollup), nothing else
+    moves: the topology is identical at 100 TB.
+    """
+    from protarrow_spark.functions.text import tokens as ws_tokens
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    docs = table(spark, sf_dir, "documents")
+    tokb = docs.select(
+        "doc_id", "source", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            hex_to_long(F.md5(F.concat(F.lit("dsir|"), F.col("tok"))), 15)
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    tgt = (
+        tokb.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = (
+        tokb.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    tt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tgt"))
+    tr = raw.agg(F.sum("cs").alias("t_raw"))
+    bits = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"(t_tgt + {DSIR_BUCKETS}) div (coalesce(ct, 0) + 1)"
+                        )
+                    )
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("bits_t"),
+            (
+                F.length(
+                    F.bin(F.expr(f"(t_raw + {DSIR_BUCKETS}) div (cs + 1)"))
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("bits_s"),
+        )
+    )
+    scored = (
+        tokb.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        .join(F.broadcast(bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits_t").cast("long").alias("tgt_bits"),
+            F.sum("bits_s").cast("long").alias("raw_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tgt_bits",
+            "raw_bits",
+            (F.col("raw_bits") - F.col("tgt_bits")).cast("long").alias("llr_bits"),
+        )
+    )
+    return scored.orderBy(F.desc("llr_bits"), F.asc("doc_id")).limit(DSIR_TOPN)

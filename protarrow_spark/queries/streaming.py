@@ -1174,3 +1174,80 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_contaminated").cast("long").alias("n_contaminated_grams"),
     )
     return _run_to_memory(agg, "mem_stream_decontaminate")
+
+
+@query(
+    "stream_cdc_latest",
+    oracle="""
+WITH r AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_micros,
+         event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL
+)
+SELECT user_id, ts_micros, event_id, event_type, value
+FROM r WHERE rn = 1
+""",
+)
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING latest-per-key materialization (r13 birth) — the CDC
+    compaction / SCD-type-1 table-maintenance shape: a keyed change
+    stream (Debezium topic, activity log) reduced to the single most
+    recent row per key, maintained incrementally in streaming state
+    instead of recomputed by a batch window. The per-key argmax on
+    (event time, event id) is what a Kafka log-compacted topic or a
+    MERGE-on-read table does continuously; here it is
+    ``applyInPandasWithState`` with ONE tuple of state per key.
+
+    Determinism: (ts_micros, event_id) is a total order, so argmax
+    over any micro-batch split converges to the batch answer — the
+    completed output hash-matches the ROW_NUMBER oracle, and the
+    update-mode sink readout selects each key's final emission by the
+    same monotone (ts_micros, event_id) maximum.
+
+    Scale: state = |keys| tuples (key-proportional, volume-
+    independent — the state-row audit's bounded-state criterion); the
+    only shuffle is the per-key grouping, identical to a batch
+    groupBy. The ``value`` column rides through untouched, so no
+    float arithmetic anywhere.
+    """
+    from protarrow_spark.functions.time import epoch_micros
+    from protarrow_spark.streaming.stateful import latest_event_per_key
+
+    ev = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            epoch_micros(F.col("ts")).alias("ts_micros"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+    )
+    latest = latest_event_per_key(ev)
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("mem_stream_cdc_latest")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_and_record(q, "stream_cdc_latest")
+    sink = spark.table("mem_stream_cdc_latest")
+    last = F.max(
+        F.struct("ts_micros", "event_id", "event_type", "value")
+    ).alias("s")
+    return (
+        sink.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.ts_micros").alias("ts_micros"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )

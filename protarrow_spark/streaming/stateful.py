@@ -153,3 +153,73 @@ def bottomk_quantile_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_event_per_key(df: DataFrame) -> DataFrame:
+    """Per-key LATEST-event materialization maintained in streaming
+    state (``applyInPandasWithState``, update mode) — the CDC / log-
+    compaction / SCD1 shape: a keyed change stream reduced to the one
+    most recent row per key, kept incrementally. State per key is a
+    single (ts_micros, event_id, event_type, value) tuple — bounded by
+    |keys|, never by stream volume.
+
+    Deterministic under ANY micro-batch split: the winning row
+    maximizes (ts_micros, event_id) — a TOTAL order (event ids are
+    unique) — and argmax over a union equals the argmax of per-batch
+    argmaxes, so the completed output hash-matches the batch
+    ROW_NUMBER oracle bit-for-bit. ``value`` rides along untouched
+    (no arithmetic -> no float concerns).
+
+    Input columns: ``user_id long, ts_micros long, event_id long,
+    event_type string, value double``.
+    """
+    import numpy as np
+
+    out_schema = (
+        "user_id long, ts_micros long, event_id long, "
+        "event_type string, value double"
+    )
+    state_schema = "t long, e long, y string, v double"
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # lexsort: LAST key is primary -> max (ts_micros, event_id)
+            j = int(
+                np.lexsort(
+                    (pdf["event_id"].to_numpy(), pdf["ts_micros"].to_numpy())
+                )[-1]
+            )
+            v = pdf["value"].iloc[j]
+            cand = (
+                int(pdf["ts_micros"].iloc[j]),
+                int(pdf["event_id"].iloc[j]),
+                pdf["event_type"].iloc[j],
+                None if pd.isna(v) else float(v),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_micros": [best[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
