@@ -103,75 +103,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # ROUND-12 ROTATION. Standing convention: (1) this round's BIRTHS,
-    # (2) anchors on every surface r12 code touched — the kNN label
-    # audit gained the null/zero-norm input filter (oracle predicate
-    # changed with it), the PQ oracle CTE block was re-templated
-    # (verified token-equal, anchored anyway), the MMR candidate frame
-    # gained the explicit non-null-id filter, and the new cluster-size
-    # downweight shares the per-doc form's CC plan prefix — and
-    # (3) the longest-ungraded cohort: ALL 18 remaining r5-graded
-    # queries plus the 24 alphabetically-first r7-graded (the r7
-    # cohort is the oldest after r5 is exhausted; the pick includes
-    # ann_int8_topk / embed_feature_hash_chunks / mm_image_features_png
-    # from the r11 noise-flag list, giving the driver fresh readings
-    # on them). Rotated-out queries stay oracle-verified every pytest
-    # run via tests/test_oracle_parity.py; rehearsed green at sf0.01
-    # via tools/gate_rehearsal.py before commit.
-    # -- ROUND-12 BIRTHS
-    "sample_downweight_cluster_sizes",
-    "stream_decontaminate",
-    # -- touched-code anchors (r12 edits)
+    # ROUND-13 ROTATION. Standing convention: (1) this round's BIRTHS,
+    # (2) anchors on every surface r13 code touched — the kNN label
+    # audit's fail-stop became the block-pair split (same oracle, new
+    # plan), mmr_select_int8 grew the large_k anti-join arm, and the
+    # streaming decontamination scorer's Python shingler was aligned
+    # bit-for-bit with text_ngrams — and (3) the longest-ungraded
+    # cohort: ALL 19 remaining r7-graded queries (staleness floor
+    # rises to r8) plus the 26 alphabetically-first r8-graded.
+    # Rotated-out queries stay oracle-verified every pytest run via
+    # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
+    # tools/gate_rehearsal.py before commit.
+    # -- ROUND-13 BIRTHS
+    "sample_dsir_importance",
+    "stream_cdc_latest",
+    # -- touched-code anchors (r13 edits)
     "dq_label_knn_consistency",
-    "ann_pq_topk",
-    "ann_pq_recall_report",
-    "ann_ivfpq_topk",
     "ann_mmr_select",
-    "sample_downweight_duplicates",
-    # -- longest-ungraded rotation (last graded r5 — cohort exhausted)
-    "sample_stratified_sources",
-    "score_unigram_surprisal",
-    "sketch_kmv_set_ops",
-    "sort_topk_lineitems",
-    "stream_cms_topk",
-    "stream_interval_join",
-    "table_incremental_rollup",
-    "table_merge_upsert",
-    "table_scd2_history",
-    "text_bm25_topk",
-    "text_bpe_encode",
-    "text_decontaminate",
-    "text_pii_redact",
-    "text_quality",
-    "text_repetition_filter",
-    "window_ewma_decay",
-    "window_gapfill_resample",
-    "window_time_range_sum",
-    # -- longest-ungraded rotation (last graded r7, first 24 of 43)
-    "agg_cohort_retention",
-    "agg_corr_exact",
-    "ann_int8_topk",
-    "cluster_kmeans_int8_exact",
-    "dedup_exact",
-    "dedup_lsh_recall_sampled",
-    "dedup_lsh_verified",
-    "dq_outlier_mad",
-    "dq_rule_violations",
-    "embed_doc_meanpool",
-    "embed_feature_hash_chunks",
-    "graph_pagerank",
-    "join_asof_events",
-    "join_bloom_prefilter",
-    "join_scd2_asof",
-    "layout_compaction_bins",
-    "lm_bigram_generate",
-    "mm_image_features_bmp",
-    "mm_image_features_png",
-    "mm_scene_cuts",
-    "q12_priority_lines",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
+    "stream_decontaminate",
+    # -- longest-ungraded rotation (last graded r7 — cohort exhausted)
+    "report_key_skew",
+    "report_vocab_gini",
+    "sample_token_budget_mix",
+    "sample_train_val_test",
+    "score_bigram_surprisal",
+    "sketch_histogram_quantiles",
+    "stream_drift_l1",
+    "stream_hll_sketch",
+    "stream_stateful_user_totals",
+    "stream_static_enrich",
+    "table_purge_users",
+    "table_snapshot_diff",
+    "text_bpe_pair_counts",
+    "text_bpe_train",
+    "text_chunk_overlap",
+    "text_novelty_score",
+    "text_oov_rate",
+    "window_funnel_stages",
+    "window_percent_rank_price",
+    # -- longest-ungraded rotation (last graded r8, first 26 of 40)
+    "agg_hhi_concentration",
+    "agg_mode_exact",
+    "agg_skew_kurtosis_exact",
+    "agg_time_to_convert",
+    "ann_ivf_recall_report",
+    "ann_quantization_error_report",
+    "dedup_boundary_overlap",
+    "dedup_lsh_recall_report",
+    "dedup_semdedup",
+    "dq_benford",
+    "dq_drift_splithalf",
+    "dq_referential_integrity",
+    "embed_pca_project",
+    "graph_bfs_hops",
+    "graph_common_neighbors",
+    "graph_jaccard_similarity",
+    "graph_kcore",
+    "join_asof_nearest",
+    "join_fuzzy_blocked",
+    "mine_sequence_bigrams",
+    "mm_audio_windows_wav",
+    "mm_frame_dedup",
+    "mm_image_features_pgm",
+    "mm_phash_dedup",
+    "pairgen_hard_negatives",
+    "pipeline_ccnet",
 ]
 
 
