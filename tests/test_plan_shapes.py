@@ -223,6 +223,10 @@ BNLJ_BY_DESIGN = {
     "report_heaps_law",
     # 1-row corpus-doc-count broadcast onto the vocabulary dimension
     "text_keyword_tfidf",
+    # two 1-row model-total broadcasts (t_tgt, t_raw) onto the
+    # <=4096-row hashed-bucket bits dimension (same shape as
+    # score_unigram_surprisal, applied to both DSIR models)
+    "sample_dsir_importance",
 }
 
 
