@@ -221,6 +221,8 @@ HEADLINE = [
     "sample_downweight_cluster_sizes",
     # DSIR importance-weighted data selection (r13)
     "sample_dsir_importance",
+    # train/eval split-leakage audit (r13)
+    "report_split_leakage",
 ]
 
 

@@ -2190,6 +2190,34 @@ def report_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 10
 
+#: DuckDB twin of :func:`_split_col` — the single source for every
+#: oracle that assigns the canonical split.
+_SPLIT_CASE_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    f" % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+    "WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    f" % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col():
+    """The canonical md5 train/val/test assignment as a scan-stage
+    Column — shared by the split accounting query and the leakage
+    audit so the assignment can never drift between them."""
+    from protarrow_spark.operators.sketches import hex_to_long
+
+    bucket = (
+        hex_to_long(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 15
+        )
+        % 100
+    )
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
 
 @query(
     "sample_train_val_test",
@@ -2225,22 +2253,9 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: split assignment is a scan-stage expression (zero
     shuffles); only the rollup aggregates."""
     docs = table(spark, sf_dir, "documents")
-    from protarrow_spark.operators.sketches import hex_to_long
-
-    bucket = (
-        hex_to_long(
-            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 15
-        )
-        % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         docs.select(
-            split.alias("split"),
+            _split_col().alias("split"),
             "source",
             F.size(F.split(F.col("text"), " ")).alias("n_t"),
         )
@@ -4178,7 +4193,11 @@ def report_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 VERIFY_JACCARD_T = 0.5
 
 
-def _lsh_verified_oracle() -> str:
+def _lsh_verified_ctes() -> str:
+    """The shared candidate->exact-Jaccard->verified-pairs CTE chain
+    (ends with a ``ver(doc_a, doc_b, n_common, jaccard)`` relation) —
+    single source for the verified-dedup oracle AND the split-leakage
+    audit so the two can never disagree on what a verified pair is."""
     k, bands = dedup.MINHASH_K, dedup.LSH_BANDS
     rpb = k // bands
     band_selects = "\nUNION ALL ".join(
@@ -4188,8 +4207,7 @@ def _lsh_verified_oracle() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH {_toks_cte()},
+    return f"""{_toks_cte()},
 {_grams_cte(dedup.NGRAM_N)},
 {_sig_cte(k)},
 bands AS ({band_selects}),
@@ -4205,14 +4223,22 @@ inter AS (
   JOIN dg ga ON ga.doc_id = c.doc_a
   JOIN dg gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b, i.n_common,
-       CAST(i.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_common) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_common)
-      >= {VERIFY_JACCARD_T}
+),
+ver AS (
+  SELECT i.doc_a, i.doc_b, i.n_common,
+         CAST(i.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_common)
+        >= {VERIFY_JACCARD_T}
+)"""
+
+
+def _lsh_verified_oracle() -> str:
+    return f"""
+WITH {_lsh_verified_ctes()}
+SELECT doc_a, doc_b, n_common, jaccard FROM ver
 """
 
 
@@ -4233,7 +4259,14 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc key — shuffles bounded by candidates x doc shingles, with
     AQE broadcasting the (sparse) candidate list against the shingle
     stream."""
-    docs = table(spark, sf_dir, "documents")
+    return _lsh_verified_pairs(table(spark, sf_dir, "documents"))
+
+
+def _lsh_verified_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, n_common, jaccard) — the
+    Spark twin of :func:`_lsh_verified_ctes`, shared by the verified
+    dedup query and the split-leakage audit so the two can never
+    disagree on what a verified pair is."""
     cand = (
         dedup.minhash_lsh_pairs(docs, "doc_id", "text")
         .select("doc_a", "doc_b")
@@ -6235,3 +6268,91 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("llr_bits"), F.asc("doc_id")).limit(DSIR_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# report_split_leakage — near-dup contamination across the train/val/test
+# boundary (r13 birth)
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+WITH {_lsh_verified_ctes()},
+sp AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents),
+lab AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b,
+         v.doc_a, v.doc_b
+  FROM ver v
+  JOIN sp a ON a.doc_id = v.doc_a
+  JOIN sp b ON b.doc_id = v.doc_b
+),
+p AS (SELECT split_a, split_b, COUNT(*) AS n_pairs FROM lab GROUP BY 1, 2),
+ends AS (
+  SELECT split_a, split_b, doc_a AS d FROM lab
+  UNION ALL
+  SELECT split_a, split_b, doc_b AS d FROM lab
+),
+dd AS (SELECT split_a, split_b, COUNT(DISTINCT d) AS n_docs FROM ends GROUP BY 1, 2)
+SELECT p.split_a, p.split_b,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(dd.n_docs AS BIGINT) AS n_docs
+FROM p JOIN dd USING (split_a, split_b)
+"""
+
+
+@query("report_split_leakage", oracle=_split_leakage_oracle())
+def report_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit: verified near-duplicate pairs
+    (the dedup_lsh_verified three-stage pipeline — MinHash candidates,
+    exact-Jaccard verification) classified by which canonical
+    train/val/test splits their endpoints landed in. A (train, val)
+    or (train, test) row is EVAL CONTAMINATION the md5 split cannot
+    prevent — the split is a pure function of doc_id, so two near-
+    identical crawled documents with different ids legitimately land
+    on opposite sides of the boundary, and only a near-dup audit sees
+    it. This is the check done before trusting held-out numbers
+    (e.g. Lee et al. 2022 found C4 val/train overlap this way).
+
+    Output: one row per unordered split pair (lexicographic least/
+    greatest — identical in Spark and DuckDB), the verified-pair count
+    crossing/within it, and the distinct documents involved. Both the
+    pair relation (:func:`_lsh_verified_pairs`) and the split
+    assignment (:func:`_split_col`) are the same single-source
+    definitions the standalone queries use, so this audit can never
+    disagree with them.
+
+    Scale: everything is the verified-dedup plan (equi-join candidate
+    generation, never all-pairs) plus two doc-keyed joins of the
+    bounded pair list against the scan-stage split assignment and a
+    6-group rollup — the audit adds no shuffle wider than the pair
+    list itself.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = _lsh_verified_pairs(docs).select("doc_a", "doc_b")
+    sp = docs.select("doc_id", _split_col().alias("split"))
+    pa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    pb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    lab = (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    p = lab.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    ends = lab.select("split_a", "split_b", F.col("doc_a").alias("d")).unionByName(
+        lab.select("split_a", "split_b", F.col("doc_b").alias("d"))
+    )
+    dd = ends.groupBy("split_a", "split_b").agg(
+        F.countDistinct("d").cast("long").alias("n_docs")
+    )
+    return p.join(dd, ["split_a", "split_b"]).select(
+        "split_a", "split_b", "n_pairs", "n_docs"
+    )

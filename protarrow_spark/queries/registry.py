@@ -110,13 +110,14 @@ GRADED_FIRST = [
     # streaming decontamination scorer's Python shingler was aligned
     # bit-for-bit with text_ngrams — and (3) the longest-ungraded
     # cohort: ALL 19 remaining r7-graded queries (staleness floor
-    # rises to r8) plus the 26 alphabetically-first r8-graded.
+    # rises to r8) plus the 25 alphabetically-first r8-graded.
     # Rotated-out queries stay oracle-verified every pytest run via
     # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
     # tools/gate_rehearsal.py before commit.
     # -- ROUND-13 BIRTHS
     "sample_dsir_importance",
     "stream_cdc_latest",
+    "report_split_leakage",
     # -- touched-code anchors (r13 edits)
     "dq_label_knn_consistency",
     "ann_mmr_select",
@@ -167,7 +168,6 @@ GRADED_FIRST = [
     "mm_image_features_pgm",
     "mm_phash_dedup",
     "pairgen_hard_negatives",
-    "pipeline_ccnet",
 ]
 
 
