@@ -689,6 +689,27 @@ def main() -> None:
         unresolved = set(sp.get("unresolved", []))
         for name, sec in timings.items():
             if name not in full.get("queries", {}):
+                # A birth can grow HEADLINE after the full artifact was
+                # recorded; append its timing rather than forcing a full
+                # re-sweep — but only a clean-bracketed reading, and only
+                # for a query the current HEADLINE set actually contains
+                # (anything else merged here would silently widen the
+                # artifact past the official set).
+                if name in headline_names and name not in suspects:
+                    full["queries"][name] = sec
+                    print(
+                        f"BENCH MERGE {name}: appended {sec}s "
+                        "(new headline query, clean bracket)",
+                        file=sys.stderr,
+                    )
+                elif name in headline_names:
+                    unresolved.add(name)
+                    full["queries"][name] = sec
+                    print(
+                        f"BENCH MERGE {name}: appended {sec}s but "
+                        "bracket was NOT clean — marked unresolved",
+                        file=sys.stderr,
+                    )
                 continue
             old_sec = full["queries"][name]
             full["queries"][name] = min(old_sec, sec)
