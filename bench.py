@@ -223,6 +223,8 @@ HEADLINE = [
     "sample_dsir_importance",
     # train/eval split-leakage audit (r13)
     "report_split_leakage",
+    # NDCG/recall/MRR retrieval-quality eval (r13)
+    "retrieval_eval_ndcg",
 ]
 
 

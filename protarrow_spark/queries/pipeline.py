@@ -4883,6 +4883,195 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# retrieval_eval_ndcg — NDCG@k / recall@k / MRR retrieval-quality eval
+# ---------------------------------------------------------------------------
+
+#: Retrieval depth the eval cuts at (the k of NDCG@k / recall@k).
+NDCG_K = 10
+#: Number of eval queries: the labeled vectors with the smallest ids.
+NDCG_QUERIES = 16
+#: Fixed-point scale of the 1/log2(rank+1) discount weights. 1e9
+#: keeps 9 significant digits while dcg_fp*1e6 (the ppm division
+#: below) stays well inside int64: 10 * 1e9 * 1e6 = 1e16 << 9.2e18.
+NDCG_DISC_SCALE = 10**9
+#: Fixed-point scale of the output ratios (parts-per-million).
+NDCG_PPM = 10**6
+
+
+def _ndcg_discounts() -> list[int]:
+    """round(SCALE / log2(rank+1)) for rank 1..k — computed ONCE in
+    Python and embedded as integer literals in BOTH the Spark plan and
+    the DuckDB oracle, so no engine ever evaluates a log."""
+    import math
+
+    return [round(NDCG_DISC_SCALE / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+
+
+def _ndcg_oracle() -> str:
+    disc = _ndcg_discounts()
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    disc_rows = ", ".join(f"({r + 1}, {d})" for r, d in enumerate(disc))
+    pre_rows = ", ".join(f"({i}, {p})" for i, p in enumerate(prefix))
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS q_label, e AS qe FROM v
+  WHERE vec_id < {NDCG_QUERIES} AND label IS NOT NULL
+),
+scored AS (
+  SELECT query_id, q_label, vec_id AS neighbor_id, label AS n_label,
+         {_COSINE_SQL} AS cosine
+  FROM q JOIN v ON vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, q_label, n_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS rank
+  FROM scored
+),
+top AS (
+  SELECT query_id, q_label, rank,
+         CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rank <= {NDCG_K}
+),
+disc(rank, d_fp) AS (VALUES {disc_rows}),
+agg AS (
+  SELECT query_id, q_label,
+         SUM(rel * d_fp) AS dcg_fp,
+         SUM(rel) AS relevant_found,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+  FROM top JOIN disc USING (rank) GROUP BY query_id, q_label
+),
+lc AS (SELECT label, COUNT(*) AS n FROM v WHERE label IS NOT NULL GROUP BY label),
+pre(i, p_fp) AS (VALUES {pre_rows}),
+j AS (
+  SELECT a.query_id, a.relevant_found, a.dcg_fp, a.first_rel_rank,
+         lc.n - 1 AS relevant_total
+  FROM agg a JOIN lc ON lc.label = a.q_label
+)
+SELECT query_id,
+       CAST(relevant_total AS BIGINT) AS relevant_total,
+       CAST(relevant_found AS BIGINT) AS relevant_found,
+       CAST(COALESCE(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+       CAST(dcg_fp AS BIGINT) AS dcg_fp,
+       CAST(p.p_fp AS BIGINT) AS idcg_fp,
+       CAST(CASE WHEN p.p_fp > 0 THEN dcg_fp * {NDCG_PPM} // p.p_fp
+                 ELSE 0 END AS BIGINT) AS ndcg_ppm,
+       CAST(CASE WHEN LEAST(relevant_total, {NDCG_K}) > 0
+                 THEN relevant_found * {NDCG_PPM} // LEAST(relevant_total, {NDCG_K})
+                 ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN first_rel_rank IS NOT NULL THEN {NDCG_PPM} // first_rel_rank
+                 ELSE 0 END AS BIGINT) AS rr_ppm
+FROM j JOIN pre p ON p.i = LEAST(j.relevant_total, {NDCG_K})
+ORDER BY query_id
+"""
+
+
+@query("retrieval_eval_ndcg", oracle=_ndcg_oracle())
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — NDCG@{NDCG_K}, recall@{NDCG_K}
+    and reciprocal rank per query — of exact cosine retrieval over the
+    embeddings table, with same-label as the (binary) relevance
+    judgment: the eval loop every retrieval/RAG pipeline runs after
+    changing an index, an embedding model, or a chunking policy.
+
+    Exactness: the 1/log2(rank+1) discounts are precomputed Python
+    integers at 1e9 fixed point (embedded identically in the oracle),
+    DCG is an integer dot product against them, ideal DCG is a prefix-
+    sum table lookup at min(|relevant|, k) — binary relevance makes
+    the ideal list a prefix — and the ndcg/recall/rr ratios are
+    integer divisions at ppm scale. No float leaves the cosine ranking
+    stage, which is shared verbatim with ann_cosine_topk.
+
+    Scale: the {NDCG_QUERIES}-query frame broadcasts twice (retrieval
+    + label join); label frequencies (one row per class) broadcast;
+    the only corpus-sized pass is the brute-force scoring scan that
+    TakeOrdered's to k per query. Swapping the first stage for
+    ann_ivf_topk/ann_lsh_bucketed_topk turns this into the sampled
+    recall audit those indexes need at 100 TB."""
+    emb = table(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("label").isNotNull())
+    qs = labeled.filter(F.col("vec_id") < NDCG_QUERIES)
+    retrieved = similarity.cosine_topk_bruteforce(emb, qs, k=NDCG_K)
+
+    n_labels = labeled.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    q_labels = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    rel = (
+        retrieved.join(n_labels, "neighbor_id", "left")
+        .join(F.broadcast(q_labels), "query_id")
+        .select(
+            "query_id",
+            "q_label",
+            "rank",
+            F.when(F.col("n_label") == F.col("q_label"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+
+    disc = _ndcg_discounts()
+    prefix = [0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    pre_arr = F.array(*[F.lit(p) for p in prefix])
+
+    agg = rel.groupBy("query_id", "q_label").agg(
+        F.sum(F.col("rel") * F.element_at(disc_arr, F.col("rank"))).alias("dcg_fp"),
+        F.sum("rel").alias("relevant_found"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+    )
+    label_counts = labeled.groupBy(F.col("label").alias("q_label")).agg(
+        (F.count(F.lit(1)) - F.lit(1)).alias("relevant_total")
+    )
+    joined = agg.join(F.broadcast(label_counts), "q_label").withColumn(
+        "idcg_fp",
+        F.element_at(
+            pre_arr,
+            (F.least(F.col("relevant_total"), F.lit(NDCG_K)) + 1).cast("int"),
+        ),
+    )
+    return joined.select(
+        F.col("query_id"),
+        F.col("relevant_total").cast("long").alias("relevant_total"),
+        F.col("relevant_found").cast("long").alias("relevant_found"),
+        F.coalesce("first_rel_rank", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.col("dcg_fp").cast("long").alias("dcg_fp"),
+        F.col("idcg_fp").cast("long").alias("idcg_fp"),
+        F.when(
+            F.col("idcg_fp") > 0,
+            F.expr(f"(dcg_fp * {NDCG_PPM}L) div idcg_fp"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_ppm"),
+        F.when(
+            F.least(F.col("relevant_total"), F.lit(NDCG_K)) > 0,
+            F.expr(
+                f"(relevant_found * {NDCG_PPM}L)"
+                f" div least(relevant_total, {NDCG_K})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.expr(f"{NDCG_PPM}L div first_rel_rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_ppm"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
 # report_token_fertility — tokenizer fertility / compression audit
 # ---------------------------------------------------------------------------
 

@@ -118,6 +118,7 @@ GRADED_FIRST = [
     "sample_dsir_importance",
     "stream_cdc_latest",
     "report_split_leakage",
+    "retrieval_eval_ndcg",
     # -- touched-code anchors (r13 edits)
     "dq_label_knn_consistency",
     "ann_mmr_select",
@@ -142,7 +143,7 @@ GRADED_FIRST = [
     "text_oov_rate",
     "window_funnel_stages",
     "window_percent_rank_price",
-    # -- longest-ungraded rotation (last graded r8, first 26 of 40)
+    # -- longest-ungraded rotation (last graded r8, first 25 of 40)
     "agg_hhi_concentration",
     "agg_mode_exact",
     "agg_skew_kurtosis_exact",
@@ -167,7 +168,9 @@ GRADED_FIRST = [
     "mm_frame_dedup",
     "mm_image_features_pgm",
     "mm_phash_dedup",
-    "pairgen_hard_negatives",
+    # (pairgen_hard_negatives, r8-graded, displaced by the 4th r13
+    # birth retrieval_eval_ndcg to hold the window at 50 — it stays
+    # oracle-verified by test_oracle_parity and rotates in next round.)
 ]
 
 

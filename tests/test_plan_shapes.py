@@ -227,6 +227,9 @@ BNLJ_BY_DESIGN = {
     # <=4096-row hashed-bucket bits dimension (same shape as
     # score_unigram_surprisal, applied to both DSIR models)
     "sample_dsir_importance",
+    # bounded eval-query broadcast against the corpus (the retrieval
+    # stage is cosine_topk_bruteforce, same shape as ann_cosine_topk)
+    "retrieval_eval_ndcg",
 }
 
 

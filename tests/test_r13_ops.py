@@ -167,3 +167,48 @@ def test_mmr_large_k_anti_join_matches_literal_path(spark):
     assert "INSET" not in plan_anti and " IN (" not in plan_anti
     plan_lit = _mmr_excluded(cand, "vec_id", [1, 2, 3], False)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" not in plan_lit
+
+
+class TestRetrievalEvalNdcg:
+    def test_hand_computed_metrics(self, spark, tmp_path):
+        """2-D corpus at distinct angles from the query vector, so the
+        cosine ranking of query 0's neighbors is exactly the id order:
+        relevant (same-label) docs planted at ranks 2 and 5 give a
+        hand-computable DCG/IDCG/recall/MRR in the query's fixed-point
+        arithmetic."""
+        import math
+
+        from protarrow_spark.queries.pipeline import (
+            NDCG_PPM,
+            _ndcg_discounts,
+            retrieval_eval_ndcg,
+        )
+
+        rows = [(0, [1.0, 0.0], 0)]
+        for i in range(1, 13):
+            a = math.radians(5.0 * i)
+            rows.append((i, [math.cos(a), math.sin(a)], 0 if i in (2, 5) else 1))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        out = {
+            r["query_id"]: r
+            for r in retrieval_eval_ndcg(spark, str(tmp_path)).collect()
+        }
+        disc = _ndcg_discounts()
+        r0 = out[0]
+        assert r0["relevant_total"] == 2
+        assert r0["relevant_found"] == 2
+        assert r0["first_rel_rank"] == 2
+        assert r0["dcg_fp"] == disc[1] + disc[4]  # ranks 2 and 5
+        assert r0["idcg_fp"] == disc[0] + disc[1]  # ideal: ranks 1 and 2
+        assert r0["ndcg_ppm"] == (r0["dcg_fp"] * NDCG_PPM) // r0["idcg_fp"]
+        assert r0["recall_ppm"] == NDCG_PPM  # found both of min(2, k)
+        assert r0["rr_ppm"] == NDCG_PPM // 2
+        # every labeled vec_id < 16 is a query; all rows carry sane ratios
+        assert len(out) == 13
+        assert all(0 <= r["ndcg_ppm"] <= NDCG_PPM for r in out.values())
+        assert all(0 <= r["recall_ppm"] <= NDCG_PPM for r in out.values())
