@@ -225,6 +225,8 @@ HEADLINE = [
     "report_split_leakage",
     # NDCG/recall/MRR retrieval-quality eval (r13)
     "retrieval_eval_ndcg",
+    # greedy k-Center coreset selection (r13)
+    "sample_kcenter_coreset",
 ]
 
 

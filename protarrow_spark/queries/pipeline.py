@@ -6460,6 +6460,98 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sample_kcenter_coreset — greedy k-Center coreset selection (r13 birth)
+# ---------------------------------------------------------------------------
+
+#: Coreset size: number of greedy k-Center picks.
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-Center CTE chain (the kmeans/PQ unroll
+    device): step i picks the vector maximizing its min squared L2
+    distance to the i-1 already-selected, ties to the smaller vec_id.
+    All distances are integers (int8-quantized vectors), so every
+    argmax is engine-exact."""
+    d2 = "(x.qq + c.qq - 2*CAST(list_dot_product(x.q, c.q) AS BIGINT))"
+    ctes = list(_q8_ctes())
+    # MATERIALIZED: c{i} references every c{j<i} through sel{i}; left
+    # inlined, the chain re-expands exponentially (observed: the
+    # 8-step oracle never finished at sf0.01 without it).
+    ctes.append(
+        """qx AS MATERIALIZED (
+  SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS qq FROM q8
+)"""
+    )
+    ctes.append(
+        """c1 AS MATERIALIZED (
+  SELECT vec_id, q, qq, CAST(0 AS BIGINT) AS md FROM qx
+  WHERE vec_id = (SELECT MIN(vec_id) FROM qx)
+)"""
+    )
+    for i in range(2, KCENTER_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, q, qq FROM c{j}" for j in range(1, i)
+        )
+        ctes.append(f"sel{i} AS MATERIALIZED ({sel})")
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT vec_id, q, qq, md FROM (
+    SELECT x.vec_id, x.q, x.qq, MIN({d2}) AS md
+    FROM qx x CROSS JOIN sel{i} c
+    WHERE x.vec_id NOT IN (SELECT vec_id FROM sel{i})
+    GROUP BY x.vec_id, x.q, x.qq
+  ) ORDER BY md DESC, vec_id LIMIT 1
+)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, md FROM c{i}"
+        for i in range(1, KCENTER_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(step AS BIGINT) AS step, vec_id,
+       CAST(md AS BIGINT) AS d2_to_selected
+FROM ({rows}) ORDER BY step"""
+    )
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-Center coreset selection (Sener & Savarese 2018,
+    arXiv:1708.00489 — the farthest-point-first heuristic behind
+    diversity-driven data pruning): seed with the smallest vec_id,
+    then {KCENTER_K}-1 times pick the vector farthest (max-min
+    squared L2) from everything selected so far. The emitted
+    d2_to_selected sequence is the coverage-radius curve — where it
+    collapses is the diversity budget of the corpus.
+
+    Exactness: distances are integer squared L2 over the shared int8
+    quantization (operators/similarity.py quantize_int8 — the
+    kmeans/SemDeDup/PCA device), via d2 = qq_a + qq_b - 2*dot; the
+    oracle unrolls the greedy loop into {KCENTER_K} CTE steps, each
+    an integer argmax with vec_id tie-break — hash-exact, no float
+    comparison anywhere.
+
+    Scale: the loop is driver-iterated ({KCENTER_K} rounds); each
+    round is ONE narrow corpus scan — an int64 X @ C.T matmul per
+    Arrow batch against the selected-center matrix carried as
+    closure state (operators/similarity.py kcenter_greedy, the
+    int8_topk device), reduced to per-batch champions and a k-row
+    global TakeOrdered. Nothing corpus-sized collects, broadcasts,
+    or shuffles, so it survives a billion-row corpus: round cost is
+    a narrow scan, and k rounds of it."""
+    picked = similarity.kcenter_greedy(
+        table(spark, sf_dir, "embeddings"), k=KCENTER_K
+    )
+    return spark.createDataFrame(
+        picked, "step long, vec_id long, d2_to_selected long"
+    ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
 # report_split_leakage — near-dup contamination across the train/val/test
 # boundary (r13 birth)
 # ---------------------------------------------------------------------------

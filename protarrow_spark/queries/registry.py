@@ -110,7 +110,7 @@ GRADED_FIRST = [
     # streaming decontamination scorer's Python shingler was aligned
     # bit-for-bit with text_ngrams — and (3) the longest-ungraded
     # cohort: ALL 19 remaining r7-graded queries (staleness floor
-    # rises to r8) plus the 25 alphabetically-first r8-graded.
+    # rises to r8) plus the 24 alphabetically-first r8-graded.
     # Rotated-out queries stay oracle-verified every pytest run via
     # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
     # tools/gate_rehearsal.py before commit.
@@ -119,6 +119,7 @@ GRADED_FIRST = [
     "stream_cdc_latest",
     "report_split_leakage",
     "retrieval_eval_ndcg",
+    "sample_kcenter_coreset",
     # -- touched-code anchors (r13 edits)
     "dq_label_knn_consistency",
     "ann_mmr_select",
@@ -143,7 +144,7 @@ GRADED_FIRST = [
     "text_oov_rate",
     "window_funnel_stages",
     "window_percent_rank_price",
-    # -- longest-ungraded rotation (last graded r8, first 25 of 40)
+    # -- longest-ungraded rotation (last graded r8, first 24 of 40)
     "agg_hhi_concentration",
     "agg_mode_exact",
     "agg_skew_kurtosis_exact",
@@ -167,10 +168,10 @@ GRADED_FIRST = [
     "mm_audio_windows_wav",
     "mm_frame_dedup",
     "mm_image_features_pgm",
-    "mm_phash_dedup",
-    # (pairgen_hard_negatives, r8-graded, displaced by the 4th r13
-    # birth retrieval_eval_ndcg to hold the window at 50 — it stays
-    # oracle-verified by test_oracle_parity and rotates in next round.)
+    # (pairgen_hard_negatives and mm_phash_dedup, both r8-graded,
+    # displaced by the 4th/5th r13 births retrieval_eval_ndcg and
+    # sample_kcenter_coreset to hold the window at 50 — they stay
+    # oracle-verified by test_oracle_parity and rotate in next round.)
 ]
 
 

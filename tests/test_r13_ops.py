@@ -212,3 +212,60 @@ class TestRetrievalEvalNdcg:
         assert len(out) == 13
         assert all(0 <= r["ndcg_ppm"] <= NDCG_PPM for r in out.values())
         assert all(0 <= r["recall_ppm"] <= NDCG_PPM for r in out.values())
+
+
+class TestKcenterCoreset:
+    def test_hand_computed_greedy_walk(self, spark, tmp_path):
+        """1-D corpus on a line: the greedy farthest-point walk is
+        hand-traceable. Points at 0, 1, 10, 100 (quantized scale per
+        vector makes 1-D degenerate, so use 2-D with a fixed max
+        component to pin the int8 grid)."""
+        # 2-D: second component fixed at 127-scale anchor 1.0 so every
+        # vector's int8 scale is 1.0 -> q = round(127 * x)
+        pts = {0: 0.0, 1: 0.01, 2: 0.5, 3: 1.0, 4: 0.99}
+        rows = [(i, [x, 1.0], 0) for i, x in pts.items()]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        from protarrow_spark.queries.pipeline import sample_kcenter_coreset
+
+        out = [
+            (r["step"], r["vec_id"], r["d2_to_selected"])
+            for r in sample_kcenter_coreset(spark, str(tmp_path)).collect()
+        ]
+        q = {i: round(127 * x) for i, x in pts.items()}
+        d2 = lambda a, b: (q[a] - q[b]) ** 2
+        # greedy from seed 0: farthest is 3 (127^2), then the point
+        # maximizing min(d2 to 0, d2 to 3) -> 2 (63^2 ...), then 1 vs 4
+        assert out[0] == (1, 0, 0)
+        assert out[1] == (2, 3, d2(0, 3))
+        assert out[2] == (3, 2, min(d2(2, 0), d2(2, 3)))
+        exp4 = {i: min(d2(i, 0), d2(i, 3), d2(i, 2)) for i in (1, 4)}
+        pick4 = max(sorted(exp4), key=lambda i: (exp4[i], -i))
+        assert out[3] == (4, pick4, exp4[pick4])
+        # corpus of 5 < k=8: the walk stops after 5 picks (no crash)
+        assert len(out) == 5
+        assert [s for s, _, _ in out] == [1, 2, 3, 4, 5]
+
+    def test_driver_kernel_matches_distributed_rounds(self, spark):
+        """The size-gated driver kernel and the distributed matmul
+        rounds must emit the IDENTICAL greedy walk — duplicates
+        (d2=0 ties) and all."""
+        import numpy as np
+
+        from protarrow_spark.operators.similarity import kcenter_greedy
+
+        rng = np.random.default_rng(131)
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(16)])
+            for i in range(300)
+        ]
+        # duplicate-heavy tail: exact copies force d2=0 ties
+        rows += [(300 + i, rows[i][1]) for i in range(20)]
+        frame = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        drv = kcenter_greedy(frame, k=12)  # 320 <= gate -> driver kernel
+        dist = kcenter_greedy(frame, k=12, max_driver_rows=0)
+        assert drv == dist
+        assert len(drv) == 12
