@@ -227,6 +227,8 @@ HEADLINE = [
     "retrieval_eval_ndcg",
     # greedy k-Center coreset selection (r13)
     "sample_kcenter_coreset",
+    # deterministic per-epoch shuffle + sharding (r13)
+    "order_epoch_shuffle",
 ]
 
 

@@ -3653,6 +3653,91 @@ def order_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# order_epoch_shuffle — deterministic per-epoch global shuffle + sharding
+# ---------------------------------------------------------------------------
+
+#: Number of training epochs the shuffle is materialized for.
+EPOCH_SHUFFLE_EPOCHS = 2
+#: Number of output shards per epoch.
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "order_epoch_shuffle",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ep AS (SELECT UNNEST(range(1, {EPOCH_SHUFFLE_EPOCHS + 1})) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5('epoch' || CAST(e.epoch AS VARCHAR) || '|'
+             || CAST(d.doc_id AS VARCHAR)) AS k
+  FROM documents d CROSS JOIN ep e
+),
+pos AS (
+  SELECT epoch, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS position
+  FROM keyed
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(position AS BIGINT) AS position,
+       CAST(((position - 1) * {EPOCH_SHUFFLE_SHARDS}) // n_docs AS BIGINT)
+         AS shard
+FROM pos CROSS JOIN n
+""",
+)
+def order_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle with shard assignment —
+    the data-loader contract of every large pretraining run: each
+    epoch is an independent, seeded, reproducible permutation of the
+    corpus (key = md5('epoch'||epoch||'|'||doc_id) — resuming a crashed
+    run regenerates the identical order), cut into
+    {EPOCH_SHUFFLE_SHARDS} contiguous equal shards by integer position
+    arithmetic, so any worker can claim shard files without
+    coordination.
+
+    Scale: the permutation is a sort on a uniformly-distributed hash
+    key — exactly what repartitionByRange was built for. Here the
+    per-epoch ROW_NUMBER window pins the semantics; at 100 TB the
+    materialization is repartitionByRange(epoch, k) + per-partition
+    offsets (the pack_sequences / curriculum pattern), which gives the
+    same positions with no single-partition window. The epoch frame
+    ({EPOCH_SHUFFLE_EPOCHS} rows) broadcasts; shard boundaries are
+    (position-1)*S div N — no second pass, no ntile engine variance."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    eps = spark.range(1, EPOCH_SHUFFLE_EPOCHS + 1).select(
+        F.col("id").alias("epoch")
+    )
+    keyed = docs.crossJoin(F.broadcast(eps)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return keyed.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("position"),
+    ).select(
+        "epoch",
+        "doc_id",
+        "position",
+        F.expr(
+            f"((position - 1) * {EPOCH_SHUFFLE_SHARDS}) div {n_docs}"
+        ).cast("long").alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_ngram_containment — subset / quotation detection
 # ---------------------------------------------------------------------------
 

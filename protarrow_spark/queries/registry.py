@@ -110,7 +110,7 @@ GRADED_FIRST = [
     # streaming decontamination scorer's Python shingler was aligned
     # bit-for-bit with text_ngrams — and (3) the longest-ungraded
     # cohort: ALL 19 remaining r7-graded queries (staleness floor
-    # rises to r8) plus the 24 alphabetically-first r8-graded.
+    # rises to r8) plus the 22 alphabetically-first r8-graded.
     # Rotated-out queries stay oracle-verified every pytest run via
     # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
     # tools/gate_rehearsal.py before commit.
@@ -120,6 +120,7 @@ GRADED_FIRST = [
     "report_split_leakage",
     "retrieval_eval_ndcg",
     "sample_kcenter_coreset",
+    "order_epoch_shuffle",
     # -- touched-code anchors (r13 edits)
     "dq_label_knn_consistency",
     "ann_mmr_select",
@@ -144,7 +145,7 @@ GRADED_FIRST = [
     "text_oov_rate",
     "window_funnel_stages",
     "window_percent_rank_price",
-    # -- longest-ungraded rotation (last graded r8, first 24 of 40)
+    # -- longest-ungraded rotation (last graded r8, first 22 of 40)
     "agg_hhi_concentration",
     "agg_mode_exact",
     "agg_skew_kurtosis_exact",
@@ -167,11 +168,11 @@ GRADED_FIRST = [
     "mine_sequence_bigrams",
     "mm_audio_windows_wav",
     "mm_frame_dedup",
-    "mm_image_features_pgm",
-    # (pairgen_hard_negatives and mm_phash_dedup, both r8-graded,
-    # displaced by the 4th/5th r13 births retrieval_eval_ndcg and
-    # sample_kcenter_coreset to hold the window at 50 — they stay
-    # oracle-verified by test_oracle_parity and rotate in next round.)
+    # (pairgen_hard_negatives, mm_phash_dedup and mm_image_features_pgm,
+    # all r8-graded, displaced by the 4th/5th/6th r13 births
+    # retrieval_eval_ndcg / sample_kcenter_coreset / order_epoch_shuffle
+    # to hold the window at 50 — they stay oracle-verified by
+    # test_oracle_parity and rotate in next round.)
 ]
 
 

@@ -230,6 +230,9 @@ BNLJ_BY_DESIGN = {
     # bounded eval-query broadcast against the corpus (the retrieval
     # stage is cosine_topk_bruteforce, same shape as ann_cosine_topk)
     "retrieval_eval_ndcg",
+    # 2-row epoch frame broadcast onto the corpus (the pairgen ring
+    # device) + 1-row doc-count scalar
+    "order_epoch_shuffle",
 }
 
 

@@ -269,3 +269,43 @@ class TestKcenterCoreset:
         dist = kcenter_greedy(frame, k=12, max_driver_rows=0)
         assert drv == dist
         assert len(drv) == 12
+
+
+class TestEpochShuffle:
+    def test_reproducible_distinct_balanced(self, spark, tmp_path):
+        rows = [(i, f"doc {i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+        from protarrow_spark.queries.pipeline import (
+            EPOCH_SHUFFLE_EPOCHS,
+            EPOCH_SHUFFLE_SHARDS,
+            order_epoch_shuffle,
+        )
+
+        a = order_epoch_shuffle(spark, str(tmp_path)).collect()
+        b = order_epoch_shuffle(spark, str(tmp_path)).collect()
+        # reproducible: re-running regenerates the identical order
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_epoch = {}
+        for r in a:
+            by_epoch.setdefault(r["epoch"], {})[r["position"]] = r["doc_id"]
+        # every epoch is a full permutation, and epochs differ
+        perms = [
+            [by_epoch[e][p] for p in sorted(by_epoch[e])]
+            for e in sorted(by_epoch)
+        ]
+        assert len(perms) == EPOCH_SHUFFLE_EPOCHS
+        assert all(sorted(p) == list(range(40)) for p in perms)
+        assert perms[0] != perms[1]
+        # shards are contiguous position ranges of near-equal size
+        for e in sorted(by_epoch):
+            shards = {}
+            for r in a:
+                if r["epoch"] == e:
+                    shards.setdefault(r["shard"], []).append(r["position"])
+            assert len(shards) == EPOCH_SHUFFLE_SHARDS
+            sizes = {len(v) for v in shards.values()}
+            assert sizes == {40 // EPOCH_SHUFFLE_SHARDS}
+            for s, ps in shards.items():
+                assert max(ps) - min(ps) + 1 == len(ps)  # contiguous
