@@ -229,6 +229,12 @@ HEADLINE = [
     "sample_kcenter_coreset",
     # deterministic per-epoch shuffle + sharding (r13)
     "order_epoch_shuffle",
+    # language-ID confusion-matrix eval (r13)
+    "report_langid_confusion",
+    # exact two-sample Kolmogorov-Smirnov drift test (r13)
+    "dq_ks_drift",
+    # per-column completeness profile (r13)
+    "dq_completeness_profile",
 ]
 
 

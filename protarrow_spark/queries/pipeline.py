@@ -541,6 +541,61 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS (
+  SELECT doc_id, predicted_lang FROM ({_langid_oracle()})
+),
+lab AS (
+  SELECT d.lang, p.predicted_lang FROM pred p
+  JOIN documents d USING (doc_id)
+),
+marg AS (SELECT lang, COUNT(*) AS n_lang FROM lab GROUP BY lang),
+cell AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM lab GROUP BY 1, 2
+)
+SELECT c.lang, c.predicted_lang,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST((c.n_docs * 1000000) // m.n_lang AS BIGINT) AS cell_ppm
+FROM cell c JOIN marg m USING (lang)
+"""
+
+
+@query("report_langid_confusion", oracle=_langid_confusion_oracle())
+def report_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation — the confusion matrix of the n-gram
+    marker classifier (`text_language_id`) against the corpus's lang
+    labels, each cell also as ppm of its TRUE-language row (the
+    per-class recall diagonal a curation pipeline reads before
+    trusting the classifier to route documents): the classification
+    sibling of retrieval_eval_ndcg — the engine evaluates its own
+    operators, exactly.
+
+    Scale: the classifier is one token-scan + marker CASE (no joins);
+    the matrix is a |langs|^2-row aggregate and the per-class
+    marginals broadcast. Nothing here grows with the corpus except
+    the one scan."""
+    pred = text.language_id(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "predicted_lang")
+    lab = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select("lang", "predicted_lang")
+    )
+    marg = lab.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    cell = lab.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return cell.join(F.broadcast(marg), "lang").select(
+        "lang",
+        "predicted_lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("(n_docs * 1000000) div n_lang").cast("long").alias("cell_ppm"),
+    )
+
+
 @query(
     "text_fingerprints",
     oracle="""

@@ -110,7 +110,7 @@ GRADED_FIRST = [
     # streaming decontamination scorer's Python shingler was aligned
     # bit-for-bit with text_ngrams — and (3) the longest-ungraded
     # cohort: ALL 19 remaining r7-graded queries (staleness floor
-    # rises to r8) plus the 22 alphabetically-first r8-graded.
+    # rises to r8) plus the 19 alphabetically-first r8-graded.
     # Rotated-out queries stay oracle-verified every pytest run via
     # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
     # tools/gate_rehearsal.py before commit.
@@ -121,6 +121,9 @@ GRADED_FIRST = [
     "retrieval_eval_ndcg",
     "sample_kcenter_coreset",
     "order_epoch_shuffle",
+    "report_langid_confusion",
+    "dq_ks_drift",
+    "dq_completeness_profile",
     # -- touched-code anchors (r13 edits)
     "dq_label_knn_consistency",
     "ann_mmr_select",
@@ -145,7 +148,7 @@ GRADED_FIRST = [
     "text_oov_rate",
     "window_funnel_stages",
     "window_percent_rank_price",
-    # -- longest-ungraded rotation (last graded r8, first 22 of 40)
+    # -- longest-ungraded rotation (last graded r8, first 19 of 40)
     "agg_hhi_concentration",
     "agg_mode_exact",
     "agg_skew_kurtosis_exact",
@@ -165,12 +168,11 @@ GRADED_FIRST = [
     "graph_kcore",
     "join_asof_nearest",
     "join_fuzzy_blocked",
-    "mine_sequence_bigrams",
-    "mm_audio_windows_wav",
-    "mm_frame_dedup",
-    # (pairgen_hard_negatives, mm_phash_dedup and mm_image_features_pgm,
-    # all r8-graded, displaced by the 4th/5th/6th r13 births
-    # retrieval_eval_ndcg / sample_kcenter_coreset / order_epoch_shuffle
+    # (pairgen_hard_negatives, mm_phash_dedup, mm_image_features_pgm,
+    # mm_frame_dedup, mm_audio_windows_wav and mine_sequence_bigrams,
+    # all r8-graded, displaced by the six session-2 r13 births
+    # (retrieval_eval_ndcg, sample_kcenter_coreset, order_epoch_shuffle,
+    # report_langid_confusion, dq_ks_drift, dq_completeness_profile)
     # to hold the window at 50 — they stay oracle-verified by
     # test_oracle_parity and rotate in next round.)
 ]

@@ -3261,6 +3261,182 @@ def dq_drift_splithalf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dq_ks_drift — exact two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+
+#: The split predicate: high-priority orders vs the rest.
+KS_HI_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "dq_ks_drift",
+    oracle=f"""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority IN {KS_HI_PRIORITIES} THEN 1 ELSE 0 END AS hi
+  FROM orders
+),
+g AS (
+  SELECT v, SUM(hi) AS n_hi_v, SUM(1 - hi) AS n_lo_v FROM s GROUP BY v
+),
+c AS (
+  SELECT v,
+         SUM(n_hi_v) OVER (ORDER BY v) AS c_hi,
+         SUM(n_lo_v) OVER (ORDER BY v) AS c_lo
+  FROM g
+),
+t AS (SELECT SUM(hi) AS n_hi, SUM(1 - hi) AS n_lo FROM s),
+d AS (
+  SELECT v, c_hi, c_lo, n_hi, n_lo,
+         abs(c_hi * n_lo - c_lo * n_hi) AS ks_num
+  FROM c CROSS JOIN t
+)
+SELECT v AS ks_value,
+       CAST(ks_num AS BIGINT) AS ks_num,
+       CAST(n_hi AS BIGINT) AS n_hi,
+       CAST(n_lo AS BIGINT) AS n_lo,
+       CAST((ks_num * 1000000) // (n_hi * n_lo) AS BIGINT) AS ks_ppm
+FROM d ORDER BY ks_num DESC, v LIMIT 1
+""",
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the standard
+    'did this distribution shift between slices' screen (here:
+    order totalprice, high-priority vs the rest), computed with NO
+    float arithmetic: D = max over observed values of
+    |c_hi*n_lo - c_lo*n_hi| / (n_hi*n_lo) is evaluated on the integer
+    numerator (exact in any engine), reported at ppm scale with the
+    argmax value and a min-value tie-break. The raw DOUBLE order
+    values serve only as grouping/ordering keys (identical bits from
+    the same parquet on both engines) — never as arithmetic operands.
+
+    Scale: one map-side conditional count into a |distinct values|
+    aggregate, then a prefix sum. The global ORDER BY window pins the
+    semantics; at real scale the prefix sum is repartitionByRange +
+    per-partition offsets (the pack_sequences device), and the final
+    argmax is a TakeOrdered. ks_num*1e6 stays in int64 up to ~3e9
+    rows per slice; past that, the same plan over decimal(38,0)."""
+    s = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority").isin(*KS_HI_PRIORITIES), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("hi").alias("n_hi_v"), F.sum(1 - F.col("hi")).alias("n_lo_v")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "v",
+        F.sum("n_hi_v").over(w).alias("c_hi"),
+        F.sum("n_lo_v").over(w).alias("c_lo"),
+    )
+    t = s.agg(
+        F.sum("hi").alias("n_hi"), F.sum(1 - F.col("hi")).alias("n_lo")
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        "v",
+        "n_hi",
+        "n_lo",
+        F.abs(F.col("c_hi") * F.col("n_lo") - F.col("c_lo") * F.col("n_hi")).alias(
+            "ks_num"
+        ),
+    )
+    return (
+        d.orderBy(F.desc("ks_num"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("v").alias("ks_value"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.col("n_hi").cast("long").alias("n_hi"),
+            F.col("n_lo").cast("long").alias("n_lo"),
+            F.expr("(ks_num * 1000000) div (n_hi * n_lo)")
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_completeness_profile — per-column null / blank / distinct profile
+# ---------------------------------------------------------------------------
+
+#: Column spec the profile is generated from, single-source for both
+#: the Spark plan and the oracle: (name, is_text).
+PROFILE_COLS = [
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", True),
+    ("o_totalprice", False),
+    ("o_orderdate", False),
+    ("o_orderpriority", True),
+]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for name, is_text in PROFILE_COLS:
+        blank = (
+            f"SUM(CASE WHEN trim({name}) = '' THEN 1 ELSE 0 END)"
+            if is_text
+            else "0"
+        )
+        branches.append(
+            f"""SELECT '{name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       CAST(COALESCE({blank}, 0) AS BIGINT) AS n_blank
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("dq_completeness_profile", oracle=_profile_oracle())
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness profile of the orders table — row
+    count, nulls, exact distinct cardinality, and blank strings for
+    text columns: the dataset-profiling pass (dbt/GE style) every
+    ingest runs before trusting a new drop. Spark plan and oracle are
+    both GENERATED from the same PROFILE_COLS spec, so the two sides
+    cannot drift.
+
+    Scale: one aggregate per column over a column-pruned scan; the
+    exact distincts expand into separate partial aggregations (Spark
+    plans multi-distinct via Expand — still map-side partials, no
+    row-level shuffle of the fact table beyond the distinct keys).
+    For approximate-is-fine profiling at 100 TB swap COUNT(DISTINCT)
+    for the registered HLL sketch (sketch_hll_distinct)."""
+    o = table(spark, sf_dir, "orders")
+    frames = []
+    for name, is_text in PROFILE_COLS:
+        col = F.col(name)
+        blank = (
+            F.sum(F.when(F.trim(col) == "", 1).otherwise(0))
+            if is_text
+            else F.lit(0)
+        )
+        frames.append(
+            o.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+                F.countDistinct(col).cast("long").alias("n_distinct"),
+                F.coalesce(blank, F.lit(0)).cast("long").alias("n_blank"),
+            ).select(
+                F.lit(name).alias("col_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "n_blank",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # window_seasonal_baseline — hour-of-day seasonal profile + anomaly counts
 # ---------------------------------------------------------------------------
 

@@ -206,6 +206,8 @@ BNLJ_BY_DESIGN = {
     # 1-row midpoint broadcast + 1-row grand-total broadcast onto the
     # per-type frame
     "dq_drift_splithalf",
+    # 1-row slice-total broadcast onto the ECDF prefix frame
+    "dq_ks_drift",
     # 1-row percentile-stats frame combined with the 1-row view count
     "agg_time_to_convert",
     # 1-row convergence/count metadata broadcast onto the core nodes

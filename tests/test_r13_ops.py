@@ -309,3 +309,26 @@ class TestEpochShuffle:
             assert sizes == {40 // EPOCH_SHUFFLE_SHARDS}
             for s, ps in shards.items():
                 assert max(ps) - min(ps) + 1 == len(ps)  # contiguous
+
+
+class TestKsDrift:
+    def test_hand_computed_ks(self, spark, tmp_path):
+        """Two hand-built samples with a known ECDF gap: hi = {1,2,3},
+        lo = {3,4,5,6} -> D = max|c_hi*n_lo - c_lo*n_hi| peaks after
+        v=3: |3*4 - 1*3| = 9, ks = 9/12."""
+        rows = [
+            (1, 1.0, "1-URGENT"), (2, 2.0, "2-HIGH"), (3, 3.0, "1-URGENT"),
+            (4, 3.0, "5-LOW"), (5, 4.0, "5-LOW"), (6, 5.0, "3-MEDIUM"),
+            (7, 6.0, "4-NOT SPECIFIED"),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+        from protarrow_spark.queries.relational import dq_ks_drift
+
+        r = dq_ks_drift(spark, str(tmp_path)).collect()[0]
+        assert (r["n_hi"], r["n_lo"]) == (3, 4)
+        assert r["ks_num"] == 9
+        assert r["ks_value"] == 3.0
+        assert r["ks_ppm"] == (9 * 10**6) // 12
