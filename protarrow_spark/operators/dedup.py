@@ -117,6 +117,12 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
     )
+    if dense_vocab_cap:
+        # The dense decision path runs THREE actions over the shingle
+        # stream (vocab probe, doc count, the matmul job); materialize
+        # it once so the scan+explode+distinct pipeline isn't re-run
+        # per action (r13 opt: 3 full shingle pipelines -> 1).
+        grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     if dense_vocab_cap:
@@ -211,19 +217,28 @@ def _jaccard_dense_blocked(
 
     # The caller's bounded probe collect (<= dense_vocab_cap rows) IS
     # the index, exactly like IVF centroids — no second vocab scan.
-    rank = {
-        g: i
-        for i, g in enumerate(sorted(x["g"] for x in vocab_rows if x["df_g"] <= max_df))
-    }
-    v = len(rank)
+    # Kept as a SORTED int64 array: the per-block incidence build uses
+    # one vectorized searchsorted over the flattened gram stream
+    # instead of a per-gram Python dict probe (r13 opt).
+    vocab_vals = np.array(
+        sorted(x["g"] for x in vocab_rows if x["df_g"] <= max_df), dtype=np.int64
+    )
+    v = len(vocab_vals)
 
     n_docs = sizes.count()
     n_blocks = max(1, -(-n_docs // block_size))
 
+    # n_grams folds into the same aggregate as the gram array (grams
+    # are distinct per doc, so count == array size) — the former
+    # separate `sizes` join was a second shuffle of the whole doc
+    # stream for a value the aggregate already knows (r13 opt:
+    # guide §2.4, one exchange instead of two + join).
     doc_vecs = (
         grams.groupBy(id_col)
-        .agg(F.collect_list("g").alias("gs"))
-        .join(sizes, id_col)
+        .agg(
+            F.collect_list("g").alias("gs"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
         .withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
     )
     # Replicate each doc row to every block pair it participates in:
@@ -261,9 +276,17 @@ def _jaccard_dense_blocked(
         def dense(sub: pd.DataFrame) -> tuple:
             sub = sub.sort_values(id_col).reset_index(drop=True)
             m = np.zeros((len(sub), v), dtype=np.float32)
-            for r, gs in enumerate(sub["gs"].values):
-                idxs = [rank[g] for g in gs if g in rank]
-                m[r, idxs] = 1.0
+            if v:
+                lens = np.fromiter(
+                    (len(x) for x in sub["gs"].values), dtype=np.int64, count=len(sub)
+                )
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in sub["gs"].values]
+                ) if lens.sum() else np.empty(0, dtype=np.int64)
+                rows = np.repeat(np.arange(len(sub)), lens)
+                idx = np.searchsorted(vocab_vals, flat)
+                ok = (idx < v) & (vocab_vals[np.minimum(idx, v - 1)] == flat)
+                m[rows[ok], idx[ok]] = 1.0
             return sub[id_col].values, sub["n_grams"].to_numpy(), m
 
         if gi == gj:
@@ -826,6 +849,10 @@ def ngram_containment_pairs(
         F.col(id_col),
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
     )
+    if dense_vocab_cap:
+        # Same 3-actions-over-one-stream materialization as
+        # ngram_jaccard_pairs (r13 opt).
+        grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     if dense_vocab_cap:
@@ -961,7 +988,11 @@ def substring_window_profile(
         wins.select(F.col(id_col), "sub")
         .distinct()
         .groupBy("sub")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        # count(*) == count(DISTINCT id) on the already-distinct
+        # (id, sub) stream; the explicit count_distinct made Spark
+        # plan a SECOND expand/dedup phase over data the upstream
+        # distinct had just deduplicated (r13 opt).
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select("sub")
     )
@@ -1011,6 +1042,10 @@ def jaccard_band_counts(
         F.col(id_col),
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("g"),
     )
+    if dense_vocab_cap:
+        # Same 3-actions-over-one-stream materialization as
+        # ngram_jaccard_pairs (r13 opt).
+        grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     vocab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     if dense_vocab_cap:

@@ -55,28 +55,32 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The pre-round label rides along as ``old`` so convergence is
+        # a flag on the SAME checkpointed frame (r13 opt): the former
+        # separate jumped-vs-labels equi-join re-shuffled both label
+        # tables once per round just to ask "did anything change".
         prop = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
         # 2) pointer jumping: l(x) <- l(l(x))
         parent = prop.select(F.col("node").alias("label"), F.col("label").alias("label2"))
+        new_label = F.coalesce("label2", "label")
         jumped = (
             prop.join(parent, "label", "left")
-            .select("node", F.coalesce("label2", "label").alias("label"))
+            .select(
+                "node",
+                new_label.alias("label"),
+                (new_label != F.col("old")).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("chg").limit(1).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
@@ -276,7 +280,16 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint(eager=True)
+    # Out-degree rides ON the edge row (one count window over the
+    # src-partitioned edges, materialized once) instead of a separate
+    # degree table joined back EVERY iteration — r13 opt, guide §2.4:
+    # the former plan paid an extra src-keyed join per unrolled round.
+    from pyspark.sql import Window as _W
+
+    ed = (
+        e.withColumn("out_deg", F.count(F.lit(1)).over(_W.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -287,8 +300,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div out_deg").alias("contrib"),

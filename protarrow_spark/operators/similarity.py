@@ -1027,6 +1027,7 @@ def kmeans_int8_exact(
     vec_col: str = "embedding",
     k: int = KMEANS8_K,
     iterations: int = KMEANS8_ITER,
+    with_vectors: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over int8-QUANTIZED vectors in EXACT integer
     arithmetic — squared distances, argmin assignment (centroid-id tie
@@ -1048,7 +1049,11 @@ def kmeans_int8_exact(
     the usual alternative — not done here to keep the update a pure
     group-by of the assignment.
 
-    Output: (id, cluster) after ``iterations`` rounds.
+    Output: (id, cluster) after ``iterations`` rounds; with
+    ``with_vectors=True`` the quantized vector rides along as a third
+    column ``q`` (array<bigint>) so downstream per-cluster stages
+    (SemDeDup's Gram pass) need neither a re-quantization nor an
+    id-keyed join back to the corpus.
     """
     qz = quantize_int8(corpus, id_col, vec_col).select(
         F.col(id_col), F.col("q")
@@ -1056,14 +1061,17 @@ def kmeans_int8_exact(
     from protarrow_spark.sources.tables import spread
 
     qz = spread(qz).localCheckpoint(eager=True)
-    dim = len(qz.select("q").first()["q"])
 
+    # One driver action seeds the loop AND reveals the dimensionality
+    # (r13 opt: the former separate `.first()` probe was a whole extra
+    # job for a number the seed rows already carry).
     init = (
         qz.orderBy(id_col)
         .limit(k)
         .collect()
     )
     cents = {i: list(r["q"]) for i, r in enumerate(init)}
+    dim = len(init[0]["q"]) if init else 0
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     assign = None
@@ -1078,21 +1086,65 @@ def kmeans_int8_exact(
                 V = np.stack([np.asarray(x, dtype=np.int64) for x in b["q"].values])
                 d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
                 pick = cids[np.argmin(d, axis=1)]  # first min = smallest cid
-                yield pd.DataFrame({id_col: b[id_col], "cluster": pick})
+                if with_vectors:
+                    yield pd.DataFrame(
+                        {id_col: b[id_col], "cluster": pick, "q": b["q"]}
+                    )
+                else:
+                    yield pd.DataFrame({id_col: b[id_col], "cluster": pick})
 
-        assign = qz.mapInPandas(assign_fn, f"{id_col} {id_type}, cluster long")
         if it == iterations - 1:
+            out_schema = f"{id_col} {id_type}, cluster long"
+            if with_vectors:
+                out_schema += ", q array<bigint>"
+            assign = qz.mapInPandas(assign_fn, out_schema)
             break
+
+        # Centroid update with MAP-SIDE partial sums (r13 opt, guide
+        # §2.3 "aggregate before you shuffle"): each Arrow batch emits
+        # k x dim (cluster, pos, sum, count) rows instead of joining
+        # the corpus with its own assignment (one whole shuffle join)
+        # and exploding n x dim value rows through the aggregate. The
+        # integer mean stays exact: partial int64 sums commute, and
+        # the final trunc-toward-zero division matches SQL `div`.
+        def update_fn(batches, C=C, cids=cids):
+            for b in batches:
+                if b.empty:
+                    continue
+                V = np.stack([np.asarray(x, dtype=np.int64) for x in b["q"].values])
+                d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+                sel = np.argmin(d, axis=1)
+                frames = []
+                for ci in range(len(cids)):
+                    mask = sel == ci
+                    cnt = int(mask.sum())
+                    if not cnt:
+                        continue
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "cluster": np.full(V.shape[1], cids[ci], dtype=np.int64),
+                                "pos": np.arange(V.shape[1], dtype=np.int64),
+                                "s": V[mask].sum(axis=0),
+                                "n": np.full(V.shape[1], cnt, dtype=np.int64),
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
         upd = (
-            qz.join(assign, id_col)
-            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            qz.mapInPandas(update_fn, "cluster long, pos long, s long, n long")
             .groupBy("cluster", "pos")
-            .agg(F.expr("sum(v) div count(1)").alias("cv"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new_cents: dict[int, list[int]] = {}
         for r in upd:
-            new_cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["pos"])] = int(r["cv"])
+            s, nmem = int(r["s"]), int(r["n"])
+            new_cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["pos"])] = (
+                _trunc_div(s, nmem)
+            )
         cents = new_cents
     return assign
 
@@ -1390,9 +1442,13 @@ def semdedup_int8(
 
     Output: (id, cluster, kept 1/0) for every input vector.
     """
-    assign = kmeans_int8_exact(corpus, id_col, vec_col, k=k, iterations=iterations)
-    qz = quantize_int8(corpus, id_col, vec_col).select(F.col(id_col), F.col("q"))
-    clustered = qz.join(assign, id_col)
+    # The assignment carries the quantized vectors (r13 opt): the
+    # former separate quantize + id-keyed join back shuffled the whole
+    # corpus a second time for data the final Lloyd's pass already
+    # held in its hands.
+    clustered = kmeans_int8_exact(
+        corpus, id_col, vec_col, k=k, iterations=iterations, with_vectors=True
+    )
     id_type = corpus.schema[id_col].dataType.simpleString()
     num2, den2 = cos_num * cos_num, cos_den * cos_den
 

@@ -307,10 +307,23 @@ def lsh_recall_report(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
         ).cast("bigint")
         docs = docs.filter(key % sample_mod == 0)
-    truth = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=LSH_RECALL_T, n=dedup.NGRAM_N
-    ).select("doc_a", "doc_b")
-    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
+    # Both pair lists feed TWO consumers each (the hit join and their
+    # own 1-row count) — materialize them once (r13 opt): without the
+    # barrier the full inverted-index truth pipeline and the LSH band
+    # join are each planned and executed twice per action. The pair
+    # lists are the audit's bounded output, safe to pin at any scale.
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=LSH_RECALL_T, n=dedup.NGRAM_N
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.join(cand, ["doc_a", "doc_b"])
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -3311,6 +3324,13 @@ def pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(boiler, "doc_id")
         .filter(F.col("clean_ppm") >= CCNET_CLEAN_PPM_MIN)
         .select("doc_id", "lang", "source", "text", "clean_ppm")
+        # The survivor set feeds the LM fit (which itself reads its
+        # input ~3x: bigram counts, unigram totals, scoring join) AND
+        # the final ranked join — materialize the boilerplate stage
+        # once (r13 opt) instead of re-running its two shuffles per
+        # consumer. At 100 TB this is the standard "write the cleaned
+        # corpus between stages" barrier.
+        .localCheckpoint(eager=True)
     )
     sc = _bigram_surprisal_frame(clean.select("doc_id", "text")).select(
         "doc_id", "avg_millibits"
@@ -4412,7 +4432,13 @@ def _lsh_verified_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    grams = dedup.doc_shingles(docs, "doc_id", "text", dedup.NGRAM_N)
+    # The shingle stream feeds THREE consumers (both sides of the
+    # intersection join + the set sizes) — materialize it once
+    # (r13 opt; the sparse verify join shuffles it anyway, so the
+    # barrier adds no new data movement class at scale).
+    grams = dedup.doc_shingles(docs, "doc_id", "text", dedup.NGRAM_N).localCheckpoint(
+        eager=True
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -5864,7 +5890,13 @@ def report_contamination_direction(spark: SparkSession, sf_dir: str) -> DataFram
     the doc), n_shared, containment_millis (exact integer millis).
     """
     docs = table(spark, sf_dir, "documents")
-    grams = dedup.doc_shingles(docs, "doc_id", "text", DECON_N)
+    # Five consumers read the shingle stream (eval gram set, both
+    # train-hit branches, train sizes, the eval-side rollup) —
+    # materialize it once (r13 opt): uncheckpointed, every action
+    # replays the scan+explode+distinct per consumer.
+    grams = dedup.doc_shingles(docs, "doc_id", "text", DECON_N).localCheckpoint(
+        eager=True
+    )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     ev = grams.filter(is_eval)
     tr = grams.filter(~is_eval)
@@ -6764,6 +6796,10 @@ def report_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
         )
+        # Feeds the pair rollup AND the distinct-doc rollup: without
+        # this barrier the whole verified-pair pipeline executes twice
+        # per action (r13 opt). Bounded: one row per verified pair.
+        .localCheckpoint(eager=True)
     )
     p = lab.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
