@@ -394,6 +394,12 @@ def common_neighbor_candidates(
 
     Output: (node_a, node_b, cn) — top-k predicted links.
     """
+    # Materialize the edge list ONCE (the pagerank/triangle barrier,
+    # r13 opt): the degree filter, both wedge-join sides, and the
+    # downstream edge/degree consumers otherwise each replay the
+    # upstream edge builder — the co-purchase common-neighbors plan
+    # carried 82 Exchange refs before this barrier.
+    edges = edges.localCheckpoint(eager=True)
     und = edges.select(F.col(src).alias("w"), F.col(dst).alias("n")).unionByName(
         edges.select(F.col(dst).alias("w"), F.col(src).alias("n"))
     )
@@ -520,6 +526,12 @@ def neighborhood_jaccard(
 
     Output: (node_a, node_b, cn, union_deg, jaccard).
     """
+    # Materialize the edge list ONCE (the pagerank/triangle barrier,
+    # r13 opt): the degree filter, both wedge-join sides, and the
+    # downstream edge/degree consumers otherwise each replay the
+    # upstream edge builder — the co-purchase common-neighbors plan
+    # carried 82 Exchange refs before this barrier.
+    edges = edges.localCheckpoint(eager=True)
     und = edges.select(F.col(src).alias("w"), F.col(dst).alias("n")).unionByName(
         edges.select(F.col(dst).alias("w"), F.col(src).alias("n"))
     )
@@ -625,23 +637,36 @@ def kcore_peel(
         )
         .localCheckpoint(eager=True)  # cut the edge-builder lineage once
     )
-    surv = sym.select(F.col("s").alias("node")).distinct()
-    counts = [surv.agg(F.count(F.lit(1)).alias("n"))]
+    counts = [
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    ]
+    # Peel by SUBTRACTION (r13 opt): each round checkpoints the
+    # SURVIVING edge set and drops edges touching only this round's
+    # REMOVED nodes (deg < k) — an anti-join against a set that is
+    # small once peeling gets going (AQE broadcasts it), where the
+    # former formulation re-filtered the FULL original edge list
+    # against the whole survivor set with two sort-merge semi-joins
+    # every round. Set-identical by induction: edges with both
+    # endpoints surviving round r == edges never touching any node
+    # removed in rounds 1..r.
+    e = sym
     for _ in range(rounds):
-        e = sym.join(
-            surv.select(F.col("node").alias("s")), "s", "left_semi"
-        ).join(surv.select(F.col("node").alias("d")), "d", "left_semi")
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        surv = (
-            deg.filter(F.col("deg") >= k)
-            .select(F.col("s").alias("node"))
-            .localCheckpoint(eager=True)  # peeled set reused 3x next round
+        removed = deg.filter(F.col("deg") < k).select(F.col("s").alias("node"))
+        # Survivor count = the degree test's pass side (NOT the next
+        # edge set's endpoints: a node can pass the test and still
+        # lose its last edge to removed neighbors this round).
+        counts.append(
+            deg.filter(F.col("deg") >= k).agg(F.count(F.lit(1)).alias("n"))
         )
-        counts.append(surv.agg(F.count(F.lit(1)).alias("n")))
-    fin_e = sym.join(
-        surv.select(F.col("node").alias("s")), "s", "left_semi"
-    ).join(surv.select(F.col("node").alias("d")), "d", "left_semi")
-    fin = fin_e.groupBy(F.col("s").alias("node")).agg(
+        e = (
+            e.join(removed.select(F.col("node").alias("s")), "s", "left_anti")
+            .join(removed.select(F.col("node").alias("d")), "d", "left_anti")
+            .localCheckpoint(eager=True)  # this round's peeled graph
+        )
+    fin = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
     meta = (

@@ -2505,7 +2505,13 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
     )
-    train = surv.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    # The training survivors feed the contamination shingle pass AND
+    # the anti-join's left side — materialize the window-dedup +
+    # quality stage once (r13 opt; at 100 TB this is the standard
+    # write-the-survivors-between-stages barrier).
+    train = surv.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).localCheckpoint(
+        eager=True
+    )
     contaminated = (
         dedup.doc_shingles(train, "doc_id", "text", DECON_N)
         .join(F.broadcast(eval_g), "g")
@@ -2818,7 +2824,16 @@ def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring; item counts broadcast; top-k is TakeOrderedAndProject.
     This is apriori's 2-itemset pass — larger itemsets iterate the
     same join against the surviving frequent set."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # The distinct basket table feeds FIVE plan references (order
+    # count, both broadcast item-count sides, both pair-join sides) —
+    # materialize the scan+distinct once (r13 opt). At 100 TB this is
+    # the standard materialized basket intermediate of apriori passes.
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy(F.col("l_partkey").alias("it")).agg(
         F.count(F.lit(1)).alias("n_it")
@@ -3603,6 +3618,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     _, vmap = bpe_train_merges(docs, "doc_id", "text", with_vocab_map=True)
+    # Materialize the trained tokenizer once (r13 opt): the vocab map
+    # is the end of a 3-step rewrite chain whose per-step frames each
+    # reference the previous step's vocabulary TWICE (pair counts +
+    # rewrite), so the un-checkpointed encode plan replays the
+    # training chain ~2^steps times (86 Exchange refs -> 6). The map
+    # is vocabulary-sized state — exactly what a real pipeline ships
+    # to its encode stage as a file.
+    vmap = vmap.localCheckpoint(eager=True)
     dtoks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("w"))
     return (
         dtoks.join(vmap, "w")
@@ -6386,8 +6409,14 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    truth = similarity.cosine_topk_bruteforce(emb, qs, k=PQ_AUDIT_K).select(
-        "query_id", "neighbor_id"
+    # "truth is computed ONCE" made physical (r13 opt): both config
+    # branches join against it, so without a barrier the brute-force
+    # scan + per-query ranking executes twice per action. Bounded:
+    # n_queries x k rows.
+    truth = (
+        similarity.cosine_topk_bruteforce(emb, qs, k=PQ_AUDIT_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     reports = []
     for cfg, m_, k_ in (
