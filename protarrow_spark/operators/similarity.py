@@ -1548,14 +1548,28 @@ def pca_project_int(
     Output: (id, proj).
     """
     v = _pca_component(corpus, id_col, vec_col, scale, iters)
-    qz = quantize_int8(corpus, id_col, vec_col).select(F.col(id_col), F.col("q"))
-    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-    proj = F.aggregate(
-        F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    va = np.array(v, dtype=np.int64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    # Quantize + project in ONE numpy pass per Arrow batch (r13 opt):
+    # the former plan quantized through ~6 interpreted higher-order
+    # array lambdas per row (no codegen) and folded the dot product
+    # with another interpreted aggregate. _np_quantize_int8 is the
+    # documented bit-identical op sequence (the PQ index path), and
+    # the int64 matvec is exact in any order, so every proj value is
+    # unchanged.
+    def project(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            Q = np.stack([_np_quantize_int8(x) for x in b[vec_col].values])
+            yield pd.DataFrame({id_col: b[id_col], "proj": Q @ va})
+
+    from protarrow_spark.sources.tables import spread
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        project, f"{id_col} {id_type}, proj long"
     )
-    return qz.select(F.col(id_col), proj.alias("proj"))
 
 
 def _pca_component(
