@@ -6114,23 +6114,39 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster representative for pipelines that keep-one instead.
 
     Scale: the cluster assignment is the pointer-jumping CC the dedup
-    collapse already runs; the weight rollup adds one cluster-keyed
-    count + a co-keyed join back (both keyed on cluster_id, one
-    planned partitioning)."""
-    from protarrow_spark.operators.graph import dedup_clusters
+    collapse already runs; sizes are counted on the COMPONENT table
+    (nodes that touch an edge — the checkpointed CC output, orders of
+    magnitude smaller than the corpus) rather than on the per-doc
+    assignment, so the doc table is scanned and joined exactly once
+    and the only |docs|-sized shuffle left is that single join. The
+    former shape grouped the assignment by cluster_id and joined it
+    back, re-executing the docs-join subtree and shuffling |docs|
+    rows twice (r13 opt, guide §2.3: aggregate the small proxy, not
+    the payload). Identical output: every component member is a doc,
+    so component sizes equal assignment group sizes, and docs outside
+    the edge graph are singletons of size 1 (their doc_id can never
+    collide with a component id, which is a min over edge nodes)."""
+    from protarrow_spark.operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents")
     edges = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
-    cl = dedup_clusters(docs, edges, "doc_id")
-    sizes = cl.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    comp = connected_components(edges, "doc_a", "doc_b")
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("__csize")
     )
-    return cl.join(sizes, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        F.expr("1000000 div cluster_size").cast("long").alias("weight_ppm"),
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(csize, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("__csize", F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("1000000 div coalesce(__csize, 1)").cast("long").alias("weight_ppm"),
+            (F.col("doc_id") == F.coalesce("component", F.col("doc_id"))).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 

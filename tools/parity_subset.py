@@ -1,10 +1,10 @@
-"""Oracle-parity spot check for a SUBSET of queries — the per-change
-verification loop of the optimization rounds (full rehearsal =
-tools/gate_rehearsal.py). Runs the exact driver-style compare
-(tests/oracle_utils.assert_matches_oracle) at one or more SFs.
+"""Oracle-parity check for a subset of queries at one or more SFs —
+the per-change gate of the optimization rounds: every touched query
+must stay hash-identical to its DuckDB oracle before a change is
+committed.
 
-Usage: PYTHONPATH=. python tools/parity_subset.py q1,q2,... [sf_dir ...]
-Defaults to /root/testdata/sf0.001 and /root/testdata/sf0.01.
+Usage: PYTHONPATH=. python tools/parity_subset.py <q1,q2,...> [sf_dir ...]
+Defaults to sf0.001 + sf0.01 when no sf_dir is given.
 """
 
 from __future__ import annotations
@@ -24,24 +24,22 @@ def main() -> None:
     from protarrow_spark.session import get_spark
     from tests.oracle_utils import assert_matches_oracle
 
-    queries, oracles = all_queries(), all_oracles()
     spark = get_spark("parity-subset", cpus=16)
-    failed = []
+    queries, oracles = all_queries(), all_oracles()
+    n_red = 0
     for sf_dir in sf_dirs:
         for name in names:
             try:
                 if name in oracles:
                     assert_matches_oracle(spark, name, sf_dir)
-                    print(f"GREEN {name} @ {sf_dir}")
+                    print(f"GREEN {sf_dir.rsplit('/', 1)[-1]} {name}")
                 else:
-                    n = int(queries[name](spark, sf_dir).count())
-                    print(f"ROWS-ONLY {name} @ {sf_dir}: {n} rows")
-            except Exception as exc:  # noqa: BLE001
-                failed.append((name, sf_dir))
-                print(f"RED   {name} @ {sf_dir}: {type(exc).__name__}: {exc}")
-    spark.stop()
-    if failed:
-        sys.exit(1)
+                    rows = int(queries[name](spark, sf_dir).count())
+                    print(f"ROWS-ONLY {sf_dir.rsplit('/', 1)[-1]} {name}: {rows}")
+            except Exception as exc:  # noqa: BLE001 — report all, then exit red
+                n_red += 1
+                print(f"RED   {sf_dir.rsplit('/', 1)[-1]} {name}: {type(exc).__name__}: {exc}")
+    sys.exit(1 if n_red else 0)
 
 
 if __name__ == "__main__":
