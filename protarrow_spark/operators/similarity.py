@@ -979,20 +979,23 @@ def int8_topk(
 
     from protarrow_spark.sources.tables import spread
 
-    cz = quantize_int8(spread(corpus), id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("q").alias("c_vec"),
-        F.col("qnorm").alias("c_norm"),
-    )
     id_type = corpus.schema[id_col].dataType.simpleString()
 
+    # Corpus-side quantize happens INSIDE the scoring batch function
+    # (r13 opt, guide §4.2): the former quantize_int8 pre-pass ran the
+    # interpreted JVM array-HOF chain per row only to feed a
+    # mapInPandas that already held the batch in numpy. The squared
+    # norm is an exact int64 sum (<= 127^2 * dim) whose double sqrt is
+    # bit-identical to the JVM's sequential double fold — every sum
+    # term is an exactly-representable integer, so accumulation order
+    # cannot round.
     def score(batches):
         for b in batches:
             if b.empty:
                 continue
-            C = np.stack([np.asarray(x, dtype=np.int64) for x in b["c_vec"].values])
-            cn = b["c_norm"].to_numpy(dtype=np.float64)
-            nids = b["neighbor_id"].to_numpy()
+            C = np.stack([_np_quantize_int8(x) for x in b[vec_col].values])
+            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            nids = b[id_col].to_numpy()
             # int64 matmul: exact (|dot| <= 127^2 * dim << 2^53).
             dots = (C @ Q.T).astype(np.float64)  # n x n_queries
             cos = dots / (qn[None, :] * cn[:, None])
@@ -1005,7 +1008,7 @@ def int8_topk(
                 {"query_id": qq[keep], "neighbor_id": nn[keep], "cosine_q8": flat[keep]}
             )
 
-    scored = cz.mapInPandas(
+    scored = spread(corpus.select(id_col, vec_col)).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, cosine_q8 double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q8"), F.asc("neighbor_id"))
@@ -1055,12 +1058,31 @@ def kmeans_int8_exact(
     (SemDeDup's Gram pass) need neither a re-quantization nor an
     id-keyed join back to the corpus.
     """
-    qz = quantize_int8(corpus, id_col, vec_col).select(
-        F.col(id_col), F.col("q")
-    )
     from protarrow_spark.sources.tables import spread
 
-    qz = spread(qz).localCheckpoint(eager=True)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    # Quantize in ONE numpy pass per Arrow batch (r13 opt, guide §4.2)
+    # instead of the interpreted JVM array-HOF chain of quantize_int8
+    # (array lambdas get no codegen): _np_quantize_int8 is the
+    # documented bit-identical op sequence, so the checkpointed (id, q)
+    # table — and hence every assignment and centroid — is unchanged.
+    def _quantize(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "q": [_np_quantize_int8(x) for x in b[vec_col].values],
+                }
+            )
+
+    qz = (
+        spread(corpus.select(id_col, vec_col))
+        .mapInPandas(_quantize, f"{id_col} {id_type}, q array<bigint>")
+        .localCheckpoint(eager=True)
+    )
 
     # One driver action seeds the loop AND reveals the dimensionality
     # (r13 opt: the former separate `.first()` probe was a whole extra
@@ -1073,7 +1095,6 @@ def kmeans_int8_exact(
     cents = {i: list(r["q"]) for i, r in enumerate(init)}
     dim = len(init[0]["q"]) if init else 0
 
-    id_type = corpus.schema[id_col].dataType.simpleString()
     assign = None
     for it in range(iterations):
         C = np.array([cents[i] for i in sorted(cents)], dtype=np.int64)
@@ -1305,30 +1326,49 @@ def mmr_select_int8(
             StructField("mmr2", LongType(), True),
         ]
     )
-    qz = quantize_int8(sp, id_col, vec_col).select(F.col(id_col), "q")
-    qv_rows = qz.filter(F.col(id_col) == query_id).select("q").limit(1).collect()
+    # The query vector: fetch the RAW embedding (the id filter pushes
+    # to the scan) and quantize it on the driver — the former path
+    # quantized through the corpus-wide projection to read one row.
+    qv_rows = (
+        sp.filter(F.col(id_col) == query_id).select(vec_col).limit(1).collect()
+    )
     if not qv_rows:
         return spark.createDataFrame([], out_schema)
-    qvec = np.asarray(qv_rows[0]["q"], dtype=np.int64)
-
-    @F.pandas_udf("double")
-    def _rel(q: pd.Series) -> pd.Series:
-        if q.empty:
-            return pd.Series([], dtype=np.float64)
-        Q = np.stack([np.asarray(v, dtype=np.int64) for v in q.values])
-        return pd.Series((Q @ qvec).astype(np.float64))
+    qvec = _np_quantize_int8(qv_rows[0][vec_col])
 
     # Materialize (id, q, rel) ONCE: every greedy step rescans it, and
     # without the barrier Catalyst would re-run quantization per step.
+    # Quantize + relevance in ONE numpy pass per Arrow batch (r13 opt,
+    # guide §4.2): the former shape ran the interpreted JVM array-HOF
+    # quantize chain AND a separate ArrowEvalPython relevance UDF —
+    # _np_quantize_int8 is the documented bit-identical op sequence
+    # and the int64 dot is exact in any order, so cand is unchanged.
     # NULL ids are excluded explicitly: the per-step `~isin(taken)`
     # exclusion evaluates to NULL (= dropped) for a NULL id anyway, so
     # the filter makes the non-null-id contract visible up front
-    # instead of silently mid-loop. Per-step exclusion is _mmr_excluded:
-    # a literal isin at re-ranking k, a broadcast anti-join under
-    # ``large_k=True`` (hash-equal by construction and by test).
+    # instead of silently mid-loop (and it stays a JVM scan filter —
+    # rows drop BEFORE crossing the Python boundary). Per-step
+    # exclusion is _mmr_excluded: a literal isin at re-ranking k, a
+    # broadcast anti-join under ``large_k=True`` (hash-equal by
+    # construction and by test).
+    def _build(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            Q = np.stack([_np_quantize_int8(x) for x in b[vec_col].values])
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "q": list(Q),
+                    "rel": (Q @ qvec).astype(np.float64),
+                }
+            )
+
+    id_sql = sp.schema[id_col].dataType.simpleString()
     cand = (
-        qz.filter(F.col(id_col).isNotNull() & (F.col(id_col) != query_id))
-        .select(F.col(id_col), "q", _rel(F.col("q")).alias("rel"))
+        sp.filter(F.col(id_col).isNotNull() & (F.col(id_col) != query_id))
+        .select(id_col, vec_col)
+        .mapInPandas(_build, f"{id_col} {id_sql}, q array<bigint>, rel double")
         .localCheckpoint(eager=True)
     )
     # Right-size partitioning for the k sequential scoring passes:
@@ -1580,14 +1620,20 @@ def _pca_component(
     iters: int,
 ) -> list[int]:
     """The shared fixed-point power-iteration core: returns the PC1
-    loading vector as Python ints (see pca_top1_int for semantics)."""
-    qz = quantize_int8(corpus, id_col, vec_col).select("q")
+    loading vector as Python ints (see pca_top1_int for semantics).
+
+    Quantization happens INSIDE the partial-Gram batch function
+    (r13 opt, guide §4.2): the former ``quantize_int8`` pre-pass ran
+    ~6 chained interpreted higher-order array lambdas per row (array
+    HOFs get no codegen) only to feed a mapInPandas that already held
+    the batch in numpy. ``_np_quantize_int8`` is the documented
+    bit-identical op sequence, so every Gram cell is unchanged."""
 
     def partial(batches):
         for b in batches:
             if b.empty:
                 continue
-            V = np.stack([np.asarray(x, dtype=np.int64) for x in b["q"].values])
+            V = np.stack([_np_quantize_int8(x) for x in b[vec_col].values])
             G = V.T @ V  # d x d, |entries| <= n_batch * 127^2
             s = V.sum(axis=0)
             d = G.shape[0]
@@ -1608,7 +1654,7 @@ def _pca_component(
     from protarrow_spark.sources.tables import spread
 
     cells = (
-        spread(qz)
+        spread(corpus.select(vec_col))
         .mapInPandas(partial, "i long, j long, g long, s long, n long")
         .groupBy("i", "j")
         .agg(
@@ -1961,7 +2007,6 @@ def kcenter_greedy(
     in any accumulation order and the result is bit-identical to the
     unrolled per-pair oracle. Corpus never shuffles and nothing
     corpus-sized is collected or broadcast."""
-    qz = quantize_int8(df, id_col, vec_col).select(id_col, "q")
     # Kernel gate (the mmr large_k / knn hot-bucket duality): k
     # sequential rounds each pay a full job round trip, which is the
     # WHOLE cost on a small corpus (measured 3.1 s for 2,000 rows at
@@ -1971,14 +2016,19 @@ def kcenter_greedy(
     # greedy loop runs on the driver — IDENTICAL integer arithmetic,
     # pinned bit-equal to the distributed rounds by
     # tests/test_r13_ops.py. Beyond the gate: distributed rounds,
-    # nothing corpus-sized ever on the driver.
-    sample = qz.limit(max_driver_rows + 1).collect()
+    # nothing corpus-sized ever on the driver. RAW embeddings cross
+    # the gate probe and quantize in numpy (driver-side for the gate,
+    # per Arrow batch for the rounds — r13 opt, guide §4.2): the
+    # former quantize_int8 pre-pass was an interpreted JVM array-HOF
+    # chain; _np_quantize_int8 is its documented bit-identical mirror.
+    raw = df.select(id_col, vec_col)
+    sample = raw.limit(max_driver_rows + 1).collect()
     if len(sample) <= max_driver_rows:
         if not sample:
             return []
         order = sorted(range(len(sample)), key=lambda i: int(sample[i][id_col]))
         ids = np.array([int(sample[i][id_col]) for i in order], dtype=np.int64)
-        X = np.array([list(sample[i]["q"]) for i in order], dtype=np.int64)
+        X = np.stack([_np_quantize_int8(sample[i][vec_col]) for i in order])
         n = len(ids)
         xq = (X * X).sum(axis=1)
         picked = [(1, int(ids[0]), 0)]
@@ -1992,7 +2042,25 @@ def kcenter_greedy(
             md[top] = -1
         return picked
     del sample
-    qdf = qz.localCheckpoint(eager=True)  # quantize once, scan k times
+
+    def _quantize(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "q": [_np_quantize_int8(x) for x in b[vec_col].values],
+                }
+            )
+
+    from protarrow_spark.sources.tables import spread
+
+    qdf = (
+        spread(raw)
+        .mapInPandas(_quantize, f"{id_col} long, q array<bigint>")
+        .localCheckpoint(eager=True)
+    )  # quantize once, scan k times
     # Partition sizing for the distributed rounds: each round pays one
     # Python-worker round trip PER TASK, while the matmul kernel is
     # happy with ~64k rows per batch — a billion-row corpus fans out
