@@ -47,11 +47,17 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N) ->
     ``spread`` parallelizes the explode+hash pipeline when the scan is
     a single compact row group (the local-test regime); at scale the
     scan is already wide and it is a no-op.
+
+    Dedup happens BEFORE the explode with a per-row ``array_distinct``
+    (r13 opt, guide §2.4 "a distinct on data that is already unique"):
+    the former ``.distinct()`` keyed on (id, g), so it only ever
+    removed within-document repeats — exactly what array_distinct does
+    in the scan-stage projection — yet it cost a full shuffle of the
+    entire shingle stream, the widest data in every dedup path.
     """
-    return (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(text_ngrams(F.col(text_col), n)).alias("g"))
-        .distinct()
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(text_ngrams(F.col(text_col), n))).alias("g"),
     )
 
 
@@ -517,10 +523,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     :func:`simhash_bit_exprs` (which the DuckDB oracle runs), but
     ~2x faster in codegen since nothing re-touches the string.
     """
+    # Within-document token dedup is a per-row array_distinct in the
+    # scan projection (r13 opt): the former explode-then-.distinct()
+    # keyed on (id, tok) and so removed the same repeats at the cost
+    # of a full shuffle of the token stream.
     toks = (
         spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .distinct()
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
         .select(
             F.col(id_col),
             F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4), 16, 10)
