@@ -406,10 +406,7 @@ def decode_image_features_ycbcr(
     Scale: identical shape to :func:`decode_image_features` —
     Arrow-batched ``mapInPandas``, partition-local, one output row per
     input row."""
-    import numpy as np  # noqa: F401  (decode_jpeg returns numpy planes)
     import pandas as pd
-
-    from protarrow_spark.operators.jpeg import decode_jpeg
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
 
@@ -419,27 +416,13 @@ def decode_image_features_ycbcr(
             out = {"doc_id": batch["doc_id"], **{k: [] for k in cols}}
             for raw in batch["blob"]:
                 data = bytes(raw) if raw is not None else b""
-                decoded = None
-                if data.startswith(_JPEG_MAGIC):
-                    try:
-                        decoded = decode_jpeg(data)
-                    except (ValueError, NotImplementedError):
-                        decoded = None
+                decoded = _try_decode_jpeg(data)
                 if decoded is None:
                     for k in cols:
                         out[k].append(None)
                     continue
-                w, h, planes = decoded
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["y_sum"].append(int(planes[0].sum()))
-                out["cb_sum"].append(
-                    int(planes[1].sum()) if len(planes) == 3 else None
-                )
-                out["cr_sum"].append(
-                    int(planes[2].sum()) if len(planes) == 3 else None
-                )
+                for k, v in zip(cols, _ycbcr_sums(decoded)):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return src.mapInPandas(extract, YCBCR_FEATURES_SCHEMA)
@@ -451,6 +434,61 @@ THUMBNAIL_SCHEMA = T.StructType(
         T.StructField("thumb", T.BinaryType(), True),
     ]
 )
+
+
+def _try_decode_jpeg(data: bytes):
+    """Total per-blob decode: (w, h, planes) for a decodable baseline
+    JPEG, None for non-JPEG / corrupt bytes — the shared null-path rule
+    of every JPEG feature/transform operator."""
+    from protarrow_spark.operators.jpeg import decode_jpeg
+
+    if not data.startswith(_JPEG_MAGIC):
+        return None
+    try:
+        return decode_jpeg(data)
+    except (ValueError, NotImplementedError):
+        return None
+
+
+def _shrink_plane(plane, factor: int):
+    """Box-filter downsample one plane by ``factor`` (mean over
+    factor x factor cells, edge-replicated to a full grid)."""
+    import numpy as np
+
+    h, w = plane.shape
+    hh, ww = -(-h // factor) * factor, -(-w // factor) * factor
+    pad = np.empty((hh, ww), dtype=np.float64)
+    pad[:h, :w] = plane
+    pad[h:, :w] = plane[-1:, :]
+    pad[:, w:] = pad[:, w - 1 : w]
+    m = pad.reshape(hh // factor, factor, ww // factor, factor).mean(axis=(1, 3))
+    return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+
+def _thumb_bytes(decoded, factor: int, quant, quant_chroma):
+    """Re-encode a decoded JPEG's downsampled planes (grayscale in ->
+    grayscale out; color in -> 4:4:4 color out)."""
+    from protarrow_spark.operators.jpeg import encode_jpeg_color, encode_jpeg_gray
+
+    _w, _h, planes = decoded
+    small = [_shrink_plane(p, factor) for p in planes]
+    if len(small) == 1:
+        return encode_jpeg_gray(small[0], quant=quant)
+    return encode_jpeg_color(small[0], small[1], small[2], quant, quant_chroma)
+
+
+def _ycbcr_sums(decoded):
+    """(width, height, n_pixels, y_sum, cb_sum, cr_sum) of a decoded
+    JPEG; chroma sums null for grayscale."""
+    w, h, planes = decoded
+    return (
+        w,
+        h,
+        w * h,
+        int(planes[0].sum()),
+        int(planes[1].sum()) if len(planes) == 3 else None,
+        int(planes[2].sum()) if len(planes) == 3 else None,
+    )
 
 
 def thumbnail_jpeg(
@@ -479,53 +517,21 @@ def thumbnail_jpeg(
 
     Scale: Arrow-batched ``mapInPandas``, partition-local, one row per
     blob; both codec passes are numpy-vectorized per image."""
-    import numpy as np
     import pandas as pd
 
-    from protarrow_spark.operators.jpeg import (
-        decode_jpeg,
-        encode_jpeg_color,
-        encode_jpeg_gray,
-    )
-
     src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
-
-    def shrink(plane):
-        h, w = plane.shape
-        hh, ww = -(-h // factor) * factor, -(-w // factor) * factor
-        pad = np.empty((hh, ww), dtype=np.float64)
-        pad[:h, :w] = plane
-        pad[h:, :w] = plane[-1:, :]
-        pad[:, w:] = pad[:, w - 1 : w]
-        m = pad.reshape(hh // factor, factor, ww // factor, factor).mean(
-            axis=(1, 3)
-        )
-        return np.clip(np.rint(m), 0, 255).astype(np.uint8)
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             thumbs = []
             for raw in batch["blob"]:
                 data = bytes(raw) if raw is not None else b""
-                decoded = None
-                if data.startswith(_JPEG_MAGIC):
-                    try:
-                        decoded = decode_jpeg(data)
-                    except (ValueError, NotImplementedError):
-                        decoded = None
-                if decoded is None:
-                    thumbs.append(None)
-                    continue
-                _w, _h, planes = decoded
-                small = [shrink(p) for p in planes]
-                if len(small) == 1:
-                    thumbs.append(encode_jpeg_gray(small[0], quant=quant))
-                else:
-                    thumbs.append(
-                        encode_jpeg_color(
-                            small[0], small[1], small[2], quant, quant_chroma
-                        )
-                    )
+                decoded = _try_decode_jpeg(data)
+                thumbs.append(
+                    None
+                    if decoded is None
+                    else _thumb_bytes(decoded, factor, quant, quant_chroma)
+                )
             yield pd.DataFrame({"doc_id": batch["doc_id"], "thumb": thumbs})
 
     return src.mapInPandas(transform, THUMBNAIL_SCHEMA)

@@ -1441,16 +1441,70 @@ def mm_thumbnail_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — any defect in either codec direction or the pooling
     hash-fails. Odd ids exercise the null path end-to-end.
 
-    Scale: two chained Arrow-batched ``mapInPandas`` stages,
-    partition-local, no shuffle, one row per blob."""
-    from protarrow_spark.operators.jpeg import QUANT_UNITY
+    Scale: ONE Arrow-batched ``mapInPandas`` stage, partition-local,
+    no shuffle beyond the parallelizing repartition, one row per blob.
+    The fixture build, both codec directions, and the feature readout
+    compose per blob inside a single batch function (r13 opt, guide
+    §4.1: the former three chained mapInPandas stages serialized every
+    source blob and every thumbnail across the JVM/Python boundary
+    twice each for transforms that are 1:1 and partition-local; the
+    fused stage reuses the operators' own per-blob helpers —
+    ``_try_decode_jpeg`` / ``_thumb_bytes`` / ``_ycbcr_sums`` — so the
+    per-blob composition, and hence every output value, is
+    unchanged)."""
+    import numpy as np
+    import pandas as pd
 
-    thumbs = multimodal.thumbnail_jpeg(
-        _thumb_source_blobs(spark, sf_dir),
-        "doc_id",
-        "blob",
-        factor=2,
-        quant=QUANT_UNITY,
-        quant_chroma=QUANT_UNITY,
+    from protarrow_spark.operators import jpeg
+    from protarrow_spark.operators.multimodal import (
+        YCBCR_FEATURES_SCHEMA,
+        _thumb_bytes,
+        _try_decode_jpeg,
+        _ycbcr_sums,
     )
-    return multimodal.decode_image_features_ycbcr(thumbs, "doc_id", "thumb")
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cols = ("width", "height", "n_pixels", "y_sum", "cb_sum", "cr_sum")
+
+    def fused(batches):
+        for b in batches:
+            out = {"doc_id": b["doc_id"], **{k: [] for k in cols}}
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                data = str(text).encode("utf-8")[:_THUMB_MAXB]
+                if doc_id % 2 == 0:
+                    bh = max(1, -(-len(data) // _THUMB_BW))
+                    grid = np.zeros(bh * _THUMB_BW, dtype=np.uint8)
+                    grid[: len(data)] = np.frombuffer(data, np.uint8)
+                    grid = grid.reshape(bh, _THUMB_BW)
+                    ones = np.ones((16, 16), dtype=np.uint8)
+                    y = np.kron(grid, ones)
+                    cb = np.kron((255 - grid).astype(np.uint8), ones)
+                    cr = np.kron(
+                        ((grid.astype(np.int64) * 2) % 256).astype(np.uint8),
+                        ones,
+                    )
+                    blob = jpeg.encode_jpeg_color(
+                        y, cb, cr, jpeg.QUANT_UNITY, jpeg.QUANT_UNITY
+                    )
+                else:
+                    blob = data
+                decoded = _try_decode_jpeg(bytes(blob))
+                thumb = (
+                    None
+                    if decoded is None
+                    else _thumb_bytes(decoded, 2, jpeg.QUANT_UNITY, jpeg.QUANT_UNITY)
+                )
+                d2 = _try_decode_jpeg(bytes(thumb)) if thumb is not None else None
+                if d2 is None:
+                    for k in cols:
+                        out[k].append(None)
+                else:
+                    for k, v in zip(cols, _ycbcr_sums(d2)):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(fused, YCBCR_FEATURES_SCHEMA)
