@@ -139,7 +139,7 @@ def ngram_jaccard_pairs(
         if len(probe) <= dense_vocab_cap:
             return _jaccard_dense_blocked(
                 grams,
-                sizes,
+                df.count(),
                 probe,
                 id_col,
                 threshold,
@@ -198,7 +198,7 @@ def _jaccard_sparse_pairs(
 
 def _jaccard_dense_blocked(
     grams: DataFrame,
-    sizes: DataFrame,
+    n_docs: int,
     vocab_rows: list,
     id_col: str,
     threshold: float,
@@ -231,7 +231,10 @@ def _jaccard_dense_blocked(
     )
     v = len(vocab_vals)
 
-    n_docs = sizes.count()
+    # n_blocks only partitions ids by hash — ANY positive count gives
+    # identical results, so callers pass the cheap base-table count
+    # instead of the former aggregate-the-gram-stream-and-count job
+    # (one full shuffle of the widest stream, r13 opt, guide §2.4).
     n_blocks = max(1, -(-n_docs // block_size))
 
     # n_grams folds into the same aggregate as the gram array (grams
@@ -275,6 +278,20 @@ def _jaccard_dense_blocked(
     if include_sizes and mode != "bands":
         out_cols += ["n_a", "n_b"]
 
+    # Row-chunked postprocessing of the intersection matrix (r13 opt,
+    # guide §5 "per-task state"): the former code materialized the full
+    # pair stream as ~20 fresh block_size^2-element arrays per group
+    # (meshgrid indices, fancy-gather copies, union/score vectors) —
+    # O(pairs) scratch whose allocation cost dominates the matmul
+    # itself on hosts where first-touch page faults are expensive
+    # (measured 28 s vs 0.5 s of BLAS for one sf0.1 block pair on this
+    # box). Iterating row chunks with same-shaped scratch keeps the
+    # working set at a few MB per task — the allocator reuses the same
+    # pages across chunks — and bounds task memory regardless of block
+    # size. Arithmetic per pair is IDENTICAL (same int64/float64 ops in
+    # the same order), so every emitted value is unchanged.
+    CHUNK_ROWS = 256
+
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = int(key[0]), int(key[1])
         empty = pd.DataFrame({c: [] for c in out_cols})
@@ -296,14 +313,11 @@ def _jaccard_dense_blocked(
             return sub[id_col].values, sub["n_grams"].to_numpy(), m
 
         if gi == gj:
-            ids, ng, m = dense(pdf)
-            if len(ids) < 2:
+            ids_l, ng_l, ml = dense(pdf)
+            if len(ids_l) < 2:
                 return empty
-            c = m @ m.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            ids_a, ids_b = ids[ia], ids[ib]
-            common = c[ia, ib]
-            na, nb = ng[ia], ng[ib]
+            ids_r, ng_r, mr = ids_l, ng_l, ml
+            triu = True
         else:
             a = pdf[pdf["blk"] == gi]
             b = pdf[pdf["blk"] == gj]
@@ -311,54 +325,73 @@ def _jaccard_dense_blocked(
                 return empty
             ids_l, ng_l, ml = dense(a)
             ids_r, ng_r, mr = dense(b)
-            c = ml @ mr.T
-            ii, jj = np.meshgrid(np.arange(len(ids_l)), np.arange(len(ids_r)), indexing="ij")
-            ii, jj = ii.ravel(), jj.ravel()
-            l_ids, r_ids = ids_l[ii], ids_r[jj]
-            swap = l_ids > r_ids
-            ids_a = np.where(swap, r_ids, l_ids)
-            ids_b = np.where(swap, l_ids, r_ids)
-            common = c[ii, jj]
-            # set sizes must follow the canonical (doc_a, doc_b) order —
-            # the symmetric Jaccard denominator hides a swap bug, the
-            # per-side containment denominators do not
-            na = np.where(swap, ng_r[jj], ng_l[ii])
-            nb = np.where(swap, ng_l[ii], ng_r[jj])
-        common = common.astype(np.int64)
+            triu = False
+        C = ml @ mr.T  # float32, exact: counts <= v < 2^24
+        n_l, n_r = C.shape
+        ng_l = ng_l.astype(np.int64)
+        ng_r = ng_r.astype(np.int64)
+        col = np.arange(n_r)
+
+        hist = np.zeros(band_scale + 1, dtype=np.int64)
+        acc: dict[str, list] = {c: [] for c in out_cols}
+        for r0 in range(0, n_l, CHUNK_ROWS):
+            r1 = min(r0 + CHUNK_ROWS, n_l)
+            common = C[r0:r1].astype(np.int64)  # (chunk, n_r)
+            union = ng_l[r0:r1, None] + ng_r[None, :] - common
+            if mode == "containment":
+                ca = common / ng_l[r0:r1, None]
+                cb = common / ng_r[None, :]
+                keep = (ca >= threshold) | (cb >= threshold)
+            else:
+                keep = common / union >= threshold
+            if triu:
+                # pairs i < j only (ids are sorted ascending, so the
+                # upper triangle IS the canonical doc_a < doc_b order)
+                keep &= col[None, :] > np.arange(r0, r1)[:, None]
+            if mode == "bands":
+                # Aggregation pushdown: the (quadratic) pair stream
+                # never leaves numpy — only ~|bands| histogram rows do.
+                band = (band_scale * common[keep]) // union[keep]
+                hist += np.bincount(band, minlength=band_scale + 1)
+                continue
+            ri, ci = np.nonzero(keep)  # kept pairs only: small
+            l_ids, r_ids = ids_l[ri + r0], ids_r[ci]
+            ck = common[ri, ci]
+            na_k, nb_k = ng_l[ri + r0], ng_r[ci]
+            if triu:
+                ids_a, ids_b = l_ids, r_ids
+            else:
+                # set sizes must follow the canonical (doc_a, doc_b)
+                # order — the symmetric Jaccard denominator hides a
+                # swap bug, the per-side containment denominators don't
+                swap = l_ids > r_ids
+                ids_a = np.where(swap, r_ids, l_ids)
+                ids_b = np.where(swap, l_ids, r_ids)
+                na_k, nb_k = (
+                    np.where(swap, nb_k, na_k),
+                    np.where(swap, na_k, nb_k),
+                )
+            acc["doc_a"].append(ids_a)
+            acc["doc_b"].append(ids_b)
+            acc["n_common"].append(ck)
+            if mode == "jaccard":
+                acc["jaccard"].append(ck / (na_k + nb_k - ck))
+            else:
+                acc["containment_a"].append(ck / na_k)
+                acc["containment_b"].append(ck / nb_k)
+            if include_sizes:
+                acc["n_a"].append(na_k)
+                acc["n_b"].append(nb_k)
         if mode == "bands":
-            # Aggregation pushdown: the (quadratic) pair stream never
-            # leaves numpy — only the ~|bands| histogram rows do.
-            union = na.astype(np.int64) + nb.astype(np.int64) - common
-            keep = common / union >= threshold
-            band = (band_scale * common[keep]) // union[keep]
-            vals, counts = np.unique(band, return_counts=True)
+            nz = np.nonzero(hist)[0]
             return pd.DataFrame(
-                {"band": vals.astype(np.int64), "n_pairs": counts.astype(np.int64)}
+                {"band": nz.astype(np.int64), "n_pairs": hist[nz]}
             )
-        if mode == "jaccard":
-            jac = common / (na + nb - common)
-            keep = jac >= threshold
-            out = {
-                "doc_a": ids_a[keep],
-                "doc_b": ids_b[keep],
-                "n_common": common[keep],
-                "jaccard": jac[keep],
-            }
-        else:
-            ca = common / na
-            cb = common / nb
-            keep = (ca >= threshold) | (cb >= threshold)
-            out = {
-                "doc_a": ids_a[keep],
-                "doc_b": ids_b[keep],
-                "n_common": common[keep],
-                "containment_a": ca[keep],
-                "containment_b": cb[keep],
-            }
-        if include_sizes:
-            out["n_a"] = na[keep].astype(np.int64)
-            out["n_b"] = nb[keep].astype(np.int64)
-        return pd.DataFrame(out)
+        if not acc["doc_a"]:
+            return empty
+        return pd.DataFrame(
+            {c: np.concatenate(acc[c]) for c in out_cols}
+        )
 
     # Keyed repartition before the grouped-pandas op: the block rows
     # are byte-small, so AQE would coalesce this shuffle to one
@@ -871,7 +904,7 @@ def ngram_containment_pairs(
         probe = vocab.limit(dense_vocab_cap + 1).collect()
         if len(probe) <= dense_vocab_cap:
             return _jaccard_dense_blocked(
-                grams, sizes, probe, id_col, threshold, max_df, block_size,
+                grams, df.count(), probe, id_col, threshold, max_df, block_size,
                 mode="containment",
             )
     rare = grams.join(vocab.filter(F.col("df_g") <= max_df).select("g"), "g")
@@ -1065,7 +1098,7 @@ def jaccard_band_counts(
         if len(probe) <= dense_vocab_cap:
             h = _jaccard_dense_blocked(
                 grams,
-                sizes,
+                df.count(),
                 probe,
                 id_col,
                 threshold,

@@ -193,6 +193,43 @@ class TestCharEntropy:
 
 
 class TestJaccardBandCounts:
+    def test_dense_blocked_matches_sparse_across_block_pairs(self, spark, sf_dir):
+        """The chunked dense kernel (r13: row-chunked postprocessing of
+        the intersection matrix) must emit the exact same pair set as
+        the sparse inverted-index join — forced multi-block so the
+        cross-block (gi != gj) arm and the chunk boundary both run,
+        and in all three modes (jaccard, containment, sizes)."""
+        from protarrow_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents")
+
+        def rows(df):
+            return sorted(
+                tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+                for r in df.collect()
+            )
+
+        # block_size 128 -> ceil(n/128) blocks; well above 1 even at
+        # sf0.001, and chunks of 256 rows split the 128-row blocks'
+        # concatenated cross groups.
+        dense_j = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, n=1,
+            dense_vocab_cap=4096, block_size=128, include_sizes=True,
+        )
+        sparse_j = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, n=1, include_sizes=True,
+        )
+        assert rows(dense_j) == rows(sparse_j)
+
+        dense_c = dedup.ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.3, n=1,
+            dense_vocab_cap=4096, block_size=128,
+        )
+        sparse_c = dedup.ngram_containment_pairs(
+            docs, "doc_id", "text", threshold=0.3, n=1,
+        )
+        assert rows(dense_c) == rows(sparse_c)
+
     def test_pushdown_matches_pair_banding_on_both_paths(self, spark, sf_dir):
         """The in-task band histogram (aggregation pushdown) must equal
         banding the materialized pair stream, on BOTH physical paths."""
