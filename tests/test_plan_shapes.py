@@ -307,11 +307,13 @@ def test_bloom_prefilter_probes_below_exact_join(spark, sf_dir) -> None:
     assert "__bf_w0" not in plan  # the old per-probe join columns
     exact = plan.find("BroadcastHashJoin [l_orderkey")
     assert exact != -1
-    # double hashing: exactly two md5 digests per probe row, derived
-    # once in a projection below the exact join
-    for tag in ("bf1|", "bf2|"):
+    # double hashing: exactly two xxhash64 digests per probe row (r13:
+    # native hash on the raw key replaced the md5-of-string pair),
+    # derived once in a projection below the exact join
+    for tag in ("bf1", "bf2"):
         assert tag in plan
-    assert plan.find("bf1|") > exact
+    assert "xxhash64" in plan and "md5" not in plan
+    assert plan.find("bf1") > exact
 
 
 def test_bpe_pair_counts_single_exchange_topk(spark, sf_dir) -> None:
