@@ -171,28 +171,35 @@ def cms_heavy_hitters(
         ).alias("e"),
         F.col("true_count"),
     ).select("e.j", "e.bucket", "true_count")
-    # Materialize the (depth x width)-row counter table ONCE — the
-    # readout below joins it `depth` times, and without this each
-    # branch would re-run the build.
-    sketch = (
-        entries.groupBy("j", "bucket")
-        .agg(F.sum("true_count").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    # The counter table is depth x width cells (1,024 at defaults) —
+    # sketch-sized state. Collect it once and probe via a ONE-ROW
+    # broadcast array indexed with element_at (r13 opt, the bloom-words
+    # device): the former shape checkpointed the counters and ran one
+    # broadcast JOIN per depth row (4 joins + a second checkpoint job
+    # in every readout). A bucket with no counter row reads 0, which
+    # can never be a probed key's minimum (its own count is in every
+    # one of its buckets), so estimates are identical.
+    cells = entries.groupBy("j", "bucket").agg(F.sum("true_count").alias("c")).collect()
+    flat = [0] * (depth * width)
+    for r in cells:
+        flat[int(r["j"]) * width + int(r["bucket"])] = int(r["c"])
+    spark = df.sparkSession
+    cms_df = spark.createDataFrame([(flat,)], "__cms array<bigint>")
 
     probes = counts.select(
         "key",
         "true_count",
         *[_cms_bucket(F.col("key"), j, width).alias(f"b{j}") for j in range(depth)],
+    ).crossJoin(F.broadcast(cms_df))
+    est_count = F.least(
+        *[
+            F.element_at(
+                "__cms", (F.col(f"b{j}") + F.lit(j * width + 1)).cast("int")
+            )
+            for j in range(depth)
+        ]
     )
-    est = probes
-    for j in range(depth):
-        row_j = sketch.filter(F.col("j") == j).select(
-            F.col("bucket").alias(f"b{j}"), F.col("c").alias(f"c{j}")
-        )
-        est = est.join(F.broadcast(row_j), f"b{j}")
-    est_count = F.least(*[F.col(f"c{j}") for j in range(depth)])
-    ranked = est.select("key", est_count.alias("est_count"), "true_count")
+    ranked = probes.select("key", est_count.alias("est_count"), "true_count")
     # Top-n as TakeOrderedAndProject (scales: per-partition heads +
     # driver merge), THEN rank the tiny survivor set with a window —
     # never a single-partition window over all candidate keys.

@@ -89,9 +89,10 @@ def test_new_ops_avoid_nested_loops(spark, sf_dir) -> None:
     ]:
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
-        if name != "ann_ivf_topk":
-            # IVF broadcasts the (tiny) probed query set; everything
-            # else must not need a nested loop at all.
+        if name not in ("ann_ivf_topk", "sketch_cms_heavy_hitters"):
+            # IVF broadcasts the (tiny) probed query set and CMS its
+            # one-row counter array (r13); everything else must not
+            # need a nested loop at all.
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
@@ -103,10 +104,14 @@ def test_kmv_window_group_limit_pushdown(spark, sf_dir) -> None:
 
 
 def test_cms_sketch_is_broadcast_readout(spark, sf_dir) -> None:
-    """Sketch readout joins must broadcast the d*w counter table, not
-    shuffle the candidate keys."""
+    """Sketch readout must broadcast the d*w counter state, not
+    shuffle the candidate keys: r13 shape is the one-row counter-array
+    broadcast probed with element_at (no per-depth-row joins left)."""
     plan = _plan(spark, sf_dir, "sketch_cms_heavy_hitters")
-    assert "BroadcastHashJoin" in plan
+    assert "__cms" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row array
+    assert "BroadcastHashJoin" not in plan  # the 4 per-depth joins are gone
+    assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # top-n, never a global sort
 
 
@@ -170,6 +175,8 @@ BNLJ_BY_DESIGN = {
     "window_funnel_stages",
     # one-row bloom words-array broadcast (the filter as a broadcast var)
     "join_bloom_prefilter",
+    # one-row CMS counter-array broadcast (the sketch as a broadcast var)
+    "sketch_cms_heavy_hitters",
     # one-row merge-rule broadcast into the greedy-fold rewrite (x3 steps)
     "text_bpe_train",
     # same 1-row rule broadcasts (training chain) + 1-row (N, T) stats row
