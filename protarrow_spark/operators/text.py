@@ -550,8 +550,18 @@ def boilerplate_ngrams(
     pos = base.select(
         F.col(id_col), F.col(group_col), F.explode(grams).alias("g")
     )
-    dfreq = pos.select(id_col, group_col, "g").distinct().groupBy(group_col, "g").agg(
-        F.count(F.lit(1)).alias("df")
+    # df counts DISTINCT documents per gram: the former
+    # .distinct() keyed on (id, group, g) only removed within-document
+    # repeats — a per-row array_distinct before the explode does the
+    # same in the scan projection without shuffling the gram stream
+    # (r13 opt, guide §2.4). `pos` itself keeps its duplicates: the
+    # boiler-position count below must count every occurrence.
+    dfreq = (
+        base.select(
+            F.col(group_col), F.explode(F.array_distinct(grams)).alias("g")
+        )
+        .groupBy(group_col, "g")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     nd = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = (
@@ -668,9 +678,14 @@ def tfidf_keywords(
         F.col(id_col), F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Corpus df counts DISTINCT documents per token: the former
+    # .distinct() keyed on (id, tok) only removed within-document
+    # repeats, so a per-row array_distinct in a second scan projection
+    # replaces a full shuffle of the token stream (r13 opt, guide
+    # §2.4; re-tokenizing the scan is a codegen'd split, far cheaper
+    # than exchanging every token occurrence).
     docfreq = (
-        toks.select(F.col(id_col), "tok")
-        .distinct()
+        df.select(F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
