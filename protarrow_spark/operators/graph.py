@@ -271,28 +271,27 @@ def pagerank(
 
     Output: node, rank (bigint, fixed-point 1e-12).
     """
-    # Materialize the deduped edge list ONCE: every iteration joins it
-    # (twice, counting deg), and without the barrier Catalyst re-plans
-    # the source scan + distinct per reference — at 100 TB the edge
-    # list is a written table, which this stands in for.
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the deduped edge list WITH its out-degree in ONE
+    # job: every iteration joins it, and without the barrier Catalyst
+    # re-plans the source scan + distinct per reference — at 100 TB
+    # the edge list is a written table, which this stands in for.
     # Out-degree rides ON the edge row (one count window over the
-    # src-partitioned edges, materialized once) instead of a separate
-    # degree table joined back EVERY iteration — r13 opt, guide §2.4:
-    # the former plan paid an extra src-keyed join per unrolled round.
+    # src-partitioned edges) instead of a separate degree table joined
+    # back EVERY iteration (guide §2.4); the former separate
+    # distinct-edges checkpoint was a whole extra materialization job
+    # for a frame only this one consumed (r13 opt — the distinct now
+    # happens inside this job, and `nodes` derives from the result).
     from pyspark.sql import Window as _W
 
     ed = (
-        e.withColumn("out_deg", F.count(F.lit(1)).over(_W.partitionBy("src")))
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .withColumn("out_deg", F.count(F.lit(1)).over(_W.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
