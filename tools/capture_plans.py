@@ -1,12 +1,13 @@
 """Capture .explain("formatted") output for a set of queries into
-plans/r13/<query>_<tag>.txt — the optimization round's before/after
-plan evidence (the judge reads these files; Spark is not available to
-it).
+plans/<round>/<query>_<tag>.txt — the optimization round's
+before/after plan evidence (the judge reads these files; Spark is not
+available to it).
 
 Usage: python tools/capture_plans.py <tag> <query1,query2,...>
        python tools/capture_plans.py before dedup_threshold_sweep,graph_kcore
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_PLANS_ROUND (default r14 — subdirectory of plans/).
 """
 
 from __future__ import annotations
@@ -26,7 +27,10 @@ def main() -> None:
 
     queries = all_queries()
     spark = get_spark("protarrow-spark-plans", cpus=cpus)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
