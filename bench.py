@@ -421,6 +421,45 @@ def _refresh_baseline_row(payload: dict, headline_names: set[str]) -> None:
             return
 
 
+def _guarded_out_path(
+    out_path: str, poisoned: bool, sf: float, cpus: int
+) -> str:
+    """Official-artifact guard (r14, VERDICT item 1): BENCH_LOCAL.json
+    is the committed baseline every cross-round comparison anchors on,
+    so only a run COMPARABLE to it may take the default path — poisoned
+    runs (the r13 sweep-B clobber), non-sf0.1 runs, and runs at a
+    different core count than the committed artifact (the r13 driver
+    c8 clobber: 160.9 s / cpus=8 replaced the 201.0 s / cpus=32
+    baseline and shipped a red tests/test_baseline_row.py) divert to
+    BENCH_RUN.json. An explicit SPARK_GRAFT_BENCH_OUT still wins at the
+    call site: intent stated is intent honored."""
+    divert = None
+    if poisoned:
+        divert = "steal-poisoned run"
+    elif abs(sf - 0.1) >= 1e-9:
+        divert = f"sf={sf} run (official artifact is sf0.1)"
+    elif os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                official_cpus = json.load(fh).get("cpus")
+        except Exception:
+            official_cpus = None
+        if official_cpus is not None and official_cpus != cpus:
+            divert = (
+                f"cpus={cpus} run (committed artifact measured at "
+                f"cpus={official_cpus})"
+            )
+    if not divert:
+        return out_path
+    print(
+        f"BENCH GUARD: {divert} — writing BENCH_RUN.json instead of "
+        "the official BENCH_LOCAL.json (set SPARK_GRAFT_BENCH_OUT "
+        "to override deliberately)",
+        file=sys.stderr,
+    )
+    return "BENCH_RUN.json"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -782,6 +821,8 @@ def main() -> None:
     # file so a targeted run never clobbers the full headline artifact.
     default_out = "BENCH_SUBSET.json" if only else "BENCH_LOCAL.json"
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
+    if out_path == default_out and not only and not os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+        out_path = _guarded_out_path(out_path, poisoned, sf, cpus)
     try:
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1)

@@ -82,6 +82,30 @@ def test_committed_artifact_is_clean_full_headline(artifact):
     )
 
 
+def test_out_path_guard_diverts_incomparable_runs(tmp_path, monkeypatch):
+    """r14 guard (VERDICT item 1): a poisoned, non-sf0.1, or
+    different-core-count run must never take the default
+    BENCH_LOCAL.json path — both r13 clobbers (poisoned sweep-B and
+    the driver's cpus=8 sweep) would have been diverted by this."""
+    import bench
+
+    official = tmp_path / "BENCH_LOCAL.json"
+    official.write_text(json.dumps({"value": 201.0, "cpus": 32}))
+    monkeypatch.chdir(tmp_path)
+    p = str(official)
+    # comparable clean run keeps the official path
+    assert bench._guarded_out_path(p, False, 0.1, 32) == p
+    # poisoned run diverts (the sweep-B clobber)
+    assert bench._guarded_out_path(p, True, 0.1, 32) == "BENCH_RUN.json"
+    # non-sf0.1 run diverts
+    assert bench._guarded_out_path(p, False, 1.0, 32) == "BENCH_RUN.json"
+    # core-count mismatch vs the committed artifact diverts (the c8 clobber)
+    assert bench._guarded_out_path(p, False, 0.1, 8) == "BENCH_RUN.json"
+    # no committed artifact yet: nothing to protect, keep the path
+    official.unlink()
+    assert bench._guarded_out_path(p, False, 0.1, 8) == p
+
+
 def test_refresh_guard_refuses_partial_payload(tmp_path, monkeypatch):
     import bench
 
