@@ -636,11 +636,6 @@ def kcore_peel(
         )
         .localCheckpoint(eager=True)  # cut the edge-builder lineage once
     )
-    counts = [
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n"))
-    ]
     # Peel by SUBTRACTION (r13 opt): each round checkpoints the
     # SURVIVING edge set and drops edges touching only this round's
     # REMOVED nodes (deg < k) — an anti-join against a set that is
@@ -650,35 +645,58 @@ def kcore_peel(
     # every round. Set-identical by induction: edges with both
     # endpoints surviving round r == edges never touching any node
     # removed in rounds 1..r.
+    #
+    # r14 (VERDICT item 4): each round now COLLECTS its 2-long degree
+    # tally (removed/kept node counts — a partial-aggregated 1-row
+    # job over the checkpointed edge set) instead of stacking lazy
+    # 1-row count frames for the final plan's broadcast builds. The
+    # tally is the survivor count the output needs AND the convergence
+    # signal: once a round removes nothing the edge set is a fixed
+    # point, every later round would re-checkpoint an identical frame
+    # and re-count the same survivors (at sf0.1 the 3-core peels to
+    # empty by round 2, so rounds 3-4 were pure job overhead), so the
+    # loop stops paying for them. ``rounds`` semantics unchanged: the
+    # reported n_core_nodes/converged are exactly what executing every
+    # round would report (unexecuted rounds leave both tallies at the
+    # fixed-point value).
     e = sym
+    tallies: list[tuple[int, int]] = []  # (n_removed, n_kept) per round
     for _ in range(rounds):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-        removed = deg.filter(F.col("deg") < k).select(F.col("s").alias("node"))
+        row = deg.agg(
+            F.sum((F.col("deg") < k).cast("long")).alias("nr"),
+            F.sum((F.col("deg") >= k).cast("long")).alias("nk"),
+        ).first()
         # Survivor count = the degree test's pass side (NOT the next
         # edge set's endpoints: a node can pass the test and still
         # lose its last edge to removed neighbors this round).
-        counts.append(
-            deg.filter(F.col("deg") >= k).agg(F.count(F.lit(1)).alias("n"))
-        )
+        tallies.append((int(row["nr"] or 0), int(row["nk"] or 0)))
+        if tallies[-1][0] == 0:
+            break  # fixed point: anti-join would rebuild e unchanged
+        removed = deg.filter(F.col("deg") < k).select(F.col("s").alias("node"))
         e = (
             e.join(removed.select(F.col("node").alias("s")), "s", "left_anti")
             .join(removed.select(F.col("node").alias("d")), "d", "left_anti")
             .localCheckpoint(eager=True)  # this round's peeled graph
         )
+    n_last = tallies[-1][1]
+    if len(tallies) < rounds:
+        # Early fixed point: rounds len(tallies)+1 .. rounds would all
+        # tally (0, n_last), so the final two survivor counts agree.
+        n_prev = n_last
+    elif rounds >= 2:
+        n_prev = tallies[-2][1]
+    else:
+        # rounds == 1: the "previous" count is the initial node count.
+        n_prev = sym.select("s").distinct().count()
     fin = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
-    meta = (
-        counts[-2]
-        .select(F.col("n").alias("n_prev"))
-        .crossJoin(F.broadcast(counts[-1].select(F.col("n").alias("n_last"))))
-        .select(
-            F.col("n_last").cast("long").alias("n_core_nodes"),
-            (F.col("n_prev") == F.col("n_last")).alias("converged"),
-        )
-    )
-    return fin.crossJoin(F.broadcast(meta)).select(
-        "node", "core_degree", "n_core_nodes", "converged"
+    return fin.select(
+        "node",
+        "core_degree",
+        F.lit(n_last).cast("long").alias("n_core_nodes"),
+        F.lit(bool(n_prev == n_last)).alias("converged"),
     )
 
 

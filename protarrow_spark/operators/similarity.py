@@ -2056,9 +2056,12 @@ def kcenter_greedy(
 
     from protarrow_spark.sources.tables import spread
 
+    # Preserve the source id dtype (r14, ADVICE): hardcoding `long`
+    # here narrowed the contract the removed quantize_int8 path kept.
+    id_t = raw.schema[id_col].dataType.simpleString()
     qdf = (
         spread(raw)
-        .mapInPandas(_quantize, f"{id_col} long, q array<bigint>")
+        .mapInPandas(_quantize, f"{id_col} {id_t}, q array<bigint>")
         .localCheckpoint(eager=True)
     )  # quantize once, scan k times
     # Partition sizing for the distributed rounds: each round pays one

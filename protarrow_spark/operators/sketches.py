@@ -472,8 +472,11 @@ def bloom_build(
     another filter built with the same parameters, which the
     optimizer's internal filter cannot.
 
-    Each key sets ``hashes`` bits; positions are md5-derived (engine-
-    portable, partitioning-invariant). Output is at most
+    Each key sets ``hashes`` bits; positions come from xxhash64
+    double-hashing (two native seeded digests combined h1 + i*h2,
+    pmod-bounded — partitioning-invariant, and engine-internal: every
+    consumer's oracle is the exact join the filter pre-prunes, so the
+    bit patterns never need to match another engine). Output is at most
     ``bits/32`` rows (8,192 at defaults) REGARDLESS of key count —
     the explode fans out ``hashes`` rows per key and the groupBy
     collapses them with map-side partial bit_or aggregation, so the

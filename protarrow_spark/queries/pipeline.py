@@ -314,7 +314,20 @@ def lsh_recall_report(
     # lists are the audit's bounded output, safe to pin at any scale.
     truth = (
         dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", threshold=LSH_RECALL_T, n=dedup.NGRAM_N
+            docs,
+            "doc_id",
+            "text",
+            threshold=LSH_RECALL_T,
+            n=dedup.NGRAM_N,
+            # r14 (VERDICT item 3): the synthetic corpus is vocab-dense
+            # (template text), so the exact-Jaccard truth side takes the
+            # chunked cogrouped dense kernel — the same opt-in every
+            # other exact-Jaccard consumer (dedup_ngram_jaccard, the
+            # threshold sweeps) already made — instead of the sparse
+            # explode-join. Identical pairs (dense==sparse pinned by
+            # tests/test_r10_ops.py); on a genuinely sparse corpus
+            # the probe rejects and the sparse path still runs.
+            dense_vocab_cap=4096,
         )
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
@@ -2917,19 +2930,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-sized on the driver."""
     from protarrow_spark.operators.graph import triangle_counts
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= TRIANGLE_MIN_SUPPORT)
-        .select("src", "dst")
-    )
-    return triangle_counts(pairs, "src", "dst")
+    # Same builder as every other co-purchase query (r14: deduplicated
+    # onto the aggregate-first shape — see _copurchase_edges).
+    return triangle_counts(_copurchase_edges(spark, sf_dir), "src", "dst")
 
 
 # ---------------------------------------------------------------------------
@@ -2981,19 +2984,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles, link prediction), all exact integers."""
     from protarrow_spark.operators.graph import common_neighbor_candidates
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= TRIANGLE_MIN_SUPPORT)
-        .select("src", "dst")
-    )
-    return common_neighbor_candidates(pairs)
+    # Same builder as every other co-purchase query (r14: deduplicated
+    # onto the aggregate-first shape — see _copurchase_edges).
+    return common_neighbor_candidates(_copurchase_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -4712,14 +4705,34 @@ SELECT a AS src, b AS dst FROM (
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    """Support-thresholded part co-purchase edges — the one builder
+    behind all five co-purchase graph queries (triangle, common
+    neighbors, BFS, neighborhood Jaccard, k-core).
+
+    r14 shape (guide §2.3 "aggregate before you shuffle"): the former
+    distinct + self-join on l_orderkey shuffled the (order, part)
+    stream three times and sort-merge-joined it with itself. Orders
+    bound their part count (TPC-H <= 7 lines/order), so ONE
+    partial-aggregated shuffle collects each order's distinct part set
+    (collect_set subsumes the old .distinct()), the a<b pairs are
+    emitted map-side from the sorted array (<= 21 pairs/order — tiny,
+    bounded per-row state at any scale), and only the (src, dst)
+    support count shuffles after that. 4 Exchange + SortMergeJoin ->
+    2 Exchange, no join; identical exact counts."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    # Two chained codegen'd generators, NOT a lambda HOF (transform/
+    # flatten interpreted per row measured ~40% slower than this on the
+    # same stream): posexplode pins each src with its index, slice
+    # emits the strictly-larger tail as dst.
+    e1 = parts.select(F.posexplode("ps").alias("i", "src"), "ps")
+    pairs = e1.select(
+        "src", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("dst")
+    )
     return (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= TRIANGLE_MIN_SUPPORT)
         .select("src", "dst")
@@ -6176,15 +6189,42 @@ def sample_downweight_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFra
     pointer-jumping connected components; stopping at the rollup
     drops that entire tail (output is |clusters| rows, not |docs|),
     so the slope reverts to the CC stage's own."""
-    from protarrow_spark.operators.graph import dedup_clusters
+    from protarrow_spark.operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents")
     edges = dedup.minhash_lsh_pairs(docs, "doc_id", "text").select("doc_a", "doc_b")
-    cl = dedup_clusters(docs, edges, "doc_id")
-    return cl.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size"),
-        F.expr("1000000 div count(1)").cast("long").alias("weight_ppm"),
+    # r14 (guide §2.3/§2.4 — same device as the per-doc sibling's r13
+    # fix, taken one step further): cluster sizes come from the
+    # COMPONENT table (nodes that touch an edge — tiny vs the corpus),
+    # and the singleton rows are the docs anti-joined against it
+    # (broadcastable component side ⇒ no corpus shuffle at all). The
+    # former shape joined every doc to its component and re-grouped
+    # the |docs|-sized assignment by cluster_id — a full corpus
+    # exchange whose groups were almost all singletons. Identical
+    # output: component members' cluster sizes equal assignment group
+    # sizes (component ids are mins over member doc ids, so they never
+    # collide with a non-member doc_id), and every other doc is its
+    # own cluster of size 1.
+    comp = connected_components(edges, "doc_a", "doc_b")
+    members = (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.expr("1000000 div cluster_size").cast("long").alias("weight_ppm"),
+        )
     )
+    singles = (
+        docs.select("doc_id")
+        .join(comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(1000000).cast("long").alias("weight_ppm"),
+        )
+    )
+    return members.unionByName(singles)
 
 
 @query(

@@ -33,6 +33,29 @@ from protarrow_spark.queries.registry import query
 FORCE_MAX_FILES_PER_TRIGGER: int | None = None
 
 
+def _no_idle_batch(spark: SparkSession) -> None:
+    """Disable no-data micro-batches for this session's streams (r14,
+    guide §2 — fewer stateful rounds).
+
+    After the availableNow backlog is processed, Spark by default runs
+    one extra EMPTY micro-batch when the watermark advanced, purely to
+    evict expired state — a full stateful-shuffle round (state-store
+    open/commit on every partition) that produces nothing here. Every
+    registered pattern's COMPLETED output is invariant to it: complete-
+    mode aggregations re-emit the identical table, update-mode
+    applyInPandasWithState uses NoTimeout (an empty batch invokes no
+    groups), and the append-mode operators (inner stream-stream join,
+    dropDuplicatesWithinWatermark) emit rows only in the batch the data
+    arrives. Eviction exists for UNBOUNDED runs; an availableNow run
+    terminates immediately after, so the cleanup batch is pure
+    overhead at any scale (measured: stream_interval_join 2 -> 1
+    micro-batches). Batching-invariance stays pinned by the forced
+    multi-micro-batch tests (tests/test_streaming.py), which exercise
+    watermark advancement across DATA batches.
+    """
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet.
 
@@ -48,6 +71,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    _no_idle_batch(spark)
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
     reader = spark.readStream.schema(batch.schema)
@@ -640,15 +664,28 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         *[_cms_bucket(F.col("key"), j, CMS_WIDTH).alias(f"b{j}") for j in range(CMS_DEPTH)],
     )
-    est = probes
-    for j in range(CMS_DEPTH):
-        row_j = sketch.filter(F.col("j") == j).select(
-            F.col("win_start"),
-            F.col("bucket").alias(f"b{j}"),
-            F.col("c").alias(f"c{j}"),
-        )
-        est = est.join(F.broadcast(row_j), ["win_start", f"b{j}"])
-    est_count = F.least(*[F.col(f"c{j}") for j in range(CMS_DEPTH)])
+    # Readout via ONE per-window counter map instead of CMS_DEPTH
+    # broadcast joins (r14 — the same device the batch CMS readout
+    # adopted in r13, windowed): the completed counter table collapses
+    # to one map row per window keyed j*width+bucket, broadcast once,
+    # and each probe reads its depth cells with map lookups. A probed
+    # key's own events are in every one of its buckets, so every
+    # lookup hits (the old inner joins matched for the same reason);
+    # 4 BroadcastHashJoin + 4 broadcast builds -> 1 of each.
+    sk = sketch.groupBy("win_start").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("j") * CMS_WIDTH + F.col("bucket")).alias("k"),
+                    F.col("c").alias("v"),
+                )
+            )
+        ).alias("cms")
+    )
+    est = probes.join(F.broadcast(sk), "win_start")
+    est_count = F.least(
+        *[F.col("cms")[F.lit(j) * CMS_WIDTH + F.col(f"b{j}")] for j in range(CMS_DEPTH)]
+    )
     ranked = est.select(
         "win_start", "key", est_count.alias("est_count"), "true_count"
     )
@@ -820,6 +857,7 @@ def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer peek, same pattern as :func:`_stream_events`)."""
     import os
 
+    _no_idle_batch(spark)
     src = os.path.join(sf_dir, "documents.parquet")
     batch = spark.read.parquet(src)
     reader = spark.readStream.schema(batch.schema)
