@@ -103,79 +103,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: graph_common_neighbors, conv_descset_roundtrip — plus the 38 earlier
 #: never-graded names listed in the r6 planning notes.
 GRADED_FIRST = [
-    # ROUND-13 ROTATION. Standing convention: (1) this round's BIRTHS,
-    # (2) anchors on every surface r13 code touched — the kNN label
-    # audit's fail-stop became the block-pair split (same oracle, new
-    # plan), mmr_select_int8 grew the large_k anti-join arm, and the
-    # streaming decontamination scorer's Python shingler was aligned
-    # bit-for-bit with text_ngrams — and (3) the longest-ungraded
-    # cohort: ALL 19 remaining r7-graded queries (staleness floor
-    # rises to r8) plus the 19 alphabetically-first r8-graded.
+    # ROUND-14 ROTATION (optimization round — no births). Standing
+    # convention, three cohorts:
+    # (1) the r13 VERDICT's six perf-weak queries (item 9: keep driver
+    #     correctness on the queries whose perf story was open),
+    # (2) anchors on every surface r14 code touched — the co-purchase
+    #     edge builder rewrite (all five consumers), the LSH-recall
+    #     dense truth side (both report forms), the k-core early-exit,
+    #     and the k-center id-dtype fix,
+    # (3) the longest-ungraded cohort: ALL 21 remaining r8-graded
+    #     queries (staleness floor rises to r9) plus the 16
+    #     alphabetically-first r9-graded.
     # Rotated-out queries stay oracle-verified every pytest run via
-    # tests/test_oracle_parity.py; rehearsed green at sf0.01 via
-    # tools/gate_rehearsal.py before commit.
-    # -- ROUND-13 BIRTHS
-    "sample_dsir_importance",
-    "stream_cdc_latest",
-    "report_split_leakage",
-    "retrieval_eval_ndcg",
-    "sample_kcenter_coreset",
-    "order_epoch_shuffle",
-    "report_langid_confusion",
-    "dq_ks_drift",
-    "dq_completeness_profile",
-    # -- touched-code anchors (r13 edits)
-    "dq_label_knn_consistency",
-    "ann_mmr_select",
-    "stream_decontaminate",
-    # -- longest-ungraded rotation (last graded r7 — cohort exhausted)
-    "report_key_skew",
-    "report_vocab_gini",
-    "sample_token_budget_mix",
-    "sample_train_val_test",
-    "score_bigram_surprisal",
-    "sketch_histogram_quantiles",
-    "stream_drift_l1",
-    "stream_hll_sketch",
-    "stream_stateful_user_totals",
-    "stream_static_enrich",
-    "table_purge_users",
-    "table_snapshot_diff",
-    "text_bpe_pair_counts",
-    "text_bpe_train",
-    "text_chunk_overlap",
-    "text_novelty_score",
-    "text_oov_rate",
-    "window_funnel_stages",
-    "window_percent_rank_price",
-    # -- longest-ungraded rotation (last graded r8, first 19 of 40)
-    "agg_hhi_concentration",
-    "agg_mode_exact",
-    "agg_skew_kurtosis_exact",
-    "agg_time_to_convert",
-    "ann_ivf_recall_report",
-    "ann_quantization_error_report",
-    "dedup_boundary_overlap",
+    # tests/test_oracle_parity.py and the full-registry rehearsal
+    # (CORRECTNESS_LOCAL_ALL.json, freshness-pinned).
+    # -- r13 perf-weak re-grades
     "dedup_lsh_recall_report",
-    "dedup_semdedup",
-    "dq_benford",
-    "dq_drift_splithalf",
-    "dq_referential_integrity",
-    "embed_pca_project",
-    "graph_bfs_hops",
-    "graph_common_neighbors",
-    "graph_jaccard_similarity",
     "graph_kcore",
-    "join_asof_nearest",
-    "join_fuzzy_blocked",
-    # (pairgen_hard_negatives, mm_phash_dedup, mm_image_features_pgm,
-    # mm_frame_dedup, mm_audio_windows_wav and mine_sequence_bigrams,
-    # all r8-graded, displaced by the six session-2 r13 births
-    # (retrieval_eval_ndcg, sample_kcenter_coreset, order_epoch_shuffle,
-    # report_langid_confusion, dq_ks_drift, dq_completeness_profile)
-    # to hold the window at 50 — they stay oracle-verified by
-    # test_oracle_parity and rotate in next round.)
+    "dq_referential_integrity",
+    "conv_roundtrip_nested_repeated",
+    "mm_image_features_jpeg_color",
+    "mm_image_features_jpeg_progressive",
+    # -- touched-code anchors (r14 edits)
+    "graph_triangle_count",
+    "graph_common_neighbors",
+    "graph_bfs_hops",
+    "graph_jaccard_similarity",
+    "dedup_lsh_recall_sampled",
+    "sample_kcenter_coreset",
+    # -- longest-ungraded rotation (last graded r8 — cohort exhausted)
+    "mine_sequence_bigrams",
+    "mm_audio_windows_wav",
+    "mm_frame_dedup",
+    "mm_image_features_pgm",
+    "mm_phash_dedup",
+    "pairgen_hard_negatives",
+    "pipeline_ccnet",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "report_token_fertility",
+    "retrieval_hybrid_rrf",
+    "sample_perplexity_filter",
+    "sketch_error_report",
+    "stream_multimodal_ingest",
+    "stream_proto_decode_tolerance",
+    "stream_quantile_bottomk",
+    "stream_window_counts",
+    "window_attribution_last_touch",
+    "window_cusum_changepoint",
+    "window_rolling_median",
+    "window_seasonal_baseline",
+    # -- longest-ungraded rotation (last graded r9, first 17 of 24)
+    "agg_time_rollup",
+    "agg_variance_exact",
+    "cluster_kmeans_assign_counts",
+    "cluster_kmeans_embeddings",
+    "conv_cast_conform",
+    "conv_descset_roundtrip",
+    "dedup_semdedup_bounded",
+    "dq_freshness_lag",
+    "dq_k_anonymity",
+    "embed_pca_top1",
+    "mm_audio_windows_ulaw",
+    "mm_image_features_gif",
+    "mm_image_features_png_adam7",
+    "order_curriculum_interleave",
+    "order_length_buckets",
+    "pairgen_contrastive_negatives",
+    "pipeline_training_corpus",
 ]
+
 
 
 def _ordered(d: dict) -> dict:
