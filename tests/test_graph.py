@@ -94,6 +94,25 @@ def test_kcore_peels_tail_keeps_clique(spark):
     assert all(r.converged for r in rows)
 
 
+def test_kcore_early_exit_matches_exact_rounds(spark):
+    """r14: the peel breaks at the fixed point (a round that removes
+    nothing). Requesting far more rounds than convergence needs must
+    return the IDENTICAL frame — node set, core degrees, survivor
+    count, and converged flag — as the exact round count, because the
+    unexecuted rounds would only re-tally the fixed-point value."""
+    from protarrow_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+    exact = sorted(map(tuple, kcore_peel(edges, k=3, rounds=2).collect()))
+    padded = sorted(map(tuple, kcore_peel(edges, k=3, rounds=50).collect()))
+    assert exact == padded and exact
+    # k high enough to peel EVERYTHING: the loop must terminate on the
+    # empty fixed point and return an empty core, not error.
+    assert kcore_peel(edges, k=5, rounds=50).collect() == []
+
+
 def test_kcore_unconverged_flag(spark):
     """A long path peels one layer per round from each end; with k=2
     and only 1 round, the flag must report non-convergence."""
