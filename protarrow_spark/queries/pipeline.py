@@ -2837,29 +2837,45 @@ def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring; item counts broadcast; top-k is TakeOrderedAndProject.
     This is apriori's 2-itemset pass — larger itemsets iterate the
     same join against the surviving frequent set."""
-    # The distinct basket table feeds FIVE plan references (order
-    # count, both broadcast item-count sides, both pair-join sides) —
-    # materialize the scan+distinct once (r13 opt). At 100 TB this is
-    # the standard materialized basket intermediate of apriori passes.
-    li = (
+    # Basket table as one row per order (r14 — the same §2.3
+    # aggregate-first device as _copurchase_edges): ONE partial-
+    # aggregated shuffle collects each order's distinct part set
+    # (collect_set subsumes the former scan+distinct), and every
+    # downstream count derives from it without a join:
+    #   n_orders = the basket row count (was a 2-exchange
+    #   countDistinct over the distinct pair stream),
+    #   item counts = explode + groupBy (same shuffled volume as
+    #   before),
+    #   pair supports = a<b pairs emitted MAP-SIDE from the sorted
+    #   array by the chained posexplode/slice generators (<= 21
+    #   rows/order, bounded at any scale), one groupBy — the former
+    #   self-join (2 exchanges + SortMergeJoin over the basket stream,
+    #   emitting BOTH directions into the support shuffle) is gone.
+    # Rules are directed, but supports are symmetric: count each
+    # unordered pair once (HALF the former shuffle rows), threshold,
+    # then mirror — identical (a, b, n_ab) triples.
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=True)
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy(F.col("l_partkey").alias("it")).agg(
-        F.count(F.lit(1)).alias("n_it")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("ps").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("n_it"))
     )
-    pair = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") != F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
+    e1 = baskets.select(F.posexplode("ps").alias("i", "a"), "ps")
+    pair_u = (
+        e1.select("a", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= RULES_MIN_SUPPORT)
+    )
+    pair = pair_u.unionByName(
+        pair_u.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_ab")
     )
     rules = (
         pair.join(F.broadcast(item.select(F.col("it").alias("a"), F.col("n_it").alias("n_a"))), "a")

@@ -110,7 +110,8 @@ GRADED_FIRST = [
     # (2) anchors on every surface r14 code touched — the co-purchase
     #     edge builder rewrite (all five consumers), the LSH-recall
     #     dense truth side (both report forms), the k-core early-exit,
-    #     and the k-center id-dtype fix,
+    #     the k-center id-dtype fix, and the association-rules
+    #     basket-aggregate rewrite,
     # (3) the longest-ungraded cohort: ALL 21 remaining r8-graded
     #     queries (staleness floor rises to r9) plus the 16
     #     alphabetically-first r9-graded.
@@ -131,6 +132,7 @@ GRADED_FIRST = [
     "graph_jaccard_similarity",
     "dedup_lsh_recall_sampled",
     "sample_kcenter_coreset",
+    "mine_association_rules",
     # -- longest-ungraded rotation (last graded r8 — cohort exhausted)
     "mine_sequence_bigrams",
     "mm_audio_windows_wav",
@@ -153,7 +155,7 @@ GRADED_FIRST = [
     "window_cusum_changepoint",
     "window_rolling_median",
     "window_seasonal_baseline",
-    # -- longest-ungraded rotation (last graded r9, first 17 of 24)
+    # -- longest-ungraded rotation (last graded r9, first 16 of 24)
     "agg_time_rollup",
     "agg_variance_exact",
     "cluster_kmeans_assign_counts",
@@ -170,7 +172,6 @@ GRADED_FIRST = [
     "order_curriculum_interleave",
     "order_length_buckets",
     "pairgen_contrastive_negatives",
-    "pipeline_training_corpus",
 ]
 
 
